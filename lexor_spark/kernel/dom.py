@@ -1,0 +1,274 @@
+"""DOM node types for the extraction kernel.
+
+Clean-room Python-3 redesign of the reference's node taxonomy
+(`/root/reference/lexor/core/node.py:59-61`, `elements.py:17-627` — studied
+for semantics only; no code copied).  Deliberate deviations, chosen for the
+batch-extraction workload:
+
+* children are a plain ``list`` and nodes carry only a ``parent`` back-ref —
+  the reference's ``prev``/``next`` doubly-linked siblings and eagerly
+  maintained ``level`` (`node.py:144-241`) are dropped; the extraction path
+  never mutates mid-tree, so sibling links are derivable from
+  ``parent.children[index]``.
+* attributes use the insertion-ordered Python-3 ``dict`` instead of the
+  reference's ``__dict__`` + ``_order`` pair (`elements.py:206-218`); the
+  observable contract (ordered get/set/del/items/rename) is identical.
+* ``Text`` nodes carry ``start``/``end`` character offsets into the source
+  document — the columnar analogue of the reference's ``pos`` property
+  (`parser.py:46-50`) — so the writer can emit source spans.
+* everything uses ``__slots__`` (the reference does too: `node.py:60-61`);
+  one Python object per node is the single biggest memory lever at
+  Arrow-batch scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+__all__ = [
+    "Node", "CharacterData", "Text", "Comment", "CData", "Entity",
+    "DocumentType", "ProcessingInstruction", "Element", "RawText", "Void",
+    "Document",
+]
+
+
+class Node:
+    """Base node: a ``name`` tag plus tree links.
+
+    Reference analogue: `lexor/core/node.py:59-130` (name/parent/index
+    slots; ``level`` dropped — derivable, never needed by extraction).
+    """
+
+    __slots__ = ("name", "parent", "pos")
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+        self.parent: Optional[Element] = None
+        # (line, column) where the node was found; (0, 0) if synthetic.
+        self.pos: tuple[int, int] = (0, 0)
+
+    # -- navigation ------------------------------------------------------
+    @property
+    def index(self) -> int:
+        """Position among siblings (reference `node.py:97-130`)."""
+        if self.parent is None:
+            return 0
+        return self.parent.children.index(self)
+
+    def iter(self) -> Iterator["Node"]:
+        """Pre-order iterative DFS (recursion-free: hostile HTML nests
+        deep; reference is iterative everywhere too, `node.py:220-241`)."""
+        stack: list[Node] = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            kids = getattr(node, "children", None)
+            if kids:
+                stack.extend(reversed(kids))
+
+
+class CharacterData(Node):
+    """Leaf with a string payload (reference `elements.py:17-40`)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, name: str, data: str = "") -> None:
+        super().__init__(name)
+        self.data = data
+
+
+class Text(CharacterData):
+    """Plain text run; adjacent Text siblings are merged at build time
+    (reference `parser.py:323-327,342-355`) and by ``normalize``.
+
+    ``start``/``end`` are character offsets into the source string; when two
+    Text nodes merge the interval is widened (the merged run is contiguous
+    in the source by construction of the parser loop)."""
+
+    __slots__ = ("start", "end")
+
+    def __init__(self, data: str = "", start: int = -1, end: int = -1) -> None:
+        super().__init__("#text", data)
+        self.start = start
+        self.end = end
+
+
+class Comment(CharacterData):
+    """``<!-- ... -->`` (reference `elements.py:84-110`)."""
+
+    __slots__ = ()
+
+    def __init__(self, data: str = "") -> None:
+        super().__init__("#comment", data)
+
+
+class CData(CharacterData):
+    """``<![CDATA[ ... ]]>`` (reference `elements.py:113-130`)."""
+
+    __slots__ = ()
+
+    def __init__(self, data: str = "") -> None:
+        super().__init__("#cdata-section", data)
+
+
+class Entity(CharacterData):
+    """Character reference like ``&amp;`` kept verbatim at parse time and
+    decoded by the writer (reference `elements.py:133-161`).
+
+    ``start``/``end`` span the full ``&...;`` source range."""
+
+    __slots__ = ("start", "end")
+
+    def __init__(self, data: str = "", start: int = -1, end: int = -1) -> None:
+        super().__init__("#entity", data)
+        self.start = start
+        self.end = end
+
+
+class DocumentType(CharacterData):
+    """``<!doctype ...>`` payload (reference `elements.py:164-186`)."""
+
+    __slots__ = ()
+
+    def __init__(self, data: str = "") -> None:
+        super().__init__("#doctype", data)
+
+
+class ProcessingInstruction(CharacterData):
+    """``<?target ... ?>``; ``name`` is ``?target`` (reference
+    `elements.py:58-81`).  NOTE: the reference can *execute* python PIs
+    (`converter.py:394-447`); that is deliberately not reimplemented
+    (arbitrary code exec from crawled data) — PIs are inert nodes here."""
+
+    __slots__ = ("target",)
+
+    def __init__(self, target: str, data: str = "") -> None:
+        super().__init__("?" + target, data)
+        self.target = target
+
+
+class Element(Node):
+    """Tag with ordered string attributes and children
+    (reference `elements.py:189-481`)."""
+
+    __slots__ = ("attrs", "children")
+
+    def __init__(self, name: str, attrs: Optional[dict[str, str]] = None) -> None:
+        super().__init__(name)
+        self.attrs: dict[str, str] = attrs if attrs is not None else {}
+        self.children: list[Node] = []
+
+    # -- attribute surface (reference `elements.py:224-351`) --------------
+    def get(self, key: str, default: Optional[str] = None) -> Optional[str]:
+        return self.attrs.get(key, default)
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.attrs
+
+    def rename_attr(self, old: str, new: str) -> None:
+        """Rename preserving position (reference `elements.py:343-351`)."""
+        if old not in self.attrs:
+            return
+        self.attrs = {new if k == old else k: v for k, v in self.attrs.items()}
+
+    # -- child ops ---------------------------------------------------------
+    def append_child(self, node: Node) -> None:
+        node.parent = self
+        self.children.append(node)
+
+    def append_text(self, data: str, start: int = -1, end: int = -1) -> None:
+        """Append text, merging into a trailing Text sibling — the
+        build-time merge that reference `parser.py:342-355` performs."""
+        kids = self.children
+        if kids and type(kids[-1]) is Text:
+            last = kids[-1]
+            last.data += data
+            if end >= 0:
+                last.end = end
+        else:
+            self.append_child(Text(data, start, end))
+
+    def normalize(self) -> "Element":
+        """Drop empty Text children; merge adjacent Text runs
+        (reference `node.py:445-469`; invoked per completed element during
+        conversion, `converter.py:362` — load-bearing for byte-identity)."""
+        out: list[Node] = []
+        for node in self.children:
+            if type(node) is Text:
+                if node.data == "":
+                    continue
+                if out and type(out[-1]) is Text:
+                    out[-1].data += node.data
+                    out[-1].end = node.end
+                    continue
+            out.append(node)
+        self.children = out
+        return self
+
+    # -- queries (reference `node.py:575-604`, `elements.py:397-429`) ------
+    def get_nodes_by_name(self, name: str) -> list[Node]:
+        return [n for n in self.iter() if n.name == name]
+
+    def get_elements_by_class_name(self, classes: str) -> list["Element"]:
+        want = set(classes.split())
+        found: list[Element] = []
+        for n in self.iter():
+            if isinstance(n, Element):
+                have = n.attrs.get("class")
+                if have and want <= set(have.split()):
+                    found.append(n)
+        return found
+
+    def class_list(self) -> list[str]:
+        c = self.attrs.get("class")
+        return c.split() if c else []
+
+    def text_content(self) -> str:
+        """Concatenated #text/#entity payloads, document order."""
+        parts: list[str] = []
+        for n in self.iter():
+            if isinstance(n, (Text, Entity)):
+                parts.append(n.data)
+            elif isinstance(n, RawText):
+                pass  # script/style payloads are not text content
+        return "".join(parts)
+
+
+class RawText(Element):
+    """Element whose body is an unparsed blob (``<script>``, ``<style>``,
+    ...); never has child nodes (reference `elements.py:484-498`)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, name: str, attrs: Optional[dict[str, str]] = None,
+                 data: str = "") -> None:
+        super().__init__(name, attrs)
+        self.data = data
+
+
+class Void(Element):
+    """Self-contained element (``<img>``, ``<br>``, ...); never has
+    children (reference `elements.py:501-512`)."""
+
+    __slots__ = ()
+
+
+class Document(Element):
+    """Tree root with document-level services (reference
+    `elements.py:515-590`).  ``meta`` is the open metadata dict; the
+    reference's ``id_dict`` index is rebuilt on demand instead of being
+    maintained incrementally (extraction never mutates ids)."""
+
+    __slots__ = ("lang", "uri", "meta")
+
+    def __init__(self, lang: str = "html", uri: str = "") -> None:
+        super().__init__("#document")
+        self.lang = lang
+        self.uri = uri
+        self.meta: dict[str, str] = {}
+
+    def get_element_by_id(self, idval: str) -> Optional[Element]:
+        for n in self.iter():
+            if isinstance(n, Element) and n.attrs.get("id") == idval:
+                return n
+        return None

@@ -1,0 +1,216 @@
+"""Converter stage: rule-driven tree rewrite + main-content selection.
+
+Clean-room reimplementation of the reference converter's semantics
+(`/root/reference/lexor/core/converter.py` — iterative rewrite loop
+`:331-376`, NodeConverter copy/copy_children contract `:30-76`, per-element
+``normalize`` on the way up `:362`, style-level whole-document hook
+`:215-216`), specialized to the extraction workload:
+
+* A rule decides per node: ``COPY`` (clone, recurse), ``UNWRAP`` (hoist
+  children, drop the element — the reference's copy=False/copy_children=True
+  composition), or ``DROP`` (prune subtree — copy=False, which is how the
+  reference deletes nav/script/ads).
+* The style-level ``convert`` hook (reference `converter.py:215-216`)
+  becomes :func:`select_main`: a deterministic cascade choosing the
+  main-content subtree.
+* The reference's process-global namespace (`converter.py:20-27,450-455`)
+  and python-PI execution (`converter.py:394-447`) are deliberately absent:
+  the kernel must be pure for deterministic resume at 10^12 documents.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Callable, Optional
+
+from lexor_spark.kernel.dom import (
+    Comment, Document, Element, Entity, Node, RawText, Text, Void,
+)
+
+__all__ = [
+    "COPY", "UNWRAP", "DROP", "convert", "extraction_decide", "select_main",
+    "collect_meta", "DROP_TAGS", "UNWRAP_TAGS", "BOILERPLATE_RE",
+]
+
+COPY, UNWRAP, DROP = 0, 1, 2
+
+# Subtrees that never contain main content (converter rules with copy=False
+# in reference terms, `converter.py:49-56`).
+DROP_TAGS = frozenset(
+    "script style noscript template nav header footer aside form iframe "
+    "svg canvas object embed applet button select optgroup option label "
+    "input textarea datalist dialog menu map area base link meta title "
+    "video audio source track picture".split()
+)
+
+# Inline/wrapper tags hoisted away (copy_children without copy).
+UNWRAP_TAGS = frozenset(
+    "span font center small big b i u s strong em mark abbr cite q dfn "
+    "sub sup ins del a time data wbr bdi bdo ruby rt rp html body head "
+    "hgroup details summary".split()
+)
+
+# class/id tokens that flag boilerplate regions (the reference strips by
+# class via get_elements_by_class_name, `elements.py:397-429`; the token
+# list itself is this engine's rule-set, pinned by goldens).
+BOILERPLATE_RE = re.compile(
+    r"(?:^|[-_ ])(?:nav|navbar|menu|sidebar|side-bar|footer|header|banner|"
+    r"breadcrumbs?|ads?|advert(?:isement)?s?|promo|sponsor(?:ed)?|social|"
+    r"share|sharing|comments?|cookie|consent|gdpr|popup|modal|overlay|"
+    r"related|widget|masthead|pagination|pager|subscribe|newsletter|"
+    r"skip|tooltip|dropdown|login|signup|search)(?:$|[-_ ])"
+)
+
+
+def extraction_decide(node: Node) -> int:
+    """The extraction rule-set (reference style-module MAPPING analogue)."""
+    cls = type(node)
+    if cls is Text or cls is Entity:
+        return COPY
+    if cls is Element or cls is Document:
+        name = node.name
+        if name in DROP_TAGS:
+            return DROP
+        attrs = node.attrs
+        if attrs:
+            token = attrs.get("class", "")
+            idv = attrs.get("id")
+            if idv:
+                token = token + " " + idv
+            if token and BOILERPLATE_RE.search(token.lower()):
+                return DROP
+            role = attrs.get("role")
+            if role in ("navigation", "banner", "complementary", "form",
+                        "search", "contentinfo"):
+                return DROP
+            if attrs.get("hidden") is not None or attrs.get("aria-hidden") == "true":
+                return DROP
+        if name in UNWRAP_TAGS:
+            return UNWRAP
+        return COPY
+    # RawText (script/style/title bodies), Void non-drop (br/img/hr),
+    # comments, doctype, PI, CDATA:
+    if cls is Void:
+        return COPY if node.name in ("br", "hr", "img") else DROP
+    return DROP  # Comment / DocumentType / ProcessingInstruction / CData / RawText
+
+
+def convert(doc: Document,
+            decide: Callable[[Node], int] = extraction_decide) -> Document:
+    """Rewrite ``doc`` into a new tree per the rule-set.
+
+    Iterative DFS (the reference is iterative for the same reason:
+    hostile real-web HTML nests deep, `converter.py:348-376`); each
+    completed element is ``normalize``d on the way up exactly as the
+    reference does (`converter.py:362`)."""
+    out = Document(doc.lang, doc.uri)
+    out.meta.update(doc.meta)
+    # Frame: [source_children, next_index, dst_element]
+    frames: list[list] = [[doc.children, 0, out]]
+    while frames:
+        frame = frames[-1]
+        kids, i, dst = frame
+        if i >= len(kids):
+            dst.normalize()
+            frames.pop()
+            continue
+        frame[1] = i + 1
+        node = kids[i]
+        d = decide(node)
+        if d == DROP:
+            continue
+        cls = type(node)
+        if cls is Text:
+            dst.append_text(node.data, node.start, node.end)
+        elif cls is Entity:
+            ent = Entity(node.data, node.start, node.end)
+            dst.append_child(ent)
+        elif d == UNWRAP:
+            if node.children:
+                frames.append([node.children, 0, dst])
+        elif cls is Void:
+            v = Void(node.name, dict(node.attrs))
+            v.pos = node.pos
+            dst.append_child(v)
+        else:  # Element / Document, COPY
+            el = Element(node.name, dict(node.attrs))
+            el.pos = node.pos
+            dst.append_child(el)
+            if node.children:
+                frames.append([node.children, 0, el])
+            else:
+                el.normalize()
+    return out
+
+
+_WS = re.compile(r"\s+")
+
+
+def collect_meta(doc: Document) -> dict[str, str]:
+    """Document metadata pulled from the *parsed* tree before boilerplate
+    rules delete it: <title>, <meta name=description>, <html lang=...>.
+    (Reference analogue: ``Document.meta`` open dict, `elements.py:527`.)"""
+    meta: dict[str, str] = {}
+    for n in doc.iter():
+        cls = type(n)
+        if cls is RawText and n.name == "title" and "title" not in meta:
+            meta["title"] = _WS.sub(" ", _html.unescape(n.data)).strip()
+        elif cls is Void and n.name == "meta":
+            if n.attrs.get("name", "").lower() == "description" and \
+                    "description" not in meta:
+                meta["description"] = n.attrs.get("content", "").strip()
+        elif cls is Element and n.name == "html" and "lang" not in meta:
+            lang = n.attrs.get("lang")
+            if lang:
+                meta["lang"] = lang
+    return meta
+
+
+# Main-content cascade: first hit wins; within one rule, document order
+# wins.  Each entry is (predicate, description).
+def _is_main(el: Element) -> bool:
+    return el.name == "main" or el.attrs.get("role") == "main"
+
+
+def _is_article(el: Element) -> bool:
+    return el.name == "article"
+
+
+_CONTENT_TOKEN = re.compile(
+    r"(?:^|[-_ ])(?:content|main|article|post|entry|story|body|text)(?:$|[-_ ])"
+)
+
+
+def _has_content_token(el: Element) -> bool:
+    token = el.attrs.get("class", "") if el.attrs else ""
+    idv = el.attrs.get("id") if el.attrs else None
+    if idv:
+        token = token + " " + idv
+    return bool(token) and bool(_CONTENT_TOKEN.search(token.lower()))
+
+
+def select_main(converted: Document) -> Element:
+    """Deterministic main-content selection (the style-level ``convert``
+    hook slot, reference `converter.py:215-216`).
+
+    Cascade: <main>/[role=main] → <article> → content-ish class/id →
+    highest text-mass <div>/<section>/<td> → the whole converted tree."""
+    elements = [n for n in converted.iter() if isinstance(n, Element)
+                and not isinstance(n, (Void, RawText))]
+    for pred in (_is_main, _is_article, _has_content_token):
+        for el in elements:
+            if el is converted:
+                continue
+            if pred(el):
+                return el
+    # Text-mass fallback: ties broken by document order (first wins).
+    best: Optional[Element] = None
+    best_mass = 0
+    for el in elements:
+        if el.name not in ("div", "section", "td", "blockquote"):
+            continue
+        mass = len(el.text_content().strip())
+        if mass > best_mass:
+            best, best_mass = el, mass
+    return best if best is not None else converted

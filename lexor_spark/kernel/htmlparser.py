@@ -1,0 +1,424 @@
+"""HTML parser: text → DOM tree + diagnostic log.
+
+Clean-room reimplementation of the reference parser's *semantics*
+(`/root/reference/lexor/core/parser.py` — driver loop `:385-410`, auto-close
+recovery `:357-383`, text merge `:337-355`, position bookkeeping `:252-284`,
+W100/E100 messages `:413-416`), redesigned for single-pass speed:
+
+* Instead of the reference's per-node-name "next interesting char" regexes
+  (`parser.py:137-144,309-319`), one compiled ``[<&]`` scan finds the next
+  markup candidate — same effect (skip plain text in C), simpler dispatch.
+* Instead of dynamically loaded NodeParser plugin classes
+  (`parser.py:123-153`), the HTML construct grammar (tags, comments,
+  doctype, CDATA, PIs, entities, rawtext, void) is compiled into this
+  module — rule-sets are code shipped with the package, imported once per
+  executor.
+* The reference's HTML style plugin is **not** in the reference repo (styles
+  were separate packages), so the construct-level behavior here (implied end
+  tags, void set, rawtext set) is defined by this module and pinned by this
+  repo's golden tests; the engine-level recovery semantics (W100 on
+  forced close, E100 at EOF, innermost-first close matching) follow
+  `parser.py:357-383,408-410` exactly.
+
+Log codes
+---------
+W100  node force-closed by an ancestor's end tag   (ref `parser.py:415`)
+E100  no closing construct found before EOF        (ref `parser.py:414`)
+W101  stray end tag matching no open node          (this engine)
+W102  malformed markup consumed as text            (this engine)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from lexor_spark.kernel.dom import (
+    CData, Comment, Document, DocumentType, Element, Entity, Node,
+    ProcessingInstruction, RawText, Text, Void,
+)
+
+__all__ = ["parse_html", "LogEntry", "MSG"]
+
+MSG = {
+    "E100": 'closing string for node "{0}" not found',
+    "W100": 'auto-closing node "{0}" at {1}:{2}',
+    "W101": 'ignoring stray end tag "{0}"',
+    "W102": "malformed markup consumed as text",
+}
+
+MODULE = "lexor_spark.kernel.htmlparser"
+
+# -- HTML construct tables (this engine's rule-set; pinned by goldens) -----
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+RAWTEXT_ELEMENTS = frozenset("script style textarea title".split())
+
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details div dl fieldset figcaption "
+    "figure footer form h1 h2 h3 h4 h5 h6 header hr main nav ol p pre "
+    "section table ul".split()
+)
+# Opening tag T silently closes open element C when T ∈ IMPLIED_END[C]
+# (the reference's own docs treat sibling-implied close as Okay:
+# `parser.py:445-446` — "<a><p>stuff<p>stuff</p></a>" logs nothing).
+IMPLIED_END: dict[str, frozenset] = {
+    "p": _P_CLOSERS,
+    "li": frozenset(("li",)),
+    "dt": frozenset(("dt", "dd")),
+    "dd": frozenset(("dt", "dd")),
+    "tr": frozenset(("tr",)),
+    "td": frozenset(("td", "th", "tr")),
+    "th": frozenset(("td", "th", "tr")),
+    "thead": frozenset(("tbody", "tfoot")),
+    "tbody": frozenset(("tbody", "tfoot")),
+    "option": frozenset(("option", "optgroup")),
+}
+
+# End tag </container> silently closes these still-open children — the
+# idiomatic-HTML case (`<ul><li>x</ul>`), distinct from the reference's
+# W100 force-close which this engine keeps for non-container mismatches
+# (the reference's own pinned example `parser.py:448`:
+# "W100: <a><p>stuff<p>stuff</a>").
+SILENT_CONTAINER: dict[str, frozenset] = {
+    "ul": frozenset(("li",)),
+    "ol": frozenset(("li",)),
+    "menu": frozenset(("li",)),
+    "dl": frozenset(("dt", "dd")),
+    "table": frozenset(("tr", "td", "th", "thead", "tbody", "tfoot",
+                        "caption", "colgroup")),
+    "thead": frozenset(("tr", "td", "th")),
+    "tbody": frozenset(("tr", "td", "th")),
+    "tfoot": frozenset(("tr", "td", "th")),
+    "tr": frozenset(("td", "th")),
+    "select": frozenset(("option", "optgroup")),
+    "optgroup": frozenset(("option",)),
+    "datalist": frozenset(("option",)),
+}
+
+_SPECIAL = re.compile(r"[<&]")
+_TAG_NAME = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9:_\-]*)")
+_ATTR = re.compile(
+    r"""([^\s=/>"'<]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?"""
+)
+_ENTITY = re.compile(r"&(?:[a-zA-Z][a-zA-Z0-9]{0,31};|#[0-9]{1,7};|#[xX][0-9a-fA-F]{1,6};)")
+_WS_GT = re.compile(r"\s*>")
+
+
+class LogEntry:
+    """One diagnostic message (reference stores these as Void('msg') nodes
+    in a log Document, `parser.py:287-303`; a flat record is the columnar
+    equivalent)."""
+
+    __slots__ = ("code", "line", "col", "arg")
+
+    def __init__(self, code: str, line: int, col: int, arg: tuple = ()) -> None:
+        self.code = code
+        self.line = line
+        self.col = col
+        self.arg = arg
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"LogEntry({self.code}@{self.line}:{self.col}{list(self.arg)})"
+
+
+class _Parser:
+    """Single-document, single-pass parse state."""
+
+    __slots__ = ("text", "lower", "end", "caret", "line", "col",
+                 "doc", "stack", "log")
+
+    def __init__(self, text: str, uri: str) -> None:
+        self.text = text
+        self.lower = text.lower()
+        self.end = len(text)
+        self.caret = 0
+        self.line = 1
+        self.col = 1
+        self.doc = Document("html", uri)
+        self.stack: list[Element] = [self.doc]
+        self.log: list[LogEntry] = []
+
+    # -- position bookkeeping (reference `parser.py:256-284`) -------------
+    def update(self, index: int) -> None:
+        if index == self.caret:
+            return
+        nlines = self.text.count("\n", self.caret, index)
+        if nlines:
+            self.line += nlines
+            self.col = index - self.text.rfind("\n", self.caret, index)
+        else:
+            self.col += index - self.caret
+        self.caret = index
+
+    def pos_at(self, index: int) -> tuple[int, int]:
+        nlines = self.text.count("\n", self.caret, index)
+        if nlines:
+            return (self.line + nlines,
+                    index - self.text.rfind("\n", self.caret, index))
+        return (self.line, self.col + index - self.caret)
+
+    def msg(self, code: str, pos: tuple[int, int], arg: tuple = ()) -> None:
+        self.log.append(LogEntry(code, pos[0], pos[1], arg))
+
+    # -- text accumulation with adjacent-merge (ref `parser.py:337-355`) --
+    def emit_text(self, start: int, stop: int) -> None:
+        if stop > start:
+            self.stack[-1].append_text(self.text[start:stop], start, stop)
+
+    # -- main loop (reference `parser.py:385-410`) -------------------------
+    def run(self) -> None:
+        text, n = self.text, self.end
+        while self.caret < n:
+            m = _SPECIAL.search(text, self.caret)
+            if m is None:
+                self.emit_text(self.caret, n)
+                self.update(n)
+                break
+            i = m.start()
+            self.emit_text(self.caret, i)
+            self.update(i)
+            if text[i] == "&":
+                self._entity(i)
+            else:
+                self._markup(i)
+        # EOF sweep: E100 per unclosed node, outermost first
+        # (reference `parser.py:408-410`).
+        for node in self.stack[1:]:
+            self.msg("E100", node.pos, (node.name,))
+
+    def _entity(self, i: int) -> None:
+        m = _ENTITY.match(self.text, i)
+        if m is None:
+            self.stack[-1].append_text("&", i, i + 1)
+            self.update(i + 1)
+            return
+        node = Entity(m.group(0), i, m.end())
+        node.pos = (self.line, self.col)
+        self.stack[-1].append_child(node)
+        self.update(m.end())
+
+    # -- markup dispatch ----------------------------------------------------
+    def _markup(self, i: int) -> None:
+        text = self.text
+        nxt = text[i + 1: i + 2]
+        if nxt == "!":
+            low = self.lower
+            if text.startswith("<!--", i):
+                return self._comment(i)
+            if low.startswith("<!doctype", i):
+                return self._doctype(i)
+            if text.startswith("<![CDATA[", i):
+                return self._cdata(i)
+            return self._bogus_comment(i)
+        if nxt == "?":
+            return self._pi(i)
+        m = _TAG_NAME.match(text, i)
+        if m is None:
+            # '<' that opens nothing: plain text (reference fallback,
+            # `parser.py:348-349` advances one char).
+            self.stack[-1].append_text("<", i, i + 1)
+            self.update(i + 1)
+            return
+        if m.group(1):
+            return self._close_tag(i, m)
+        return self._open_tag(i, m)
+
+    # -- constructs ----------------------------------------------------------
+    def _comment(self, i: int) -> None:
+        j = self.text.find("-->", i + 4)
+        pos = (self.line, self.col)
+        if j == -1:
+            node = Comment(self.text[i + 4:])
+            node.pos = pos
+            self.stack[-1].append_child(node)
+            self.msg("E100", pos, ("#comment",))
+            self.update(self.end)
+            return
+        node = Comment(self.text[i + 4: j])
+        node.pos = pos
+        self.stack[-1].append_child(node)
+        self.update(j + 3)
+
+    def _bogus_comment(self, i: int) -> None:
+        # "<!" that is not comment/doctype/CDATA: consume to '>' as a
+        # comment (HTML-recovery choice of this engine).
+        j = self.text.find(">", i + 2)
+        pos = (self.line, self.col)
+        if j == -1:
+            self.msg("E100", pos, ("#comment",))
+            node = Comment(self.text[i + 2:])
+            node.pos = pos
+            self.stack[-1].append_child(node)
+            self.update(self.end)
+            return
+        node = Comment(self.text[i + 2: j])
+        node.pos = pos
+        self.stack[-1].append_child(node)
+        self.update(j + 1)
+
+    def _doctype(self, i: int) -> None:
+        j = self.text.find(">", i + 9)
+        pos = (self.line, self.col)
+        if j == -1:
+            self.msg("E100", pos, ("#doctype",))
+            self.update(self.end)
+            return
+        node = DocumentType(self.text[i + 9: j].strip())
+        node.pos = pos
+        self.stack[-1].append_child(node)
+        self.update(j + 1)
+
+    def _cdata(self, i: int) -> None:
+        j = self.text.find("]]>", i + 9)
+        pos = (self.line, self.col)
+        if j == -1:
+            self.msg("E100", pos, ("#cdata-section",))
+            node = CData(self.text[i + 9:])
+            node.pos = pos
+            self.stack[-1].append_child(node)
+            self.update(self.end)
+            return
+        node = CData(self.text[i + 9: j])
+        node.pos = pos
+        self.stack[-1].append_child(node)
+        self.update(j + 3)
+
+    def _pi(self, i: int) -> None:
+        pos = (self.line, self.col)
+        j = self.text.find("?>", i + 2)
+        if j == -1:
+            self.msg("E100", pos, ("#pi",))
+            self.update(self.end)
+            return
+        body = self.text[i + 2: j]
+        target, _, data = body.partition(" ")
+        node = ProcessingInstruction(target or "pi", data)
+        node.pos = pos
+        self.stack[-1].append_child(node)
+        self.update(j + 2)
+
+    def _find_tag_end(self, i: int) -> int:
+        """Index of the closing '>' of a start tag, honoring quoted
+        attribute values; -1 if unterminated."""
+        text, n = self.text, self.end
+        while i < n:
+            c = text[i]
+            if c == ">":
+                return i
+            if c == '"' or c == "'":
+                j = text.find(c, i + 1)
+                if j == -1:
+                    return -1
+                i = j + 1
+            else:
+                i += 1
+        return -1
+
+    def _open_tag(self, i: int, m: "re.Match[str]") -> None:
+        name = m.group(2).lower()
+        pos = (self.line, self.col)
+        gt = self._find_tag_end(m.end())
+        if gt == -1:
+            # Unterminated tag: consume '<' as text (recovery; W102).
+            self.msg("W102", pos)
+            self.stack[-1].append_text("<", i, i + 1)
+            self.update(i + 1)
+            return
+        raw_attrs = self.text[m.end(): gt]
+        self_close = raw_attrs.endswith("/")
+        if self_close:
+            raw_attrs = raw_attrs[:-1]
+        attrs: dict[str, str] = {}
+        for am in _ATTR.finditer(raw_attrs):
+            key = am.group(1).lower()
+            if key not in attrs:  # first occurrence wins, order preserved
+                val = am.group(2)
+                if val is None:
+                    val = am.group(3)
+                if val is None:
+                    val = am.group(4)
+                attrs[key] = val if val is not None else ""
+
+        # Implied end tags: silently close (Okay per ref doc example,
+        # `parser.py:445-446`).
+        stack = self.stack
+        while len(stack) > 1 and name in IMPLIED_END.get(stack[-1].name, ()):
+            stack.pop().normalize()
+
+        if name in VOID_ELEMENTS:
+            node = Void(name, attrs)
+            node.pos = pos
+            stack[-1].append_child(node)
+            self.update(gt + 1)
+            return
+        if name in RAWTEXT_ELEMENTS:
+            self.update(gt + 1)
+            return self._rawtext(name, attrs, pos, gt + 1)
+        node = Element(name, attrs)
+        node.pos = pos
+        stack[-1].append_child(node)
+        self.update(gt + 1)
+        if not self_close:  # empty-element protocol: ref `parser.py:328-329`
+            stack.append(node)
+
+    def _rawtext(self, name: str, attrs: dict, pos: tuple[int, int],
+                 body_start: int) -> None:
+        j = self.lower.find("</" + name, body_start)
+        if j == -1:
+            node = RawText(name, attrs, self.text[body_start:])
+            node.pos = pos
+            self.stack[-1].append_child(node)
+            self.msg("E100", pos, (name,))
+            self.update(self.end)
+            return
+        node = RawText(name, attrs, self.text[body_start: j])
+        node.pos = pos
+        self.stack[-1].append_child(node)
+        wm = _WS_GT.match(self.text, j + 2 + len(name))
+        self.update(wm.end() if wm else j + 2 + len(name))
+
+    def _close_tag(self, i: int, m: "re.Match[str]") -> None:
+        name = m.group(2).lower()
+        gt = self.text.find(">", m.end())
+        close_pos = (self.line, self.col)
+        if gt == -1:
+            self.msg("W102", close_pos)
+            self.stack[-1].append_text("<", i, i + 1)
+            self.update(i + 1)
+            return
+        stack = self.stack
+        # Innermost-first match (reference `parser.py:357-383`): find the
+        # nearest open node with this name; force-close anything deeper
+        # with W100; stray end tags are ignored with W101.
+        depth = -1
+        for k in range(len(stack) - 1, 0, -1):
+            if stack[k].name == name:
+                depth = k
+                break
+        if depth == -1:
+            self.msg("W101", close_pos, (name,))
+            self.update(gt + 1)
+            return
+        silent = SILENT_CONTAINER.get(name, ())
+        for k in range(len(stack) - 1, depth, -1):
+            forced = stack[k]
+            if forced.name not in silent:
+                self.msg("W100", forced.pos,
+                         (forced.name, close_pos[0], close_pos[1]))
+            stack.pop().normalize()
+        stack.pop().normalize()
+        self.update(gt + 1)
+
+
+def parse_html(text: str, uri: str = "") -> tuple[Document, list[LogEntry]]:
+    """Parse an HTML string into (Document, log).
+
+    The document root's children are exactly the top-level constructs found
+    (no synthetic <html>/<body> insertion — the reference inserts nothing
+    either; `parser.py:165` just creates an empty Document)."""
+    p = _Parser(text, uri)
+    p.run()
+    p.doc.normalize()
+    return p.doc, p.log

@@ -1,0 +1,79 @@
+"""Fused parse→convert→write pipeline: one document in, one record out.
+
+This is the exact function the Spark job runs per document inside its
+Arrow-batch UDF, and — run serially — the byte-identity oracle
+(BASELINE.json ``north_rule``: "byte-identical extracted text per url").
+The reference wires the same three stages in ``lexor()``
+(`/root/reference/lexor/__init__.py:52-101`); here they are fused into one
+call with no I/O, no globals, and no mutation of shared state, so the same
+input bytes always produce the same output bytes on any executor, any
+retry (determinism is what makes checkpointed resume sound).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from lexor_spark.kernel.extractor import collect_meta, convert, select_main
+from lexor_spark.kernel.htmlparser import parse_html
+from lexor_spark.kernel.textwriter import write_text
+
+__all__ = ["ExtractResult", "extract_document"]
+
+# Hard ceiling on document size (decoded chars); larger inputs are truncated
+# and flagged — a 100 MB single blob must degrade to an error-ish row, not a
+# straggler task (SURVEY.md §7 "hostile inputs at scale").
+MAX_CHARS = 8_000_000
+
+
+class ExtractResult:
+    """One output record. ``ok=False`` rows carry the error string instead
+    of failing the task — error rows are data at 10^12-document scale."""
+
+    __slots__ = ("text", "spans", "title", "description", "lang_attr",
+                 "codes", "n_nodes", "truncated", "ok", "err")
+
+    def __init__(self) -> None:
+        self.text = ""
+        self.spans: list[tuple[int, int, str]] = []
+        self.title: Optional[str] = None
+        self.description: Optional[str] = None
+        self.lang_attr: Optional[str] = None
+        self.codes: list[str] = []
+        self.n_nodes = 0
+        self.truncated = False
+        self.ok = True
+        self.err: Optional[str] = None
+
+
+def _decode(html: Union[bytes, bytearray, memoryview, str]) -> str:
+    """UTF-8 with replacement — the pinned decode contract (SURVEY.md §7:
+    goldens standardize on utf-8/replace)."""
+    if isinstance(html, str):
+        return html
+    return bytes(html).decode("utf-8", errors="replace")
+
+
+def extract_document(html: Union[bytes, str], uri: str = "") -> ExtractResult:
+    """Extract main-content text + spans from one HTML document."""
+    res = ExtractResult()
+    try:
+        text = _decode(html)
+        if len(text) > MAX_CHARS:
+            text = text[:MAX_CHARS]
+            res.truncated = True
+        doc, log = parse_html(text, uri)
+        res.codes = [e.code for e in log]
+        meta = collect_meta(doc)
+        res.title = meta.get("title")
+        res.description = meta.get("description")
+        res.lang_attr = meta.get("lang")
+        converted = convert(doc)
+        main = select_main(converted)
+        res.text, spans = write_text(main)
+        res.spans = [s.as_tuple() for s in spans]
+        res.n_nodes = sum(1 for _ in doc.iter())
+    except Exception as exc:  # hostile input → error row, not task failure
+        res.ok = False
+        res.err = f"{type(exc).__name__}: {exc}"[:500]
+    return res

@@ -1,0 +1,198 @@
+"""Writer stage: converted DOM subtree → (text, spans).
+
+Clean-room reimplementation of the reference writer's semantics
+(`/root/reference/lexor/core/writer.py` — DFS emit loop `:482-516`,
+NodeWriter start/data/child/end contract `:54-99`, modal raw/indent/wrap
+buffer engine `:233-346`), specialized to plain-text extraction:
+
+* the reference's ``endl(force=False)`` collapse rule (`writer.py:338-346`:
+  don't emit a newline if one was just emitted) generalizes here to
+  *pending-break levels* — block boundaries request a break of level 1
+  (line) or 2 (paragraph); consecutive requests collapse to the max, and
+  breaks are materialized lazily only when more content arrives.  This is
+  what makes output byte-deterministic regardless of how many nested empty
+  blocks appear.
+* the reference's raw mode (`writer.py:321-327`) maps to ``<pre>`` handling:
+  whitespace inside ``<pre>`` is preserved verbatim.
+* entity decoding uses the reference's one-pass-substitution idea
+  (`writer.py:19-39`) via the stdlib ``html.unescape`` (public API).
+
+Spans: every Text/Entity node that contributes visible output records
+``(start, end, path)`` — character offsets into the *source* document and
+the '/'-joined element path from the selected root — the columnar analogue
+of the reference's per-node ``pos`` contract (`parser.py:46-50`).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Optional
+
+from lexor_spark.kernel.dom import Element, Entity, RawText, Text, Void
+
+__all__ = ["write_text", "Span"]
+
+_WS = re.compile(r"\s+")
+
+# Block boundary levels (0 = inline).
+_PARA = 2
+_LINE = 1
+_BLOCK_LEVEL: dict[str, int] = {
+    "p": _PARA, "h1": _PARA, "h2": _PARA, "h3": _PARA, "h4": _PARA,
+    "h5": _PARA, "h6": _PARA, "blockquote": _PARA, "pre": _PARA,
+    "div": _PARA, "section": _PARA, "article": _PARA, "main": _PARA,
+    "figure": _PARA, "figcaption": _PARA, "caption": _PARA, "table": _PARA,
+    "ul": _PARA, "ol": _PARA, "dl": _PARA, "address": _PARA,
+    "fieldset": _PARA, "hr": _PARA,
+    "li": _LINE, "dt": _LINE, "dd": _LINE, "tr": _LINE, "br": _LINE,
+}
+# td/th cells are inline but separated by a single space via the
+# cell-boundary rule below.
+_CELL_TAGS = frozenset(("td", "th"))
+
+
+class Span:
+    __slots__ = ("start", "end", "path")
+
+    def __init__(self, start: int, end: int, path: str) -> None:
+        self.start = start
+        self.end = end
+        self.path = path
+
+    def as_tuple(self) -> tuple[int, int, str]:
+        return (self.start, self.end, self.path)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"Span({self.start},{self.end},{self.path!r})"
+
+
+class _TextBuilder:
+    """Pending-break text accumulator (the writer buffer engine)."""
+
+    __slots__ = ("parts", "pending", "has_content", "trailing_space")
+
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+        self.pending = 0          # break level owed before next content
+        self.has_content = False
+        self.trailing_space = False
+
+    def request_break(self, level: int) -> None:
+        if self.has_content and level > self.pending:
+            self.pending = level
+
+    def _flush_break(self) -> None:
+        if self.pending:
+            if self.trailing_space:
+                # trailing inline space is discarded at a block boundary
+                self.parts[-1] = self.parts[-1].rstrip(" ")
+                self.trailing_space = False
+            self.parts.append("\n" if self.pending == 1 else "\n\n")
+            self.pending = 0
+
+    def add_inline(self, s: str) -> bool:
+        """Whitespace-collapsed inline emission; returns True if any
+        visible character was produced (drives span recording)."""
+        if not s:
+            return False
+        lead = s[0].isspace() or s[0] == "\xa0"
+        trail = s[-1].isspace() or s[-1] == "\xa0"
+        words = s.split()
+        if not words:
+            # whitespace-only: becomes a single tentative space
+            if self.has_content and not self.trailing_space and not self.pending:
+                self.parts.append(" ")
+                self.trailing_space = True
+            return False
+        self._flush_break()
+        body = " ".join(words)
+        if lead and self.has_content and not self.trailing_space:
+            body = " " + body
+        self.parts.append(body)
+        self.has_content = True
+        self.trailing_space = False
+        if trail:
+            self.parts.append(" ")
+            self.trailing_space = True
+        return True
+
+    def add_space(self) -> None:
+        """Cell-boundary separator (single space, never doubled)."""
+        if self.has_content and not self.trailing_space and not self.pending:
+            self.parts.append(" ")
+            self.trailing_space = True
+
+    def add_verbatim(self, s: str) -> bool:
+        """<pre> raw emission (reference raw mode, writer.py:321-327)."""
+        s = s.lstrip("\n").rstrip()
+        if not s.strip():
+            return False
+        self._flush_break()
+        if self.trailing_space:
+            self.parts[-1] = self.parts[-1].rstrip(" ")
+            self.trailing_space = False
+        self.parts.append(s)
+        self.has_content = True
+        return True
+
+    def result(self) -> str:
+        if self.trailing_space:
+            self.parts[-1] = self.parts[-1].rstrip(" ")
+        return "".join(self.parts)
+
+
+def write_text(root: Element) -> tuple[str, list[Span]]:
+    """Serialize the selected subtree to plain text + source spans.
+
+    Iterative DFS with explicit open/close events (the reference writer's
+    start/child/end protocol, `writer.py:482-516`), recursion-free for
+    hostile nesting depth."""
+    tb = _TextBuilder()
+    spans: list[Span] = []
+    # Stack of (node, path, is_close_event, in_pre)
+    stack: list[tuple] = [(root, "", False, root.name == "pre")]
+    while stack:
+        node, path, closing, in_pre = stack.pop()
+        if closing:
+            level = _BLOCK_LEVEL.get(node.name, 0)
+            if level:
+                tb.request_break(level)
+            elif node.name in _CELL_TAGS:
+                tb.add_space()
+            continue
+        cls = type(node)
+        if cls is Text:
+            if in_pre:
+                if tb.add_verbatim(node.data) and node.start >= 0:
+                    spans.append(Span(node.start, node.end, path))
+            else:
+                if tb.add_inline(node.data) and node.start >= 0:
+                    spans.append(Span(node.start, node.end, path))
+            continue
+        if cls is Entity:
+            decoded = _html.unescape(node.data)
+            if tb.add_inline(decoded) and node.start >= 0:
+                spans.append(Span(node.start, node.end, path))
+            continue
+        if cls is Void:
+            if node.name == "br":
+                tb.request_break(_LINE)
+            elif node.name == "hr":
+                tb.request_break(_PARA)
+            continue
+        if cls is RawText:
+            continue  # script/style bodies never reach output
+        if not isinstance(node, Element):
+            continue
+        name = node.name
+        level = _BLOCK_LEVEL.get(name, 0)
+        if level:
+            tb.request_break(level)
+        child_path = path + "/" + name if path else name
+        child_pre = in_pre or name == "pre"
+        # push close event, then children in reverse so they pop in order
+        stack.append((node, path, True, in_pre))
+        for child in reversed(node.children):
+            stack.append((child, child_path, False, child_pre))
+    return tb.result(), spans
