@@ -1,0 +1,206 @@
+"""The Spark extraction job: pages table → extracted text/spans + metrics.
+
+Architecture (SURVEY.md §7, BASELINE.json ``north_rule``):
+
+* **Arrow-batched kernel execution** — the whole lexer→parser→converter→
+  writer chain (the reference's processing chain,
+  `/root/reference/lexor/__init__.py:52-101`) runs fused per document
+  inside one ``mapInArrow`` UDF.  There is no per-row Python dispatch at
+  the Spark layer: Spark hands the UDF whole Arrow record batches; the
+  per-document loop lives inside the batch.
+* **Salted repartitioning** — giant HTML blobs cluster by crawl order in
+  real tables; ``repartition(P, pmod(xxhash64(url), B))`` spreads them so
+  no executor inherits a run of megabyte pages.  Pure column expressions →
+  the exchange is planned by Catalyst, and AQE can still coalesce.
+* **Per-partition metrics + lineage** — each output row carries its input
+  size and kernel latency; `partition_metrics` folds them with a single
+  map-side-combinable aggregation.
+* **Checkpointed resume** — the corpus is processed in ``n_groups``
+  url-hash groups; each group commits atomically (data files first, then a
+  marker).  ``run_job`` skips committed groups, so a killed run restarts at
+  the last commit.  On a real cluster the commit unit is an Iceberg
+  snapshot append (``df.writeTo(tbl).append()``); this sandbox has no
+  Iceberg runtime, so the fallback is a parquet dir per group + a
+  ``_COMMITTED_<g>`` marker — same atomicity contract, same resume logic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator, Optional
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lexor_spark.kernel.pipeline import extract_document
+
+__all__ = [
+    "OUTPUT_SCHEMA", "extract_pages", "partition_metrics", "run_job",
+    "committed_groups",
+]
+
+# Output schema of the extraction stage (strings here so the schema lives
+# in one greppable place; driver parses it once).
+OUTPUT_SCHEMA = (
+    "url string, text string, "
+    "spans array<struct<start:long,end:long,path:string>>, "
+    "title string, description string, lang_attr string, "
+    "codes array<string>, n_nodes int, truncated boolean, "
+    "ok boolean, err string, n_chars_in long, n_chars_out long, "
+    "kernel_us long"
+)
+
+_ARROW_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("text", pa.string()),
+    ("spans", pa.list_(pa.struct([("start", pa.int64()),
+                                  ("end", pa.int64()),
+                                  ("path", pa.string())]))),
+    ("title", pa.string()),
+    ("description", pa.string()),
+    ("lang_attr", pa.string()),
+    ("codes", pa.list_(pa.string())),
+    ("n_nodes", pa.int32()),
+    ("truncated", pa.bool_()),
+    ("ok", pa.bool_()),
+    ("err", pa.string()),
+    ("n_chars_in", pa.int64()),
+    ("n_chars_out", pa.int64()),
+    ("kernel_us", pa.int64()),
+])
+
+
+def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """The vectorized UDF body: Arrow batch in → Arrow batch out.
+
+    Runs once per Arrow batch per task; the per-document loop is plain
+    Python over already-materialized buffers (no pandas detour — the html
+    payload is binary and pandas would copy it twice)."""
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        out: dict[str, list] = {name: [] for name in _ARROW_SCHEMA.names}
+        for url, html in zip(urls, htmls):
+            t0 = time.perf_counter_ns()
+            res = extract_document(html if html is not None else b"", url)
+            dt_us = (time.perf_counter_ns() - t0) // 1000
+            out["url"].append(url)
+            out["text"].append(res.text)
+            out["spans"].append(
+                [{"start": s, "end": e, "path": p} for (s, e, p) in res.spans])
+            out["title"].append(res.title)
+            out["description"].append(res.description)
+            out["lang_attr"].append(res.lang_attr)
+            out["codes"].append(res.codes)
+            out["n_nodes"].append(res.n_nodes)
+            out["truncated"].append(res.truncated)
+            out["ok"].append(res.ok)
+            out["err"].append(res.err)
+            out["n_chars_in"].append(len(html) if html is not None else 0)
+            out["n_chars_out"].append(len(res.text))
+            out["kernel_us"].append(dt_us)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out[name], type=_ARROW_SCHEMA.field(name).type)
+             for name in _ARROW_SCHEMA.names],
+            schema=_ARROW_SCHEMA)
+
+
+def extract_pages(pages: DataFrame, salt_buckets: int = 256,
+                  partitions: Optional[int] = None) -> DataFrame:
+    """pages (url, html, ...) → extraction output DataFrame.
+
+    Column-prunes to (url, html) *before* the exchange so the shuffle
+    moves only what the kernel needs; the salt is a pure expression so
+    Catalyst plans a single hash exchange."""
+    sc = pages.sparkSession.sparkContext
+    if partitions is None:
+        partitions = sc.defaultParallelism * 2
+    salted = (
+        pages.select("url", "html")
+        .repartition(partitions, F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+    )
+    return salted.mapInArrow(_extract_batches, OUTPUT_SCHEMA)
+
+
+def partition_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition skew/latency metrics (one map-side-combinable agg)."""
+    return (
+        extracted
+        .groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars_in").alias("bytes_in"),
+            F.sum("n_chars_out").alias("chars_out"),
+            F.sum("kernel_us").alias("kernel_us_total"),
+            F.max("kernel_us").alias("kernel_us_max"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_errors"),
+            F.sum(F.when(F.col("truncated"), 1).otherwise(0)).alias("n_truncated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed, resumable run
+# ---------------------------------------------------------------------------
+
+def committed_groups(output_dir: str) -> set[int]:
+    """Groups already committed by a previous (possibly killed) run."""
+    done: set[int] = set()
+    lineage_dir = os.path.join(output_dir, "_lineage")
+    if not os.path.isdir(lineage_dir):
+        return done
+    for name in os.listdir(lineage_dir):
+        if name.startswith("group-") and name.endswith(".json"):
+            done.add(int(name[len("group-"):-len(".json")]))
+    return done
+
+
+def run_job(spark: SparkSession, pages: DataFrame, output_dir: str,
+            n_groups: int = 8, salt_buckets: int = 256,
+            partitions: Optional[int] = None,
+            max_groups: Optional[int] = None) -> dict:
+    """Process ``pages`` in url-hash groups with commit-per-group.
+
+    Group predicate and salt use the same ``xxhash64(url)`` so group
+    filtering is a cheap scan-side predicate while salting still spreads
+    within the group.  Returns a lineage summary dict.
+
+    ``max_groups`` limits how many *new* groups to process this call —
+    that is how tests simulate a kill between commits."""
+    os.makedirs(os.path.join(output_dir, "_lineage"), exist_ok=True)
+    done = committed_groups(output_dir)
+    group_col = F.pmod(F.xxhash64("url"), F.lit(n_groups))
+    processed: list[dict] = []
+    for g in range(n_groups):
+        if g in done:
+            continue
+        if max_groups is not None and len(processed) >= max_groups:
+            break
+        t0 = time.time()
+        part = pages.filter(group_col == g)
+        extracted = extract_pages(part, salt_buckets, partitions)
+        data_path = os.path.join(output_dir, f"group={g}")
+        extracted.write.mode("overwrite").parquet(data_path)
+        n_rows = spark.read.parquet(data_path).count()
+        record = {
+            "group": g,
+            "n_groups": n_groups,
+            "n_rows": n_rows,
+            "wall_s": round(time.time() - t0, 3),
+            "salt_buckets": salt_buckets,
+        }
+        # marker write is the commit point: data is fully on disk first
+        marker = os.path.join(output_dir, "_lineage", f"group-{g}.json")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, marker)
+        processed.append(record)
+    return {
+        "processed": processed,
+        "skipped_committed": sorted(done),
+        "complete": len(committed_groups(output_dir)) == n_groups,
+    }

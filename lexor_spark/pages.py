@@ -1,0 +1,110 @@
+"""Synthetic Common-Crawl-style pages table.
+
+BASELINE.json ``input_hint`` fixes the input shape:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+No external data is allowed, so this module derives a deterministic pages
+table from the driver-provided ``documents.parquet`` (TESTDATA.md) using
+**only built-in Spark SQL expressions** — generation is distributed,
+seedless (pure function of ``doc_id``), and identical on every run, which
+is what lets the serial-kernel oracle pin byte-identical outputs.
+
+The generated HTML exercises every kernel rule (FIXTURES.md §4): boilerplate
+shell (nav/header/footer/sidebar with boilerplate class tokens), four main-
+content variants (<main>, <article>, div.content, div#main with a malformed
+unclosed <p>), inline markup, entities, comments, doctype, a <script> blob
+containing fake tags, and multi-byte UTF-8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["pages_df", "PAGES_SCHEMA_HINT"]
+
+PAGES_SCHEMA_HINT = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _lit(s: str) -> Column:
+    return F.lit(s)
+
+
+def _paragraphs() -> tuple[Column, Column, Column]:
+    """Split the source text into three deterministic paragraphs."""
+    n = F.length("text")
+    third = (n / 3).cast("int")
+    p1 = F.col("text").substr(F.lit(1), third)
+    p2 = F.col("text").substr(third + 1, third)
+    p3 = F.col("text").substr(third * 2 + 1, n)
+    return p1, p2, p3
+
+
+def _html_column() -> Column:
+    """The page body as one Catalyst concat expression (JVM-side, no UDF)."""
+    p1, p2, p3 = _paragraphs()
+    title = F.concat(_lit("Doc "), F.col("doc_id").cast("string"),
+                     _lit(" &amp; notes — site"))
+    head = F.concat(
+        _lit('<!doctype html>\n<html lang="'), F.col("lang"),
+        _lit('">\n<head><title>'), title,
+        _lit('</title>\n<meta name="description" content="synthetic page '),
+        F.col("doc_id").cast("string"),
+        _lit('">\n<link rel="stylesheet" href="/s.css"></head>\n'),
+    )
+    shell_top = F.concat(
+        _lit('<body>\n<header class="site-header"><h1>Site '),
+        F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+        _lit('</h1></header>\n<nav class="nav"><ul><li><a href="/">Home</a>'
+             '<li><a href="/about">About »</a></ul></nav>\n'
+             '<div class="sidebar"><h3>Ads</h3><p>buy things</p></div>\n'
+             '<!-- layout: generated -->\n'),
+    )
+    body_core = F.concat(
+        _lit("<h2>"), title, _lit("</h2>\n<p>"), p1,
+        _lit(' &amp; <b>more</b> – café &#233;lève.</p>\n<p>'),
+        p2, _lit('</p>\n<blockquote>quoted: '), p3,
+        _lit("</blockquote>\n<ul><li>alpha<li>beta &lt;3</ul>\n"),
+    )
+    variant = F.pmod(F.col("doc_id"), F.lit(4))
+    main_block = (
+        F.when(variant == 0, F.concat(_lit("<main>\n"), body_core, _lit("</main>\n")))
+        .when(variant == 1, F.concat(_lit("<article>\n"), body_core, _lit("</article>\n")))
+        .when(variant == 2, F.concat(_lit('<div class="content">\n'), body_core, _lit("</div>\n")))
+        # malformed variant: unclosed <p> inside div#main (tests W100/E100 path)
+        .otherwise(F.concat(_lit('<div id="main">\n'), body_core,
+                            _lit("<p>trailing unclosed paragraph\n</div>\n")))
+    )
+    shell_bottom = _lit(
+        '<footer class="footer">© 2026 example</footer>\n'
+        '<script>var x = "<p>not text</p>"; if (1 < 2) { x += "&amp;"; }</script>\n'
+        "</body></html>\n"
+    )
+    return F.concat(head, shell_top, main_block, shell_bottom)
+
+
+def pages_df(spark: SparkSession, sf_dir: str, repeat: int = 1) -> DataFrame:
+    """Build the pages table from ``{sf_dir}/documents.parquet``.
+
+    ``repeat`` > 1 tiles the corpus deterministically (distinct urls/ids)
+    for benchmark sizing; all columns remain pure functions of
+    ``(doc_id, rep)`` so any two runs — and any two parallelism levels —
+    see identical bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if repeat > 1:
+        reps = spark.range(repeat).withColumnRenamed("id", "rep")
+        docs = docs.crossJoin(F.broadcast(reps)).withColumn(
+            "doc_id", F.col("doc_id") + F.col("rep") * F.lit(1_000_000)
+        )
+    url = F.concat(
+        _lit("https://site"), F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+        _lit(".example/"), F.col("source"), _lit("/p"),
+        F.col("doc_id").cast("string"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % F.lit(86_400 * 365))
+    return docs.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(_html_column(), "UTF-8").alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
