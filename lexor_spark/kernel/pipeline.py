@@ -51,7 +51,9 @@ def _decode(html: Union[bytes, bytearray, memoryview, str]) -> str:
     goldens standardize on utf-8/replace)."""
     if isinstance(html, str):
         return html
-    return bytes(html).decode("utf-8", errors="replace")
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        return bytes(html).decode("utf-8", errors="replace")
+    raise TypeError(f"html must be str or bytes-like, got {type(html).__name__}")
 
 
 def extract_document(html: Union[bytes, str], uri: str = "") -> ExtractResult:
