@@ -1,38 +1,155 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — flagship main-content extraction over sf0.001 pages.
+``queries``   — every Spark-visible operator of the engine: the extraction
+                pipeline (kernel-based, rows-only check — not SQL-
+                expressible), the training-data operators (dedup /
+                similarity / text analysis, all with DuckDB value oracles),
+                and the relational harness (SURVEY.md §2.3).
+``oracle_sql``— exact DuckDB mirrors; every computed column is aliased
+                identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lexor_spark import dedup, sim, textfns  # noqa: E402
+from lexor_spark.job import extract_pages, partition_metrics  # noqa: E402
+from lexor_spark.pages import pages_df  # noqa: E402
+from lexor_spark.queries import RELATIONAL_QUERIES, RELATIONAL_SQL  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the Common-Crawl-shaped pages table from sf0.001
+    documents and run the salted, Arrow-batched extraction job."""
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    out = extract_pages(pages, salt_buckets=64)
+    return out.select("url", "title", "text", "n_nodes", "n_chars_out",
+                      "ok", "codes")
+
+
+# --------------------------------------------------------------------------
+# queries(): name -> (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extract_pages(pages_df(spark, sf_dir))
+    return (out.select("url", "text", "title", "description",
+                       "n_nodes", "n_chars_out",
+                       F.size("spans").alias("n_spans"),
+                       F.size("codes").alias("n_codes"))
+            .orderBy("url"))
+
+
+def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extract_pages(pages_df(spark, sf_dir))
+    return partition_metrics(out).orderBy("partition_id")
+
+
+def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        textfns.token_count(c).alias("n_tokens"),
+        textfns.word_count(c).alias("n_words"),
+        textfns.lang_id(c).alias("lang_guess"),
+        textfns.quality_score(c).alias("quality"),
+        textfns.fingerprint(c).alias("fp"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_FEATURES = f"""
+select doc_id,
+       {textfns.SQL.TOKEN_COUNT.format(c='text')} as n_tokens,
+       {textfns.SQL.WORD_COUNT.format(c='text')} as n_words,
+       {textfns.SQL.lang_id('text')} as lang_guess,
+       {textfns.SQL.quality_score('text')} as quality,
+       {textfns.SQL.FINGERPRINT.format(c='text')} as fp
+from documents
+order by doc_id
+"""
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs).orderBy("fp")
+
+
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (dedup.minhash_signature(docs).drop("sh")
+            .orderBy("doc_id"))
+
+
+SQL_MINHASH_SIG = ("select doc_id, "
+                   + ", ".join(f"mh{i}" for i in range(dedup.MINHASH_K))
+                   + " from (" + dedup.minhash_signature_sql("documents")
+                   + ") order by doc_id")
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.lsh_pairs(docs, threshold=0.2).orderBy("a", "b")
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.jaccard_pairs(docs, threshold=0.2).orderBy("a", "b")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_df(docs).orderBy("doc_id")
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(spark, sf_dir, query_id=0, k=10)
+
+
+def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_bucketed(spark, sf_dir, query_id=0, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
+        "extract_pages": _q_extract_pages,
+        "extract_metrics": _q_extract_metrics,
+        # training-data operators (full value oracles)
+        "text_features": _q_text_features,
+        "dedup_exact": _q_exact_dedup,
+        "minhash_signature": _q_minhash_sig,
+        "dedup_lsh_pairs": _q_lsh_pairs,
+        "dedup_jaccard_pairs": _q_jaccard_pairs,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "ann_bucketed": _q_ann_bucketed,
+    }
+    out.update(RELATIONAL_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "text_features": SQL_TEXT_FEATURES,
+        "dedup_exact": dedup.exact_dedup_sql("documents") + " order by fp",
+        "minhash_signature": SQL_MINHASH_SIG,
+        "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
+                            + " order by a, b",
+        "dedup_jaccard_pairs": dedup.jaccard_pairs_sql("documents", threshold=0.2)
+                                + " order by a, b",
+        "simhash": dedup.simhash_sql("documents") + " order by doc_id",
+        "cosine_topk": sim.cosine_topk_sql(query_id=0, k=10),
+        "ann_bucketed": sim.ann_bucketed_sql(query_id=0, k=10),
+    }
+    out.update(RELATIONAL_SQL)
+    return out

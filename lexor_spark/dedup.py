@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines.
+
+Four dedup families, each a first-class operator with a DuckDB-mirrorable
+formulation so the driver's oracle can verify values, not just row counts:
+
+* **exact**      — hash-groupBy on a normalized-text fingerprint.
+* **minhash+LSH**— shingle → k md5-permutation minima (string min of
+  ``md5(shingle||'#'||i)`` is a valid permutation proxy and is
+  bit-identical across engines) → banded keys → bucket self-join →
+  exact-Jaccard verification of candidates.
+* **ngram Jaccard** — exhaustive shingle-set Jaccard over candidate pairs
+  (the LSH verifier, also usable standalone at small scale).
+* **simhash**    — 32-bit sign-aggregated token hash (built via
+  explode+groupBy so the SQL mirror is mechanical).
+
+Scale notes (100 TB): everything here is built-in Catalyst expressions —
+shingling and minhash signatures are per-row array ops (NO shuffle);
+the only shuffles are the LSH band-key self-join (keys are short md5
+strings, heavily reducible) and final groupBys.  Skewed band keys (e.g.
+boilerplate-identical docs) are bounded by ``LSH_BUCKET_CAP``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lexor_spark.textfns import SQL, fingerprint, normalize_text
+
+__all__ = [
+    "shingles", "exact_dedup", "minhash_signature", "lsh_pairs",
+    "jaccard_pairs", "simhash_df", "SHINGLE_N", "MINHASH_K", "LSH_BANDS",
+]
+
+SHINGLE_N = 3       # word 3-grams
+MINHASH_K = 8       # signature length
+LSH_BANDS = 4       # 4 bands × 2 rows — tuned for near-dup recall at k=8
+LSH_BUCKET_CAP = 1000  # ignore degenerate buckets bigger than this
+
+
+def shingles(col: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of the normalized text (array<string>).
+    Documents shorter than n words get their whole text as one shingle so
+    they still participate in dedup."""
+    toks = F.split(normalize_text(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def shingles_sql(c: str, n: int = SHINGLE_N) -> str:
+    norm = SQL.NORMALIZE.format(c=c)
+    toks = f"regexp_split_to_array({norm}, ' ')"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))"
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content fingerprint: the keeper id (min) and
+    the duplicate count.  At scale this is one hash-aggregate with
+    map-side combine; the fingerprint is computed scan-side."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup_sql(table: str, text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    fp = SQL.FINGERPRINT.format(c=text_col)
+    return (f"select {fp} as fp, min({id_col}) as keep_id, "
+            f"count(*) as n_dups from {table} group by 1")
+
+
+def _mh(sh: Column, i: int) -> Column:
+    """One minhash component: lexicographic min of salted md5 over the
+    shingle set (pure array op, no shuffle)."""
+    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))))
+
+
+def _mh_sql(sh: str, i: int) -> str:
+    return f"list_min(list_transform({sh}, s -> md5(s || '#{i}')))"
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
+    """(id, shingles, mh0..mh{k-1}) — signature computed scan-side."""
+    sh = shingles(F.col(text_col))
+    cols = [F.col(id_col), sh.alias("sh")]
+    out = docs.select(*cols)
+    for i in range(k):
+        out = out.withColumn(f"mh{i}", _mh(F.col("sh"), i))
+    return out
+
+
+def minhash_signature_sql(table: str, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = MINHASH_K) -> str:
+    sh = shingles_sql(text_col)
+    mh_cols = ", ".join(f"{_mh_sql('sh', i)} as mh{i}" for i in range(k))
+    return (f"select {id_col}, sh, {mh_cols} from "
+            f"(select {id_col}, {sh} as sh from {table})")
+
+
+def lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              threshold: float = 0.5, k: int = MINHASH_K,
+              bands: int = LSH_BANDS) -> DataFrame:
+    """Near-duplicate pairs (a < b, jaccard ≥ threshold) via banded LSH.
+
+    Plan shape at scale: scan → per-row signature (no shuffle) →
+    explode k/bands band keys → shuffle on short band-key strings →
+    per-bucket self-pairing → exact Jaccard verify on the candidate set
+    only.  Bucket blow-up is capped at LSH_BUCKET_CAP."""
+    rows = k // bands
+    sig = minhash_signature(docs, text_col, id_col, k)
+    band_keys = F.array(*[
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ])
+    banded = sig.select(F.col(id_col).alias("id"), F.col("sh"),
+                        F.explode(band_keys).alias("band"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4)
+    return (cand.select("a", "b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def lsh_pairs_sql(table: str, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.5, k: int = MINHASH_K,
+                  bands: int = LSH_BANDS) -> str:
+    rows = k // bands
+    sig = minhash_signature_sql(table, text_col, id_col, k)
+    band_exprs = ", ".join(
+        "md5('" + str(b) + "' || '|' || " +
+        " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) +
+        f") as band{b}"
+        for b in range(bands))
+    bands_list = "[" + ", ".join(f"band{b}" for b in range(bands)) + "]"
+    return f"""
+with sig as ({sig}),
+banded as (
+  select {id_col} as id, sh, unnest({bands_list}) as band
+  from (select *, {band_exprs} from sig)
+),
+cand as (
+  select distinct l.id as a, r.id as b, l.sh as sha, r.sh as shb
+  from banded l join banded r on l.band = r.band and l.id < r.id
+)
+select a, b,
+       round(len(list_intersect(sha, shb))::double /
+             greatest(len(sha) + len(shb) - len(list_intersect(sha, shb)), 1), 4)
+         as jaccard
+from cand
+where round(len(list_intersect(sha, shb))::double /
+            greatest(len(sha) + len(shb) - len(list_intersect(sha, shb)), 1), 4)
+      >= {threshold}
+"""
+
+
+def jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
+    """Exhaustive shingle-inverted-index Jaccard (exact).  The scale path
+    blocks by shingle (explode + equi-join) rather than a cross join;
+    this is also the recall oracle for lsh_pairs."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     shingles(F.col(text_col)).alias("sh"))
+    ex = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                 F.col("l.n").alias("na"), F.col("r.n").alias("nb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(F.col("inter").cast("double") /
+                  (F.col("na") + F.col("nb") - F.col("inter")), 4)
+    return (inter.select("a", "b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def jaccard_pairs_sql(table: str, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.5) -> str:
+    sh = shingles_sql(text_col)
+    return f"""
+with s as (select {id_col} as id, {sh} as sh from {table}),
+ex as (select id, len(sh) as n, unnest(sh) as s from s),
+inter as (
+  select l.id as a, r.id as b, l.n as na, r.n as nb, count(*) as inter
+  from ex l join ex r on l.s = r.s and l.id < r.id
+  group by 1, 2, 3, 4
+)
+select a, b, round(inter::double / (na + nb - inter), 4) as jaccard
+from inter
+where round(inter::double / (na + nb - inter), 4) >= {threshold}
+"""
+
+
+_SIMHASH_BITS = 32
+
+
+def simhash_df(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """32-bit simhash per document via explode + one groupBy (map-side
+    combinable).  Token hash = first 8 md5 hex digits as int — identical
+    in DuckDB, which is why this variant gets a full value oracle."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    toks = toks.select(id_col, h.alias("h"))
+    bit_sums = [
+        F.sum(F.when((F.floor(F.col("h") / F.lit(float(1 << b))) % 2) == 1,
+                     1).otherwise(-1)).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_sql(table: str, text_col: str = "text",
+                id_col: str = "doc_id") -> str:
+    norm = SQL.NORMALIZE.format(c=text_col)
+    sums = ", ".join(
+        f"sum(case when (floor(h / {1 << b}.0)::bigint % 2) = 1 "
+        f"then 1 else -1 end) as s{b}"
+        for b in range(_SIMHASH_BITS))
+    combine = " + ".join(
+        f"(case when s{b} >= 0 then {1 << b} else 0 end)"
+        for b in range(_SIMHASH_BITS))
+    return f"""
+with toks as (
+  select {id_col}, unnest(regexp_split_to_array({norm}, ' ')) as tok
+  from {table}
+),
+h as (select {id_col}, ('0x' || substr(md5(tok), 1, 8))::bigint as h from toks),
+agg as (select {id_col}, {sums} from h group by {id_col})
+select {id_col}, ({combine})::bigint as simhash from agg
+"""

@@ -1,0 +1,401 @@
+"""Relational query surface over the TESTDATA star schema.
+
+The reference has no relational operators at all (SURVEY.md §2.3) — this
+module is the Spark-harness side: the aggregation/join/window/set-op
+repertoire a corpus-metrics layer needs, each expressed declaratively so
+Catalyst plans it (broadcast joins for dims, partial aggregation,
+TakeOrderedAndProject for top-k), and each with a DuckDB oracle mirror.
+
+Conventions for oracle comparability:
+* every computed column is aliased identically in Spark and SQL;
+* double aggregates are rounded (sum→2dp, avg/ratio→4dp) to absorb
+  accumulation-order drift;
+* timestamps are formatted to strings at the boundary;
+* every result has a deterministic total order where LIMIT is used.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["RELATIONAL_QUERIES", "RELATIONAL_SQL"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- Q1: pricing summary (TPC-H Q1 shape: scan + filter + hash agg) -------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          as sum_qty,
+       round(sum(l_extendedprice), 2)                     as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  as sum_disc_price,
+       round(avg(l_quantity), 4)                          as avg_qty,
+       round(avg(l_discount), 4)                          as avg_disc,
+       count(*)                                           as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping priority (3-way join + top-k) -----------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                 "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING = """
+select l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') as orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join orders   on l_orderkey = o_orderkey
+join customer on o_custkey  = c_custkey
+where c_mktsegment = 'BUILDING'
+group by 1, 2, 3
+order by revenue desc, l_orderkey
+limit 10
+"""
+
+
+# --- Q5-ish: revenue by region/nation (5-way star join) ---------------------
+
+def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REGION = """
+select r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(*) as n_items
+from lineitem
+join supplier on l_suppkey   = s_suppkey
+join nation   on s_nationkey = n_nationkey
+join region   on n_regionkey = r_regionkey
+group by r_name, n_name
+order by r_name, n_name
+"""
+
+
+# --- window: latest order per customer (dedup-by-key pattern) ---------------
+
+def q_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("o_custkey")
+    )
+
+
+SQL_LATEST_ORDER = """
+select o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') as orderdate,
+       round(o_totalprice, 2) as totalprice
+from (select *, row_number() over (partition by o_custkey
+                                   order by o_orderdate desc, o_orderkey desc) rn
+      from orders)
+where rn = 1
+order by o_custkey
+"""
+
+
+# --- window: running revenue per customer (frame-based window agg) ----------
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+        .filter(F.col("o_custkey") < 100)
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+SQL_RUNNING = """
+select o_custkey, o_orderkey,
+       round(sum(o_totalprice) over (partition by o_custkey
+                                     order by o_orderdate, o_orderkey
+                                     rows between unbounded preceding and current row), 2)
+         as running_total
+from orders
+where o_custkey < 100
+order by o_custkey, o_orderkey
+"""
+
+
+# --- rollup: multi-level aggregate ------------------------------------------
+
+def q_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders", "total")
+        .orderBy("status", "priority")
+    )
+
+
+SQL_ROLLUP = """
+select coalesce(o_orderstatus, 'ALL')   as status,
+       coalesce(o_orderpriority, 'ALL') as priority,
+       count(*) as n_orders,
+       round(sum(o_totalprice), 2) as total
+from orders
+group by rollup(o_orderstatus, o_orderpriority)
+order by status, priority
+"""
+
+
+# --- anti join: customers with no orders (the resume-diff pattern) ----------
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_NO_ORDERS = """
+select c_custkey, c_name from customer
+where c_custkey not in (select o_custkey from orders)
+order by c_custkey
+"""
+
+
+# --- semi join: parts that shipped ------------------------------------------
+
+def q_parts_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+SQL_PARTS_SHIPPED = """
+select p_brand, count(*) as n_parts
+from part
+where p_partkey in (select l_partkey from lineitem)
+group by p_brand
+order by p_brand
+"""
+
+
+# --- set op: nations supplying but not buying --------------------------------
+
+def q_supplier_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        sup.select(F.col("s_nationkey").alias("nationkey")).distinct()
+        .exceptAll(cust.select(F.col("c_nationkey").alias("nationkey")).distinct())
+        .orderBy("nationkey")
+    )
+
+
+SQL_SUPPLIER_ONLY = """
+select distinct s_nationkey as nationkey from supplier
+except
+select distinct c_nationkey as nationkey from customer
+order by nationkey
+"""
+
+
+# --- events: sessionization via gap windows ----------------------------------
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic: timezone-independent (TIMESTAMP_NTZ-safe in
+    # both engines, unlike epoch casts)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_sess = F.when(gap.isNull() | (gap > F.expr("INTERVAL '1800' SECOND")),
+                      1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("session_no").alias("n_sessions"),
+             F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSIONS = """
+with marked as (
+  select user_id, value,
+         case when lag(ts) over w is null
+                or ts - lag(ts) over w > interval 1800 second
+              then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+sess as (
+  select user_id, value,
+         sum(new_sess) over (partition by user_id
+                             rows between unbounded preceding and current row)
+           as session_no
+  from marked
+)
+select user_id, max(session_no) as n_sessions, count(*) as n_events,
+       round(sum(value), 2) as total_value
+from sess
+group by user_id
+order by user_id
+"""
+
+
+# --- events: conditional pivot by type ---------------------------------------
+
+def q_event_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase"]
+    aggs = [F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in types]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(*aggs, F.count("*").alias("n_total"))
+        .orderBy("day")
+    )
+
+
+SQL_EVENT_MATRIX = """
+select strftime(ts, '%Y-%m-%d') as day,
+       sum(case when event_type = 'click'    then 1 else 0 end) as n_click,
+       sum(case when event_type = 'view'     then 1 else 0 end) as n_view,
+       sum(case when event_type = 'purchase' then 1 else 0 end) as n_purchase,
+       count(*) as n_total
+from events
+group by 1
+order by day
+"""
+
+
+# --- corpus stats on documents ------------------------------------------------
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS = """
+select lang, count(*) as n_docs, round(avg(n_chars), 4) as avg_chars,
+       min(doc_id) as min_id, max(doc_id) as max_id
+from documents
+group by lang
+order by lang
+"""
+
+
+RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "region_volume": q_region_volume,
+    "latest_order_per_customer": q_latest_order,
+    "running_revenue": q_running_revenue,
+    "rollup_status": q_rollup_status,
+    "customers_no_orders": q_customers_no_orders,
+    "parts_shipped": q_parts_shipped,
+    "supplier_only_nations": q_supplier_only_nations,
+    "event_sessions": q_event_sessions,
+    "event_type_matrix": q_event_type_matrix,
+    "corpus_stats": q_corpus_stats,
+}
+
+RELATIONAL_SQL: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "shipping_priority": SQL_SHIPPING,
+    "region_volume": SQL_REGION,
+    "latest_order_per_customer": SQL_LATEST_ORDER,
+    "running_revenue": SQL_RUNNING,
+    "rollup_status": SQL_ROLLUP,
+    "customers_no_orders": SQL_NO_ORDERS,
+    "parts_shipped": SQL_PARTS_SHIPPED,
+    "supplier_only_nations": SQL_SUPPLIER_ONLY,
+    "event_sessions": SQL_SESSIONS,
+    "event_type_matrix": SQL_EVENT_MATRIX,
+    "corpus_stats": SQL_CORPUS,
+}

@@ -1,0 +1,139 @@
+"""Column-level text analysis for training-data pipelines.
+
+All JVM-side built-in ``pyspark.sql.functions`` expressions — no Python
+UDFs in any hot path (whole-stage codegen keeps these in Tungsten).  Each
+helper has an exactly-mirroring ANSI-SQL fragment used by the DuckDB
+oracle (``__spark_entry__.oracle_sql``), so every operator here is
+verifiable end-to-end by the driver.
+
+Operators: token counting (whitespace + word-regex), language ID
+(stop-word marker heuristic), quality scoring (length/alpha/stopword
+features à la C4/Gopher filters), document fingerprinting (normalized
+md5 — md5 is bit-identical across engines, unlike xxhash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count", "word_count", "normalize_text", "fingerprint",
+    "lang_id", "quality_score", "SQL",
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace + trim: the canonical form used by
+    exact dedup and fingerprinting."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokens (0 for empty/blank)."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_count(col: Column) -> Column:
+    """BPE-ish word-regex tokens: runs of letters/digits or single
+    non-space symbols (a proxy for subword token counts)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint on the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+# Marker stop-words per language; scores are raw marker counts.  The
+# list is tiny on purpose: it must be exactly mirrorable in SQL.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "los", "que"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "les", "et", "est"],
+}
+
+
+def _marker_count(col: Column, words: list[str]) -> Column:
+    pat = r"\b(?:" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of marker counts; 'und' when no marker fires.  Ties break
+    by the fixed language order en>es>de>fr (deterministic; the SQL
+    mirror is the same case-chain, first match wins)."""
+    counts = {lang: _marker_count(col, words)
+              for lang, words in _LANG_MARKERS.items()}
+    top = F.greatest(*counts.values())
+    expr = None
+    for lang in _LANG_MARKERS:
+        cond = (counts[lang] == top) & (counts[lang] > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] quality heuristic: length band + alpha ratio + stopword
+    presence + mean word length band (C4/Gopher-style features, all
+    SQL-mirrorable)."""
+    n = F.length(col)
+    alpha = F.regexp_count(col, F.lit(r"[A-Za-z]"))
+    alpha_ratio = alpha / F.greatest(n, F.lit(1))
+    stop = _marker_count(col, _LANG_MARKERS["en"])
+    toks = token_count(col)
+    mean_wl = n / F.greatest(toks, F.lit(1))
+    score = (
+        F.when((n >= 200) & (n <= 100_000), 0.25).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
+        + F.when(stop >= 2, 0.25).otherwise(0.0)
+        + F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 0.25).otherwise(0.0)
+    )
+    return F.round(score, 2)
+
+
+class SQL:
+    """DuckDB mirrors of the expressions above.  Each is a format string
+    taking the source column name."""
+
+    NORMALIZE = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+    TOKEN_COUNT = ("case when trim({c}) = '' then 0 else "
+                   "len(regexp_split_to_array(trim({c}), '\\s+')) end")
+    WORD_COUNT = "len(regexp_extract_all({c}, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]'))"
+    FINGERPRINT = "md5(" + NORMALIZE + ")"
+
+    @staticmethod
+    def marker_count(c: str, words: list[str]) -> str:
+        pat = r"\b(?:" + "|".join(words) + r")\b"
+        return f"len(regexp_extract_all(lower({c}), '{pat}'))"
+
+    @classmethod
+    def lang_id(cls, c: str) -> str:
+        cases = []
+        counts = {lang: cls.marker_count(c, words)
+                  for lang, words in _LANG_MARKERS.items()}
+        # same argmax + tie-break (en>es>de>fr) as the Column version
+        order = list(_LANG_MARKERS)
+        greatest = "greatest(" + ", ".join(counts[l] for l in order) + ")"
+        for lang in order:
+            cases.append(f"when {counts[lang]} = {greatest} "
+                         f"and {counts[lang]} > 0 then '{lang}'")
+        return "case " + " ".join(cases) + " else 'und' end"
+
+    @classmethod
+    def quality_score(cls, c: str) -> str:
+        n = f"length({c})"
+        alpha = f"len(regexp_extract_all({c}, '[A-Za-z]'))"
+        stop = cls.marker_count(c, _LANG_MARKERS["en"])
+        toks = cls.TOKEN_COUNT.format(c=c)
+        mean_wl = f"({n}::double / greatest({toks}, 1))"
+        # ::double — DuckDB round(DECIMAL,2) yields DECIMAL('0.50') which
+        # string-compares differently from Spark's double 0.5
+        return ("round("
+                f"(case when {n} between 200 and 100000 then 0.25 else 0 end)"
+                f" + (case when ({alpha}::double / greatest({n},1)) >= 0.6 then 0.25 else 0 end)"
+                f" + (case when {stop} >= 2 then 0.25 else 0 end)"
+                f" + (case when {mean_wl} between 3.0 and 12.0 then 0.25 else 0 end)"
+                ", 2)::double")
