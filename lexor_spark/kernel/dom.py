@@ -28,8 +28,30 @@ from typing import Iterator, Optional
 __all__ = [
     "Node", "CharacterData", "Text", "Comment", "CData", "Entity",
     "DocumentType", "ProcessingInstruction", "Element", "RawText", "Void",
-    "Document",
+    "Document", "dispose",
 ]
+
+
+def dispose(root: "Node") -> int:
+    """Break parent↔child reference cycles so the tree frees by refcount;
+    returns the node count of the tree (the walk is fused with counting so
+    the pipeline needs no second DFS for its ``n_nodes`` metric).
+
+    The parent back-refs make every subtree a cycle for CPython's cyclic
+    GC.  At Arrow-batch scale that GC pressure is the dominant scaling
+    limiter (measured: ~+50% extraction throughput at 32 workers with the
+    cyclic GC off), so the batch UDF disables it and the pipeline unlinks
+    trees explicitly instead."""
+    count = 0
+    stack: list[Node] = [root]
+    while stack:
+        node = stack.pop()
+        node.parent = None
+        count += 1
+        kids = getattr(node, "children", None)
+        if kids:
+            stack.extend(kids)
+    return count
 
 
 class Node:

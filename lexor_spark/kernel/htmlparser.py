@@ -98,6 +98,10 @@ SILENT_CONTAINER: dict[str, frozenset] = {
 }
 
 _SPECIAL = re.compile(r"[<&]")
+# case-insensitive close-tag scanners for rawtext bodies — avoids keeping a
+# full lowercased copy of the document just to find "</script" etc.
+_RAWTEXT_CLOSE = {}
+_DOCTYPE = re.compile(r"<!doctype", re.IGNORECASE)
 _TAG_NAME = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9:_\-]*)")
 _ATTR = re.compile(
     r"""([^\s=/>"'<]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?"""
@@ -126,12 +130,11 @@ class LogEntry:
 class _Parser:
     """Single-document, single-pass parse state."""
 
-    __slots__ = ("text", "lower", "end", "caret", "line", "col",
+    __slots__ = ("text", "end", "caret", "line", "col",
                  "doc", "stack", "log")
 
     def __init__(self, text: str, uri: str) -> None:
         self.text = text
-        self.lower = text.lower()
         self.end = len(text)
         self.caret = 0
         self.line = 1
@@ -204,10 +207,9 @@ class _Parser:
         text = self.text
         nxt = text[i + 1: i + 2]
         if nxt == "!":
-            low = self.lower
             if text.startswith("<!--", i):
                 return self._comment(i)
-            if low.startswith("<!doctype", i):
+            if _DOCTYPE.match(text, i):
                 return self._doctype(i)
             if text.startswith("<![CDATA[", i):
                 return self._cdata(i)
@@ -365,7 +367,11 @@ class _Parser:
 
     def _rawtext(self, name: str, attrs: dict, pos: tuple[int, int],
                  body_start: int) -> None:
-        j = self.lower.find("</" + name, body_start)
+        pat = _RAWTEXT_CLOSE.get(name)
+        if pat is None:
+            pat = _RAWTEXT_CLOSE[name] = re.compile("</" + name, re.IGNORECASE)
+        cm = pat.search(self.text, body_start)
+        j = cm.start() if cm else -1
         if j == -1:
             node = RawText(name, attrs, self.text[body_start:])
             node.pos = pos

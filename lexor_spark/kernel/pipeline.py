@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
+from lexor_spark.kernel.dom import dispose
 from lexor_spark.kernel.extractor import collect_meta, convert, select_main
 from lexor_spark.kernel.htmlparser import parse_html
 from lexor_spark.kernel.textwriter import write_text
@@ -59,6 +60,7 @@ def _decode(html: Union[bytes, bytearray, memoryview, str]) -> str:
 def extract_document(html: Union[bytes, str], uri: str = "") -> ExtractResult:
     """Extract main-content text + spans from one HTML document."""
     res = ExtractResult()
+    doc = converted = None
     try:
         text = _decode(html)
         if len(text) > MAX_CHARS:
@@ -71,11 +73,21 @@ def extract_document(html: Union[bytes, str], uri: str = "") -> ExtractResult:
         res.description = meta.get("description")
         res.lang_attr = meta.get("lang")
         converted = convert(doc)
+        # the parsed tree is no longer needed: dispose now (breaks cycles
+        # for refcount-free'ing) and reuse the same walk for n_nodes
+        res.n_nodes = dispose(doc)
+        doc = None
         main = select_main(converted)
         res.text, spans = write_text(main)
         res.spans = [s.as_tuple() for s in spans]
-        res.n_nodes = sum(1 for _ in doc.iter())
     except Exception as exc:  # hostile input → error row, not task failure
         res.ok = False
         res.err = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        # break parent↔child cycles so both trees free by refcount — the
+        # batch UDF runs with the cyclic GC disabled (see dom.dispose)
+        if doc is not None:
+            dispose(doc)
+        if converted is not None:
+            dispose(converted)
     return res

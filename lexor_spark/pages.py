@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["pages_df", "PAGES_SCHEMA_HINT"]
+__all__ = ["pages_df", "materialized_pages", "PAGES_SCHEMA_HINT"]
 
 PAGES_SCHEMA_HINT = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -95,6 +95,11 @@ def pages_df(spark: SparkSession, sf_dir: str, repeat: int = 1) -> DataFrame:
         docs = docs.crossJoin(F.broadcast(reps)).withColumn(
             "doc_id", F.col("doc_id") + F.col("rep") * F.lit(1_000_000)
         )
+    # documents.parquet is a single small file → a single scan task; without
+    # this exchange the html-concat generation below would run serially and
+    # cap scaling.  The shuffle moves only the narrow source columns; rows
+    # are identical regardless of placement (pure function of doc_id).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
     url = F.concat(
         _lit("https://site"), F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
         _lit(".example/"), F.col("source"), _lit("/p"),
@@ -108,3 +113,19 @@ def pages_df(spark: SparkSession, sf_dir: str, repeat: int = 1) -> DataFrame:
         F.col("text").alias("text"),
         F.col("lang").alias("lang"),
     )
+
+
+def materialized_pages(spark: SparkSession, sf_dir: str, repeat: int,
+                       base_dir: str) -> DataFrame:
+    """Write the pages table to parquet once and read it back.
+
+    Benchmarks must time scan→salt→extract the way the production job sees
+    it — reading a many-file Iceberg/parquet table — not the synthetic
+    generation. Generation cost is paid once per (sf, repeat) and cached
+    under ``base_dir``; the returned DataFrame scans the parquet files."""
+    import os
+    tag = f"pages_{os.path.basename(sf_dir.rstrip('/'))}_r{repeat}"
+    path = os.path.join(base_dir, tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pages_df(spark, sf_dir, repeat).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
