@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import dedup, sim, textfns  # noqa: E402
-from lexor_spark.job import extract_pages, partition_metrics  # noqa: E402
+from lexor_spark import dedup, multimodal, sim, textfns  # noqa: E402
+from lexor_spark.job import export_nodes, extract_pages, partition_metrics  # noqa: E402
 from lexor_spark.pages import pages_df  # noqa: E402
 from lexor_spark.queries import RELATIONAL_QUERIES, RELATIONAL_SQL  # noqa: E402
 
@@ -119,6 +119,38 @@ def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_bucketed(spark, sf_dir, query_id=0, k=10)
 
 
+def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_dup_pairs(spark, sf_dir, threshold=0.25).orderBy("a", "b")
+
+
+def _q_dom_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = export_nodes(pages_df(spark, sf_dir))
+    return nodes.orderBy("url", "node_id")
+
+
+def _q_dom_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level DOM analytics over the flatten-export (the §1.3
+    'query tags as DataFrame filters' path); rows-only check — the
+    export itself is kernel output, not SQL-expressible."""
+    nodes = export_nodes(pages_df(spark, sf_dir))
+    return (nodes.filter(F.col("kind").isin("Element", "Void", "RawText"))
+            .groupBy("name")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("url").alias("n_urls"))
+            .orderBy(F.col("n").desc(), "name"))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_df(spark, sf_dir)
+    return multimodal.image_features(media).orderBy("media_id")
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_df(spark, sf_dir)
+    return multimodal.sample_frames(media, every_n=30).orderBy(
+        "media_id", "frame_no")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
@@ -133,6 +165,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
+        # DOM flatten-export + corpus DOM analytics (kernel; rows-only)
+        "dom_export": _q_dom_export,
+        "dom_tag_stats": _q_dom_tag_stats,
+        # multimodal plumbing (stub codec; rows-only)
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
     }
     out.update(RELATIONAL_QUERIES)
     return out
@@ -150,6 +189,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.simhash_sql("documents") + " order by doc_id",
         "cosine_topk": sim.cosine_topk_sql(query_id=0, k=10),
         "ann_bucketed": sim.ann_bucketed_sql(query_id=0, k=10),
+        "cosine_dup_pairs": sim.cosine_dup_pairs_sql(threshold=0.25)
+                             + " order by a, b",
     }
     out.update(RELATIONAL_SQL)
     return out

@@ -39,8 +39,8 @@ from pyspark.sql import functions as F
 from lexor_spark.kernel.pipeline import extract_document
 
 __all__ = [
-    "OUTPUT_SCHEMA", "extract_pages", "partition_metrics", "run_job",
-    "committed_groups",
+    "OUTPUT_SCHEMA", "NODES_SCHEMA", "extract_pages", "export_nodes",
+    "partition_metrics", "run_job", "committed_groups",
 ]
 
 # Output schema of the extraction stage (strings here so the schema lives
@@ -159,6 +159,81 @@ def partition_metrics(extracted: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("truncated"), 1).otherwise(0)).alias("n_truncated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DOM flatten-export (SURVEY.md §1.3): the node tree as a corpus-level table
+# ---------------------------------------------------------------------------
+
+NODES_SCHEMA = ("url string, node_id int, parent_id int, name string, "
+                "kind string, n_attrs int, class string, id string, "
+                "data_prefix string, line int, col int")
+
+_NODES_ARROW = pa.schema([
+    ("url", pa.string()), ("node_id", pa.int32()), ("parent_id", pa.int32()),
+    ("name", pa.string()), ("kind", pa.string()), ("n_attrs", pa.int32()),
+    ("class", pa.string()), ("id", pa.string()),
+    ("data_prefix", pa.string()), ("line", pa.int32()), ("col", pa.int32()),
+])
+
+
+def _flatten_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.dom import CharacterData, Element, dispose
+    from lexor_spark.kernel.htmlparser import parse_html
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _NODES_ARROW.names}
+            for url, html in zip(urls, htmls):
+                try:
+                    text = bytes(html or b"").decode("utf-8", errors="replace")
+                    doc, _ = parse_html(text, url)
+                except Exception:
+                    continue
+                # preorder DFS ⇒ a parent is always numbered before its
+                # children; node_id = visit order
+                ids: dict[int, int] = {}
+                for nid, node in enumerate(doc.iter()):
+                    ids[id(node)] = nid
+                    parent = node.parent
+                    pid = ids[id(parent)] if parent is not None else -1
+                    is_el = isinstance(node, Element)
+                    cols["url"].append(url)
+                    cols["node_id"].append(nid)
+                    cols["parent_id"].append(pid)
+                    cols["name"].append(node.name)
+                    cols["kind"].append(type(node).__name__)
+                    cols["n_attrs"].append(len(node.attrs) if is_el else 0)
+                    cols["class"].append(node.attrs.get("class") if is_el else None)
+                    cols["id"].append(node.attrs.get("id") if is_el else None)
+                    data = node.data if isinstance(node, CharacterData) else None
+                    cols["data_prefix"].append(data[:64] if data else None)
+                    cols["line"].append(node.pos[0])
+                    cols["col"].append(node.pos[1])
+                dispose(doc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_NODES_ARROW.field(n).type)
+                 for n in _NODES_ARROW.names], schema=_NODES_ARROW)
+    finally:
+        gc.enable()
+
+
+def export_nodes(pages: DataFrame, salt_buckets: int = 256,
+                 partitions: Optional[int] = None) -> DataFrame:
+    """Flatten every page's DOM into one corpus-level node table
+    (url, node_id, parent_id, name, kind, attrs summary, pos) — the
+    §1.3 export that lets tag/class queries run as DataFrame filters."""
+    sc = pages.sparkSession.sparkContext
+    if partitions is None:
+        partitions = sc.defaultParallelism * 8
+    salted = (pages.select("url", "html")
+              .repartition(partitions,
+                           F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    return salted.mapInArrow(_flatten_batches, NODES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -130,11 +130,13 @@ def convert(doc: Document,
             if node.children:
                 frames.append([node.children, 0, dst])
         elif cls is Void:
-            v = Void(node.name, dict(node.attrs))
+            # attrs dict is shared, not copied: the converted tree never
+            # mutates attrs, and the source tree is disposed right after
+            v = Void(node.name, node.attrs)
             v.pos = node.pos
             dst.append_child(v)
         else:  # Element / Document, COPY
-            el = Element(node.name, dict(node.attrs))
+            el = Element(node.name, node.attrs)
             el.pos = node.pos
             dst.append_child(el)
             if node.children:
@@ -152,18 +154,24 @@ def collect_meta(doc: Document) -> dict[str, str]:
     rules delete it: <title>, <meta name=description>, <html lang=...>.
     (Reference analogue: ``Document.meta`` open dict, `elements.py:527`.)"""
     meta: dict[str, str] = {}
+    missing = 3  # title, description, lang — stop walking once all found
     for n in doc.iter():
         cls = type(n)
         if cls is RawText and n.name == "title" and "title" not in meta:
             meta["title"] = _WS.sub(" ", _html.unescape(n.data)).strip()
+            missing -= 1
         elif cls is Void and n.name == "meta":
             if n.attrs.get("name", "").lower() == "description" and \
                     "description" not in meta:
                 meta["description"] = n.attrs.get("content", "").strip()
+                missing -= 1
         elif cls is Element and n.name == "html" and "lang" not in meta:
             lang = n.attrs.get("lang")
             if lang:
                 meta["lang"] = lang
+                missing -= 1
+        if not missing:
+            break
     return meta
 
 

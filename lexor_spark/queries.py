@@ -212,21 +212,25 @@ order by status, priority
 """
 
 
-# --- anti join: customers with no orders (the resume-diff pattern) ----------
+# --- anti join: customers with no urgent orders (the resume-diff pattern) ---
+# (predicate chosen so the result is non-vacuous on the driver testdata:
+# every customer has *some* order, ~14% have no 1-URGENT order)
 
-def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
 
 
-SQL_NO_ORDERS = """
+SQL_NO_URGENT = """
 select c_custkey, c_name from customer
-where c_custkey not in (select o_custkey from orders)
+where c_custkey not in (select o_custkey from orders
+                        where o_orderpriority = '1-URGENT')
 order by c_custkey
 """
 
@@ -256,8 +260,10 @@ order by p_brand
 # --- set op: nations supplying but not buying --------------------------------
 
 def q_supplier_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sup = _t(spark, sf_dir, "supplier")
-    cust = _t(spark, sf_dir, "customer")
+    # nations with an in-debt supplier but no deeply-in-debt customer —
+    # thresholds picked so the set difference is non-empty on the testdata
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -900)
     return (
         sup.select(F.col("s_nationkey").alias("nationkey")).distinct()
         .exceptAll(cust.select(F.col("c_nationkey").alias("nationkey")).distinct())
@@ -266,9 +272,9 @@ def q_supplier_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SUPPLIER_ONLY = """
-select distinct s_nationkey as nationkey from supplier
+select distinct s_nationkey as nationkey from supplier where s_acctbal < 0
 except
-select distinct c_nationkey as nationkey from customer
+select distinct c_nationkey as nationkey from customer where c_acctbal < -900
 order by nationkey
 """
 
@@ -377,7 +383,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_order_per_customer": q_latest_order,
     "running_revenue": q_running_revenue,
     "rollup_status": q_rollup_status,
-    "customers_no_orders": q_customers_no_orders,
+    "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "parts_shipped": q_parts_shipped,
     "supplier_only_nations": q_supplier_only_nations,
     "event_sessions": q_event_sessions,
@@ -392,7 +398,7 @@ RELATIONAL_SQL: dict[str, str] = {
     "latest_order_per_customer": SQL_LATEST_ORDER,
     "running_revenue": SQL_RUNNING,
     "rollup_status": SQL_ROLLUP,
-    "customers_no_orders": SQL_NO_ORDERS,
+    "customers_no_urgent_orders": SQL_NO_URGENT,
     "parts_shipped": SQL_PARTS_SHIPPED,
     "supplier_only_nations": SQL_SUPPLIER_ONLY,
     "event_sessions": SQL_SESSIONS,

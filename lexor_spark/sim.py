@@ -25,7 +25,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["cosine", "cosine_topk", "ann_bucketed", "bucket_of",
-           "cosine_topk_sql", "ann_bucketed_sql"]
+           "cosine_topk_sql", "ann_bucketed_sql",
+           "cosine_dup_pairs", "cosine_dup_pairs_sql"]
 
 _SIGN_BITS = 8
 
@@ -101,6 +102,48 @@ def ann_bucketed(spark: SparkSession, sf_dir: str, query_id: int = 0,
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def cosine_dup_pairs(spark: SparkSession, sf_dir: str,
+                     threshold: float = 0.25) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-bucket-blocked.
+
+    The naive all-pairs join is O(n²) rows — a non-starter at 10^12 docs.
+    Blocking on the deterministic sign bucket turns it into an equi-join
+    Catalyst shuffles on ``bucket`` (or broadcast-joins per bucket), so
+    each comparison group is ~n/256 and the candidate set shrinks ~256×;
+    recall is bounded by the block (near-identical vectors share the
+    sign pattern of their leading dims).  ``a < b`` dedups the symmetric
+    pair; arithmetic in DOUBLE for engine-exact value parity."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket"))
+    a = emb.select(F.col("vec_id").alias("a"),
+                   F.col("embedding").alias("va"), "bucket")
+    b = emb.select(F.col("vec_id").alias("b"),
+                   F.col("embedding").alias("vb"),
+                   F.col("bucket").alias("bucket_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("a") < F.col("b")))
+        .select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") > threshold)
+    )
+
+
+def cosine_dup_pairs_sql(threshold: float = 0.25) -> str:
+    bsql = _bucket_sql("embedding")
+    return f"""
+with e as (select vec_id, embedding::DOUBLE[] as v, {bsql} as bucket
+           from embeddings)
+select a.vec_id as a, b.vec_id as b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))), 4) as sim
+from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id
+where round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))), 4) > {threshold}
+"""
 
 
 def _bucket_sql(vec: str, bits: int = _SIGN_BITS) -> str:

@@ -1,0 +1,59 @@
+"""Structured-Streaming front-end for the extraction pipeline.
+
+The reference is strictly batch (SURVEY.md §2.3: no streaming constructs
+anywhere), and the production design is batch-with-snapshot-resume
+(`lexor_spark/job.py`).  This module adds the *streaming ingestion* shape a
+crawl pipeline needs: new page files land in a directory (stand-in for an
+Iceberg/Kafka feed), Structured Streaming discovers them incrementally,
+and each micro-batch runs the exact same salted Arrow-batched extraction
+as the batch job — ``foreachBatch`` reuses ``extract_pages`` verbatim, so
+streaming output is byte-identical to batch output per url.
+
+Checkpointing: Spark's streaming checkpoint (WAL + source offsets) makes
+the stream resumable — a killed run restarts at the last committed
+micro-batch, the streaming analogue of the batch job's per-group lineage
+markers.  ``Trigger.AvailableNow`` drains everything pending then stops,
+which is also how the tests drive it deterministically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lexor_spark.job import extract_pages
+from lexor_spark.pages import PAGES_SCHEMA_HINT
+
+__all__ = ["stream_extract"]
+
+
+def stream_extract(spark: SparkSession, pages_dir: str, output_dir: str,
+                   checkpoint_dir: str, salt_buckets: int = 256,
+                   partitions: Optional[int] = None,
+                   max_files_per_trigger: Optional[int] = None) -> int:
+    """Incrementally extract all pages parquet files under ``pages_dir``.
+
+    Returns the number of micro-batches processed in this invocation.
+    Safe to call repeatedly: already-committed files are skipped via the
+    checkpoint, so a second call with no new files processes nothing."""
+    reader = (spark.readStream.schema(PAGES_SCHEMA_HINT))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_dir)
+
+    n_batches = [0]
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_pages(batch_df, salt_buckets=salt_buckets,
+                            partitions=partitions)
+        out.write.mode("append").parquet(output_dir)
+        n_batches[0] += 1
+
+    query = (pages.writeStream
+             .foreachBatch(_process)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+    return n_batches[0]

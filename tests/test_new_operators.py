@@ -1,0 +1,141 @@
+"""Tests: multimodal plumbing, streaming extraction, DOM export,
+embedding near-dup pairs."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lexor_spark import multimodal, sim
+from lexor_spark.job import export_nodes, extract_pages
+from lexor_spark.pages import pages_df
+from lexor_spark.streaming import stream_extract
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_decode_payload_deterministic_shape():
+    a = multimodal.decode_payload(b"hello world", 20, 10)
+    b = multimodal.decode_payload(b"hello world", 20, 10)
+    c = multimodal.decode_payload(b"hello world!", 20, 10)
+    assert a.shape == (10, 20, 3) and a.dtype == np.uint8
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)  # payload-sensitive
+    with pytest.raises(ValueError):
+        multimodal.decode_payload(b"", 4, 4)
+
+
+def test_media_features_end_to_end(spark):
+    media = multimodal.media_df(spark, SF)
+    feats = multimodal.image_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    assert all(r.ok for r in rows)
+    # determinism across runs
+    again = {r.media_id: r.phash for r in multimodal.image_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.phash
+    # error rows for hostile payloads, not task failures
+    bad = spark.createDataFrame(
+        [(1, "image", None, {"width": 4, "height": 4, "channels": 3,
+                             "sample_rate": 0, "n_frames": 0})],
+        multimodal.MEDIA_SCHEMA)
+    brows = multimodal.image_features(bad).collect()
+    assert len(brows) == 1 and not brows[0].ok and brows[0].err
+
+
+def test_resize_and_frames(spark):
+    media = multimodal.media_df(spark, SF).limit(30)
+    resized = multimodal.resize_images(media, 8, 8).collect()
+    assert all(r.ok for r in resized)
+    assert all(len(r.payload) == 8 * 8 * 3 for r in resized)
+    assert all(r.meta.width == 8 and r.meta.height == 8 for r in resized)
+
+    frames = multimodal.sample_frames(multimodal.media_df(spark, SF), every_n=50)
+    fr = frames.collect()
+    assert fr, "video rows must yield frames"
+    assert all(f.frame_no % 50 == 0 for f in fr)
+    # one media's frames are distinct
+    by_media: dict = {}
+    for f in fr:
+        by_media.setdefault(f.media_id, set()).add(f.frame_hash)
+    some = next(iter(by_media.values()))
+    assert len(some) >= 1
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+def test_stream_extract_incremental_and_identical(spark, tmp_path):
+    pages = pages_df(spark, SF)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    first = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    second = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    first.write.mode("append").parquet(in_dir)
+
+    n1 = stream_extract(spark, in_dir, out_dir, ck_dir, partitions=8)
+    assert n1 >= 1
+    got1 = spark.read.parquet(out_dir).count()
+    assert got1 == first.count()
+
+    # no new files -> nothing re-processed
+    stream_extract(spark, in_dir, out_dir, ck_dir, partitions=8)
+    assert spark.read.parquet(out_dir).count() == got1
+
+    # new files appended -> only the delta is processed
+    second.write.mode("append").parquet(in_dir)
+    stream_extract(spark, in_dir, out_dir, ck_dir, partitions=8)
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.count() == pages.count()
+
+    # byte-identical to the batch job per url
+    batch = {r.url: r.text for r in extract_pages(pages, partitions=8).collect()}
+    for r in streamed.collect():
+        assert batch[r.url] == r.text
+
+
+# ---------------------------------------------------------------------------
+# DOM export
+# ---------------------------------------------------------------------------
+
+def test_export_nodes_structure(spark):
+    pages = pages_df(spark, SF).limit(50)
+    nodes = export_nodes(pages, partitions=8)
+    rows = nodes.collect()
+    assert rows
+    by_url: dict = {}
+    for r in rows:
+        by_url.setdefault(r.url, []).append(r)
+    for url, ns in by_url.items():
+        ids = {r.node_id for r in ns}
+        assert len(ids) == len(ns), "node ids unique per url"
+        roots = [r for r in ns if r.parent_id == -1]
+        assert len(roots) == 1 and roots[0].name == "#document"
+        for r in ns:
+            if r.parent_id != -1:
+                assert r.parent_id in ids
+                assert r.parent_id < r.node_id  # preorder numbering
+    # corpus-level query over the export: count <p> elements
+    n_p = nodes.filter(F.col("name") == "p").count()
+    assert n_p > 0
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs
+# ---------------------------------------------------------------------------
+
+def test_cosine_dup_pairs(spark):
+    pairs = sim.cosine_dup_pairs(spark, SF, threshold=0.25).collect()
+    assert all(p.a < p.b for p in pairs)
+    assert all(p.sim > 0.25 for p in pairs)
