@@ -110,7 +110,12 @@ class Text(CharacterData):
     __slots__ = ("start", "end")
 
     def __init__(self, data: str = "", start: int = -1, end: int = -1) -> None:
-        super().__init__("#text", data)
+        # hot path: slots set directly (no super() chain — Text is the
+        # most-constructed node type)
+        self.name = "#text"
+        self.parent = None
+        self.pos = (0, 0)
+        self.data = data
         self.start = start
         self.end = end
 
@@ -176,7 +181,10 @@ class Element(Node):
     __slots__ = ("attrs", "children")
 
     def __init__(self, name: str, attrs: Optional[dict[str, str]] = None) -> None:
-        super().__init__(name)
+        # hot path: slots set directly (no super() chain)
+        self.name = name
+        self.parent = None
+        self.pos = (0, 0)
         self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.children: list[Node] = []
 

@@ -198,6 +198,38 @@ def _has_content_token(el: Element) -> bool:
     return bool(token) and bool(_CONTENT_TOKEN.search(token.lower()))
 
 
+def _stripped_masses(root: Document) -> dict[int, int]:
+    """len(el.text_content().strip()) for every element, in ONE bottom-up
+    pass (the naive per-candidate walk is O(n²) and hangs on deep
+    hostile nesting).  Each node folds to (total, lead_ws, trail_ws) of
+    its concatenated Text/Entity payload; segments merge associatively:
+    an all-whitespace prefix extends the leading run across children."""
+    order = list(root.iter())  # preorder ⇒ reversed is children-first
+    stats: dict[int, tuple[int, int, int]] = {}
+    masses: dict[int, int] = {}
+    for node in reversed(order):
+        cls = type(node)
+        if cls is Text or cls is Entity:
+            d = node.data
+            t = len(d)
+            stats[id(node)] = (t, t - len(d.lstrip()), t - len(d.rstrip()))
+        elif isinstance(node, Element) and not isinstance(node, RawText):
+            total = lead = trail = 0
+            for ch in node.children:
+                s = stats.get(id(ch))
+                if s is None or s[0] == 0:
+                    continue
+                ct, cl, ctr = s
+                if lead == total:      # everything so far is whitespace
+                    lead = total + cl
+                total += ct
+                trail = ct + trail if cl == ct else ctr
+            stats[id(node)] = (total, lead, trail)
+            masses[id(node)] = 0 if lead == total else total - lead - trail
+        # RawText / Comment / other leaves contribute nothing (no entry)
+    return masses
+
+
 def select_main(converted: Document) -> Element:
     """Deterministic main-content selection (the style-level ``convert``
     hook slot, reference `converter.py:215-216`).
@@ -213,12 +245,13 @@ def select_main(converted: Document) -> Element:
             if pred(el):
                 return el
     # Text-mass fallback: ties broken by document order (first wins).
+    masses = _stripped_masses(converted)
     best: Optional[Element] = None
     best_mass = 0
     for el in elements:
         if el.name not in ("div", "section", "td", "blockquote"):
             continue
-        mass = len(el.text_content().strip())
+        mass = masses.get(id(el), 0)
         if mass > best_mass:
             best, best_mass = el, mass
     return best if best is not None else converted

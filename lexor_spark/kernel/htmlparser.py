@@ -305,6 +305,15 @@ class _Parser:
         """Index of the closing '>' of a start tag, honoring quoted
         attribute values; -1 if unterminated."""
         text, n = self.text, self.end
+        # fast path (vast majority of tags): no quote before the next '>',
+        # so that '>' cannot be inside an attribute value — all C-level
+        gt = text.find(">", i)
+        if gt == -1:
+            pass  # fall through to the careful scan (quotes may span EOF)
+        else:
+            seg = text[i:gt]
+            if '"' not in seg and "'" not in seg:
+                return gt
         while i < n:
             c = text[i]
             if c == ">":
@@ -333,15 +342,16 @@ class _Parser:
         if self_close:
             raw_attrs = raw_attrs[:-1]
         attrs: dict[str, str] = {}
-        for am in _ATTR.finditer(raw_attrs):
-            key = am.group(1).lower()
-            if key not in attrs:  # first occurrence wins, order preserved
-                val = am.group(2)
-                if val is None:
-                    val = am.group(3)
-                if val is None:
-                    val = am.group(4)
-                attrs[key] = val if val is not None else ""
+        if raw_attrs and not raw_attrs.isspace():
+            for am in _ATTR.finditer(raw_attrs):
+                key = am.group(1).lower()
+                if key not in attrs:  # first occurrence wins, order preserved
+                    val = am.group(2)
+                    if val is None:
+                        val = am.group(3)
+                    if val is None:
+                        val = am.group(4)
+                    attrs[key] = val if val is not None else ""
 
         # Implied end tags: silently close (Okay per ref doc example,
         # `parser.py:445-446`).
