@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from lexor_spark import dedup, multimodal, sim, textfns  # noqa: E402
 from lexor_spark.job import export_nodes, extract_pages, partition_metrics  # noqa: E402
 from lexor_spark.pages import pages_df  # noqa: E402
+from lexor_spark.pdfjob import extract_pdfs, pdf_pages_df  # noqa: E402
 from lexor_spark.queries import RELATIONAL_QUERIES, RELATIONAL_SQL  # noqa: E402
 
 
@@ -140,6 +141,12 @@ def _q_dom_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n").desc(), "name"))
 
 
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extract_pdfs(pdf_pages_df(spark, sf_dir))
+    return out.select("url", "text", "n_pages", "n_streams",
+                      "ok").orderBy("url")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_df(spark, sf_dir)
     return multimodal.image_features(media).orderBy("media_id")
@@ -169,6 +176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DOM flatten-export + corpus DOM analytics (kernel; rows-only)
         "dom_export": _q_dom_export,
         "dom_tag_stats": _q_dom_tag_stats,
+        # PDF extraction (pure-Python kernel; rows-only)
+        "pdf_extract": _q_pdf_extract,
         # multimodal plumbing (stub codec; rows-only)
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,

@@ -133,10 +133,10 @@ def extract_pages(pages: DataFrame, salt_buckets: int = 256,
     Catalyst plans a single hash exchange."""
     sc = pages.sparkSession.sparkContext
     if partitions is None:
-        # fine-grained tasks (8× slots) hide per-task tail latency: giant
+        # fine-grained tasks (4× slots) hide per-task tail latency: giant
         # documents delay one small task, not 1/cores of the corpus —
-        # measured +30% at local[32] over 2× slots
-        partitions = sc.defaultParallelism * 8
+        # measured +30% at local[32] over 2× slots (sweep: 4×≈8×, 16× worse)
+        partitions = sc.defaultParallelism * 4
     salted = (
         pages.select("url", "html")
         .repartition(partitions, F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))

@@ -45,7 +45,7 @@ def measure(cores: int) -> None:
         .appName(f"scaling-{cores}")
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -157,12 +157,12 @@ executors bring 4N cores *and* 4N memory channels, so the 4→16 regime —
 not the saturated 8→32 one — is the faithful stand-in. Design properties
 that carry to 10^12 docs: per-url purity (no cross-partition state),
 salt = `pmod(xxhash64(url), 256)` (uniform spread of giant-page runs),
-8×-slots task granularity (tail hiding), Arrow batch cap 512 rows
+4×-slots task granularity (tail hiding), Arrow batch cap 2048 rows
 (bounded batch latency under megabyte blobs).
 
-Config: `spark.sql.execution.arrow.maxRecordsPerBatch=512`,
+Config: `spark.sql.execution.arrow.maxRecordsPerBatch=2048`,
 `spark.sql.shuffle.partitions=cores`, AQE on, salt_buckets=256,
-partitions=8×cores, cyclic GC off in workers (trees freed by explicit
+partitions=4×cores, cyclic GC off in workers (trees freed by explicit
 cycle-breaking `dispose`). Host: {os.cpu_count()} cores, fixed 2.1 GHz.
 """)
     print(json.dumps({
