@@ -38,6 +38,18 @@ LSH_BANDS = 4       # 4 bands × 2 rows — tuned for near-dup recall at k=8
 LSH_BUCKET_CAP = 1000  # ignore degenerate buckets bigger than this
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Spread a possibly single-split source before per-row heavy compute.
+
+    A production Iceberg table arrives in many splits; the sandbox's
+    single-row-group parquet scans as ONE task, serializing the whole
+    shingling/hashing stage.  The narrow-column shuffle is orders of
+    magnitude cheaper than the compute it parallelizes (and a no-op in
+    spirit on an already-well-partitioned table)."""
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism)
+
+
 def shingles(col: Column, n: int = SHINGLE_N) -> Column:
     """Distinct word n-gram shingles of the normalized text (array<string>).
     Documents shorter than n words get their whole text as one shingle so
@@ -65,6 +77,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     """One row per distinct content fingerprint: the keeper id (min) and
     the duplicate count.  At scale this is one hash-aggregate with
     map-side combine; the fingerprint is computed scan-side."""
+    docs = _spread(docs)
     return (
         docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
@@ -80,33 +93,56 @@ def exact_dedup_sql(table: str, text_col: str = "text",
             f"count(*) as n_dups from {table} group by 1")
 
 
-def _mh(sh: Column, i: int) -> Column:
-    """One minhash component: lexicographic min of salted md5 over the
-    shingle set (pure array op, no shuffle)."""
-    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))))
-
-
-def _mh_sql(sh: str, i: int) -> str:
-    return f"list_min(list_transform({sh}, s -> md5(s || '#{i}')))"
+# Each md5 digest (32 hex chars) yields four 8-hex (32-bit) minhash
+# components; k=8 components therefore cost TWO md5 evaluations per
+# shingle instead of eight salted ones — the signature is the dominant
+# compute of the whole dedup family, so this is a straight 4× saving.
+_MH_PER_DIGEST = 4
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
-    """(id, shingles, mh0..mh{k-1}) — signature computed scan-side."""
+    """(id, shingles, mh0..mh{k-1}) — signature computed scan-side.
+    mh_i = min over shingles of hex-slice_i(md5(shingle || salt_block))."""
+    docs = _spread(docs)
+    def _digests(col: Column, salt: str) -> Column:
+        # NB: single-parameter lambdas only — a 2-arg callable would be
+        # interpreted by transform() as (element, index)
+        if salt:
+            return F.transform(col, lambda s: F.md5(F.concat(s, F.lit(salt))))
+        return F.transform(col, lambda s: F.md5(s))
+
+    def _slice_min(col: Column, off: int) -> Column:
+        return F.array_min(
+            F.transform(col, lambda h: F.substring(h, 1 + 8 * off, 8)))
+
     sh = shingles(F.col(text_col))
-    cols = [F.col(id_col), sh.alias("sh")]
-    out = docs.select(*cols)
+    out = docs.select(F.col(id_col), sh.alias("sh"))
+    n_blocks = -(-k // _MH_PER_DIGEST)  # ceil
+    for blk in range(n_blocks):
+        out = out.withColumn(
+            f"_d{blk}", _digests(F.col("sh"), "" if blk == 0 else f"#{blk}"))
     for i in range(k):
-        out = out.withColumn(f"mh{i}", _mh(F.col("sh"), i))
-    return out
+        blk, off = divmod(i, _MH_PER_DIGEST)
+        out = out.withColumn(f"mh{i}", _slice_min(F.col(f"_d{blk}"), off))
+    return out.drop(*[f"_d{b}" for b in range(n_blocks)])
 
 
 def minhash_signature_sql(table: str, text_col: str = "text",
                           id_col: str = "doc_id", k: int = MINHASH_K) -> str:
     sh = shingles_sql(text_col)
-    mh_cols = ", ".join(f"{_mh_sql('sh', i)} as mh{i}" for i in range(k))
+    n_blocks = -(-k // _MH_PER_DIGEST)
+    digests = ", ".join(
+        ("list_transform(sh, s -> md5(s))" if b == 0 else
+         f"list_transform(sh, s -> md5(s || '#{b}'))") + f" as _d{b}"
+        for b in range(n_blocks))
+    mh_cols = ", ".join(
+        f"list_min(list_transform(_d{i // _MH_PER_DIGEST}, "
+        f"h -> substr(h, {1 + 8 * (i % _MH_PER_DIGEST)}, 8))) as mh{i}"
+        for i in range(k))
     return (f"select {id_col}, sh, {mh_cols} from "
-            f"(select {id_col}, {sh} as sh from {table})")
+            f"(select {id_col}, sh, {digests} from "
+            f"(select {id_col}, {sh} as sh from {table}))")
 
 
 def lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -119,23 +155,34 @@ def lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     per-bucket self-pairing → exact Jaccard verify on the candidate set
     only.  Bucket blow-up is capped at LSH_BUCKET_CAP."""
     rows = k // bands
+    # sig is referenced four times below (two band-join sides + two
+    # shingle re-attach joins) and recomputed per reference; each
+    # reference is column-pruned to what it needs (mh keys OR the
+    # shingle array), so recompute beats caching the wide rows —
+    # persisting the shingle arrays measured 8× slower than recompute
     sig = minhash_signature(docs, text_col, id_col, k)
     band_keys = F.array(*[
         F.md5(F.concat_ws("|", F.lit(str(b)),
                           *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
         for b in range(bands)
     ])
-    banded = sig.select(F.col(id_col).alias("id"), F.col("sh"),
+    # band join carries only (id, band): the shuffle moves short strings,
+    # not shingle arrays; shingles are re-attached to the (few) surviving
+    # candidate pairs by two id-equi-joins — the 100 TB plan shape
+    banded = sig.select(F.col(id_col).alias("id"),
                         F.explode(band_keys).alias("band"))
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
         left.join(right, (F.col("l.band") == F.col("r.band"))
                   & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    shs = sig.select(F.col(id_col).alias("id"), F.col("sh"))
+    cand = (cand
+            .join(shs.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
+            .join(shs.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b"))
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
     jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4)
@@ -180,6 +227,7 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     """Exhaustive shingle-inverted-index Jaccard (exact).  The scale path
     blocks by shingle (explode + equi-join) rather than a cross join;
     this is also the recall oracle for lsh_pairs."""
+    docs = _spread(docs)
     sh = docs.select(F.col(id_col).alias("id"),
                      shingles(F.col(text_col)).alias("sh"))
     ex = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
@@ -221,6 +269,7 @@ def simhash_df(docs: DataFrame, text_col: str = "text",
     """32-bit simhash per document via explode + one groupBy (map-side
     combinable).  Token hash = first 8 md5 hex digits as int — identical
     in DuckDB, which is why this variant gets a full value oracle."""
+    docs = _spread(docs)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
