@@ -179,6 +179,7 @@ _NODES_ARROW = pa.schema([
 
 def _flatten_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     import gc
+    from bisect import bisect_left
 
     from lexor_spark.kernel.dom import CharacterData, Element, dispose
     from lexor_spark.kernel.htmlparser import parse_html
@@ -194,6 +195,16 @@ def _flatten_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                     doc, _ = parse_html(text, url)
                 except Exception:
                     continue
+                # node.pos is a source offset; derive (line, col) in bulk
+                # from one newline index per document
+                nls = [k for k, ch in enumerate(text) if ch == "\n"]
+
+                def _lc(off: int) -> tuple[int, int]:
+                    if off < 0:
+                        return (0, 0)
+                    idx = bisect_left(nls, off)
+                    prev = nls[idx - 1] if idx else -1
+                    return (idx + 1, off - prev)
                 # preorder DFS ⇒ a parent is always numbered before its
                 # children; node_id = visit order
                 ids: dict[int, int] = {}
@@ -212,8 +223,9 @@ def _flatten_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                     cols["id"].append(node.attrs.get("id") if is_el else None)
                     data = node.data if isinstance(node, CharacterData) else None
                     cols["data_prefix"].append(data[:64] if data else None)
-                    cols["line"].append(node.pos[0])
-                    cols["col"].append(node.pos[1])
+                    line, col = _lc(node.pos)
+                    cols["line"].append(line)
+                    cols["col"].append(col)
                 dispose(doc)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[n], type=_NODES_ARROW.field(n).type)

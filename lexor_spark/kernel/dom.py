@@ -66,8 +66,9 @@ class Node:
     def __init__(self, name: str) -> None:
         self.name = name
         self.parent: Optional[Element] = None
-        # (line, column) where the node was found; (0, 0) if synthetic.
-        self.pos: tuple[int, int] = (0, 0)
+        # source OFFSET where the node was found; -1 if synthetic.
+        # (line, col) is derived on demand — see htmlparser.linecol.
+        self.pos: int = -1
 
     # -- navigation ------------------------------------------------------
     @property
@@ -114,7 +115,7 @@ class Text(CharacterData):
         # most-constructed node type)
         self.name = "#text"
         self.parent = None
-        self.pos = (0, 0)
+        self.pos = -1
         self.data = data
         self.start = start
         self.end = end
@@ -184,7 +185,7 @@ class Element(Node):
         # hot path: slots set directly (no super() chain)
         self.name = name
         self.parent = None
-        self.pos = (0, 0)
+        self.pos = -1
         self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.children: list[Node] = []
 

@@ -31,6 +31,7 @@ W102  malformed markup consumed as text            (this engine)
 from __future__ import annotations
 
 import re
+from bisect import bisect_left
 from typing import Optional
 
 from lexor_spark.kernel.dom import (
@@ -98,6 +99,7 @@ SILENT_CONTAINER: dict[str, frozenset] = {
 }
 
 _SPECIAL = re.compile(r"[<&]")
+_NEWLINE = re.compile(r"\n")
 # case-insensitive close-tag scanners for rawtext bodies — avoids keeping a
 # full lowercased copy of the document just to find "</script" etc.
 _RAWTEXT_CLOSE = {}
@@ -130,40 +132,40 @@ class LogEntry:
 class _Parser:
     """Single-document, single-pass parse state."""
 
-    __slots__ = ("text", "end", "caret", "line", "col",
-                 "doc", "stack", "log")
+    __slots__ = ("text", "end", "caret", "doc", "stack", "log", "_nl")
 
     def __init__(self, text: str, uri: str) -> None:
         self.text = text
         self.end = len(text)
         self.caret = 0
-        self.line = 1
-        self.col = 1
+        self._nl: Optional[list[int]] = None  # lazy newline index
         self.doc = Document("html", uri)
         self.stack: list[Element] = [self.doc]
         self.log: list[LogEntry] = []
 
     # -- position bookkeeping (reference `parser.py:256-284`) -------------
+    # Nodes carry source OFFSETS; (line, col) is derived lazily only when a
+    # diagnostic is emitted or an export asks for it — per-event newline
+    # arithmetic and a tuple allocation per node were ~10% of parse time.
     def update(self, index: int) -> None:
-        if index == self.caret:
-            return
-        nlines = self.text.count("\n", self.caret, index)
-        if nlines:
-            self.line += nlines
-            self.col = index - self.text.rfind("\n", self.caret, index)
-        else:
-            self.col += index - self.caret
         self.caret = index
 
-    def pos_at(self, index: int) -> tuple[int, int]:
-        nlines = self.text.count("\n", self.caret, index)
-        if nlines:
-            return (self.line + nlines,
-                    index - self.text.rfind("\n", self.caret, index))
-        return (self.line, self.col + index - self.caret)
+    def linecol(self, off: int) -> tuple[int, int]:
+        """(1-based line, col) of a source offset; lazy newline index so
+        the O(n) scan happens at most once per document, only on the
+        diagnostic path."""
+        if off < 0:
+            return (0, 0)
+        nl = self._nl
+        if nl is None:
+            nl = self._nl = [m.start() for m in _NEWLINE.finditer(self.text)]
+        idx = bisect_left(nl, off)
+        prev = nl[idx - 1] if idx else -1
+        return (idx + 1, off - prev)
 
-    def msg(self, code: str, pos: tuple[int, int], arg: tuple = ()) -> None:
-        self.log.append(LogEntry(code, pos[0], pos[1], arg))
+    def msg(self, code: str, off: int, arg: tuple = ()) -> None:
+        line, col = self.linecol(off)
+        self.log.append(LogEntry(code, line, col, arg))
 
     # -- text accumulation with adjacent-merge (ref `parser.py:337-355`) --
     def emit_text(self, start: int, stop: int) -> None:
@@ -198,7 +200,7 @@ class _Parser:
             self.update(i + 1)
             return
         node = Entity(m.group(0), i, m.end())
-        node.pos = (self.line, self.col)
+        node.pos = i
         self.stack[-1].append_child(node)
         self.update(m.end())
 
@@ -230,7 +232,7 @@ class _Parser:
     # -- constructs ----------------------------------------------------------
     def _comment(self, i: int) -> None:
         j = self.text.find("-->", i + 4)
-        pos = (self.line, self.col)
+        pos = i
         if j == -1:
             node = Comment(self.text[i + 4:])
             node.pos = pos
@@ -247,7 +249,7 @@ class _Parser:
         # "<!" that is not comment/doctype/CDATA: consume to '>' as a
         # comment (HTML-recovery choice of this engine).
         j = self.text.find(">", i + 2)
-        pos = (self.line, self.col)
+        pos = i
         if j == -1:
             self.msg("E100", pos, ("#comment",))
             node = Comment(self.text[i + 2:])
@@ -262,7 +264,7 @@ class _Parser:
 
     def _doctype(self, i: int) -> None:
         j = self.text.find(">", i + 9)
-        pos = (self.line, self.col)
+        pos = i
         if j == -1:
             self.msg("E100", pos, ("#doctype",))
             self.update(self.end)
@@ -274,7 +276,7 @@ class _Parser:
 
     def _cdata(self, i: int) -> None:
         j = self.text.find("]]>", i + 9)
-        pos = (self.line, self.col)
+        pos = i
         if j == -1:
             self.msg("E100", pos, ("#cdata-section",))
             node = CData(self.text[i + 9:])
@@ -288,7 +290,7 @@ class _Parser:
         self.update(j + 3)
 
     def _pi(self, i: int) -> None:
-        pos = (self.line, self.col)
+        pos = i
         j = self.text.find("?>", i + 2)
         if j == -1:
             self.msg("E100", pos, ("#pi",))
@@ -329,7 +331,7 @@ class _Parser:
 
     def _open_tag(self, i: int, m: "re.Match[str]") -> None:
         name = m.group(2).lower()
-        pos = (self.line, self.col)
+        pos = i
         gt = self._find_tag_end(m.end())
         if gt == -1:
             # Unterminated tag: consume '<' as text (recovery; W102).
@@ -398,7 +400,7 @@ class _Parser:
     def _close_tag(self, i: int, m: "re.Match[str]") -> None:
         name = m.group(2).lower()
         gt = self.text.find(">", m.end())
-        close_pos = (self.line, self.col)
+        close_pos = i
         if gt == -1:
             self.msg("W102", close_pos)
             self.stack[-1].append_text("<", i, i + 1)
@@ -421,8 +423,8 @@ class _Parser:
         for k in range(len(stack) - 1, depth, -1):
             forced = stack[k]
             if forced.name not in silent:
-                self.msg("W100", forced.pos,
-                         (forced.name, close_pos[0], close_pos[1]))
+                cl, cc = self.linecol(close_pos)
+                self.msg("W100", forced.pos, (forced.name, cl, cc))
             stack.pop().normalize()
         stack.pop().normalize()
         self.update(gt + 1)
