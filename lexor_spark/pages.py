@@ -82,13 +82,18 @@ def _html_column() -> Column:
     return F.concat(head, shell_top, main_block, shell_bottom)
 
 
-def pages_df(spark: SparkSession, sf_dir: str, repeat: int = 1) -> DataFrame:
+def pages_df(spark: SparkSession, sf_dir: str, repeat: int = 1,
+             heavy_tail: bool = False) -> DataFrame:
     """Build the pages table from ``{sf_dir}/documents.parquet``.
 
     ``repeat`` > 1 tiles the corpus deterministically (distinct urls/ids)
     for benchmark sizing; all columns remain pure functions of
     ``(doc_id, rep)`` so any two runs — and any two parallelism levels —
-    see identical bytes."""
+    see identical bytes.
+
+    ``heavy_tail`` gives ~1% of pages a ~150× body (FIXTURES.md §4's
+    skew distribution) — the giant-blob case the salted repartition and
+    the Arrow batch cap exist for."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if repeat > 1:
         reps = spark.range(repeat).withColumnRenamed("id", "rep")
@@ -106,10 +111,15 @@ def pages_df(spark: SparkSession, sf_dir: str, repeat: int = 1) -> DataFrame:
         F.col("doc_id").cast("string"),
     )
     warc_ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % F.lit(86_400 * 365))
+    html = _html_column()
+    if heavy_tail:
+        # deterministic 1%-ish of doc_ids get a ~150x page body
+        html = F.when(F.pmod("doc_id", F.lit(101)) == 0,
+                      F.concat(html, F.repeat(html, 149))).otherwise(html)
     return docs.select(
         url.alias("url"),
         warc_ts.alias("warc_ts"),
-        F.encode(_html_column(), "UTF-8").alias("html"),
+        F.encode(html, "UTF-8").alias("html"),
         F.col("text").alias("text"),
         F.col("lang").alias("lang"),
     )

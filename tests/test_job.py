@@ -91,3 +91,31 @@ def test_hostile_rows_become_data(spark):
     assert all(r.ok for r in rows.values())
     assert rows["u4"].text == "deep"
     assert rows["u2"].n_chars_out == 0 and rows["u3"].n_chars_out == 0
+
+
+def test_heavy_tail_skew(spark, sf_dir):
+    """FIXTURES.md §4 size tail: ~1% giant pages must neither fail nor
+    concentrate on one partition, and stay byte-identical to the serial
+    oracle."""
+    from lexor_spark.kernel.pipeline import extract_document
+
+    pages = pages_df(spark, sf_dir, heavy_tail=True)
+    big = pages.filter(F.length("html") > 100_000)
+    n_big = big.count()
+    assert n_big >= 3  # the tail exists
+
+    out = extract_pages(pages, salt_buckets=64, partitions=16)
+    rows = out.collect()
+    assert all(r.ok for r in rows)
+
+    # salting spread: no partition holds more than half the corpus
+    from lexor_spark.job import partition_metrics
+    m = partition_metrics(extract_pages(pages, salt_buckets=64,
+                                        partitions=16)).collect()
+    total = sum(r.n_docs for r in m)
+    assert max(r.n_docs for r in m) < total / 2
+
+    # byte-identity holds for a giant page too
+    sample = big.limit(1).collect()[0]
+    assert extract_document(sample.html, sample.url).text == \
+        {r.url: r.text for r in rows}[sample.url]
