@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lexor_spark import dedup, multimodal, sim, textfns  # noqa: E402
-from lexor_spark.job import export_nodes, extract_pages, partition_metrics  # noqa: E402
+from lexor_spark.job import (export_nodes, extract_pages,  # noqa: E402
+                             normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
 from lexor_spark.pdfjob import extract_pdfs, pdf_pages_df  # noqa: E402
 from lexor_spark.queries import RELATIONAL_QUERIES, RELATIONAL_SQL  # noqa: E402
@@ -144,6 +145,12 @@ def _q_dom_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n").desc(), "name"))
 
 
+def _q_html_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = normalize_html(pages_df(spark, sf_dir))
+    return out.select("url", F.md5("norm_html").alias("norm_md5"),
+                      "n_in", "n_out").orderBy("url")
+
+
 def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_pdfs(pdf_pages_df(spark, sf_dir))
     return out.select("url", "text", "n_pages", "n_streams",
@@ -179,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DOM flatten-export + corpus DOM analytics (kernel; rows-only)
         "dom_export": _q_dom_export,
         "dom_tag_stats": _q_dom_tag_stats,
+        # parse→serialize normal form (writer path; rows-only)
+        "html_normalize": _q_html_normalize,
         # PDF extraction (pure-Python kernel; rows-only)
         "pdf_extract": _q_pdf_extract,
         # multimodal plumbing (stub codec; rows-only)

@@ -249,6 +249,62 @@ def export_nodes(pages: DataFrame, salt_buckets: int = 256,
 
 
 # ---------------------------------------------------------------------------
+# HTML normalization (parse → serialize: the reference's writer path)
+# ---------------------------------------------------------------------------
+
+NORMALIZE_SCHEMA = "url string, norm_html string, n_in long, n_out long"
+
+_NORM_ARROW = pa.schema([
+    ("url", pa.string()), ("norm_html", pa.string()),
+    ("n_in", pa.int64()), ("n_out", pa.int64()),
+])
+
+
+def _normalize_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.htmlparser import parse_html
+    from lexor_spark.kernel.htmlwriter import write_html
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _NORM_ARROW.names}
+            for url, html in zip(urls, htmls):
+                raw = bytes(html or b"")
+                try:
+                    doc, _ = parse_html(raw.decode("utf-8", errors="replace"), url)
+                    norm = write_html(doc)
+                    dispose(doc)
+                except Exception:
+                    norm = ""
+                cols["url"].append(url)
+                cols["norm_html"].append(norm)
+                cols["n_in"].append(len(raw))
+                cols["n_out"].append(len(norm))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_NORM_ARROW.field(n).type)
+                 for n in _NORM_ARROW.names], schema=_NORM_ARROW)
+    finally:
+        gc.enable()
+
+
+def normalize_html(pages: DataFrame, salt_buckets: int = 256,
+                   partitions: Optional[int] = None) -> DataFrame:
+    """parse→serialize normal form per page (idempotent; the writer-path
+    operator a markup→markup converter user needs)."""
+    sc = pages.sparkSession.sparkContext
+    if partitions is None:
+        partitions = sc.defaultParallelism * 4
+    salted = (pages.select("url", "html")
+              .repartition(partitions,
+                           F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    return salted.mapInArrow(_normalize_batches, NORMALIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Checkpointed, resumable run
 # ---------------------------------------------------------------------------
 
