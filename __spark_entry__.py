@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lexor_spark import dedup, multimodal, sim, textfns  # noqa: E402
-from lexor_spark.job import (export_nodes, extract_pages,  # noqa: E402
-                             normalize_html, partition_metrics)
+from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
+                             extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
 from lexor_spark.pdfjob import extract_pdfs, pdf_pages_df  # noqa: E402
 from lexor_spark.queries import RELATIONAL_QUERIES, RELATIONAL_SQL  # noqa: E402
@@ -145,6 +145,11 @@ def _q_dom_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n").desc(), "name"))
 
 
+def _q_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = convert_markdown(pages_df(spark, sf_dir))
+    return out.select("url", "markdown", "n_chars", "ok").orderBy("url")
+
+
 def _q_html_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = normalize_html(pages_df(spark, sf_dir))
     return out.select("url", F.md5("norm_html").alias("norm_md5"),
@@ -186,6 +191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DOM flatten-export + corpus DOM analytics (kernel; rows-only)
         "dom_export": _q_dom_export,
         "dom_tag_stats": _q_dom_tag_stats,
+        # html→markdown conversion (the reference's flagship; rows-only)
+        "to_markdown": _q_to_markdown,
         # parse→serialize normal form (writer path; rows-only)
         "html_normalize": _q_html_normalize,
         # PDF extraction (pure-Python kernel; rows-only)

@@ -305,6 +305,63 @@ def normalize_html(pages: DataFrame, salt_buckets: int = 256,
 
 
 # ---------------------------------------------------------------------------
+# HTML → Markdown conversion (the reference's flagship target)
+# ---------------------------------------------------------------------------
+
+MARKDOWN_SCHEMA = "url string, markdown string, n_chars long, ok boolean"
+
+_MD_ARROW = pa.schema([
+    ("url", pa.string()), ("markdown", pa.string()),
+    ("n_chars", pa.int64()), ("ok", pa.bool_()),
+])
+
+
+def _markdown_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.htmlparser import parse_html
+    from lexor_spark.kernel.mdwriter import write_markdown
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _MD_ARROW.names}
+            for url, html in zip(urls, htmls):
+                ok = True
+                try:
+                    doc, _ = parse_html(
+                        bytes(html or b"").decode("utf-8", errors="replace"), url)
+                    text = write_markdown(doc)
+                    dispose(doc)
+                except Exception:
+                    text, ok = "", False
+                cols["url"].append(url)
+                cols["markdown"].append(text)
+                cols["n_chars"].append(len(text))
+                cols["ok"].append(ok)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_MD_ARROW.field(n).type)
+                 for n in _MD_ARROW.names], schema=_MD_ARROW)
+    finally:
+        gc.enable()
+
+
+def convert_markdown(pages: DataFrame, salt_buckets: int = 256,
+                     partitions: Optional[int] = None) -> DataFrame:
+    """html → markdown per page (`lexor file.html to markdown` at corpus
+    scale), salted + Arrow-batched like every kernel job."""
+    sc = pages.sparkSession.sparkContext
+    if partitions is None:
+        partitions = sc.defaultParallelism * 4
+    salted = (pages.select("url", "html")
+              .repartition(partitions,
+                           F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    return salted.mapInArrow(_markdown_batches, MARKDOWN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Checkpointed, resumable run
 # ---------------------------------------------------------------------------
 
