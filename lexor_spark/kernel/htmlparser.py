@@ -207,6 +207,12 @@ class _Parser:
     # -- markup dispatch ----------------------------------------------------
     def _markup(self, i: int) -> None:
         text = self.text
+        # common case first: a start/end tag (no slice allocation)
+        m = _TAG_NAME.match(text, i)
+        if m is not None:
+            if m.group(1):
+                return self._close_tag(i, m)
+            return self._open_tag(i, m)
         nxt = text[i + 1: i + 2]
         if nxt == "!":
             if text.startswith("<!--", i):
@@ -218,16 +224,10 @@ class _Parser:
             return self._bogus_comment(i)
         if nxt == "?":
             return self._pi(i)
-        m = _TAG_NAME.match(text, i)
-        if m is None:
-            # '<' that opens nothing: plain text (reference fallback,
-            # `parser.py:348-349` advances one char).
-            self.stack[-1].append_text("<", i, i + 1)
-            self.update(i + 1)
-            return
-        if m.group(1):
-            return self._close_tag(i, m)
-        return self._open_tag(i, m)
+        # '<' that opens nothing: plain text (reference fallback,
+        # `parser.py:348-349` advances one char).
+        self.stack[-1].append_text("<", i, i + 1)
+        self.update(i + 1)
 
     # -- constructs ----------------------------------------------------------
     def _comment(self, i: int) -> None:
