@@ -22,10 +22,12 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from lexor_spark.job import extract_pages
 from lexor_spark.pages import PAGES_SCHEMA_HINT
 
-__all__ = ["stream_extract"]
+__all__ = ["stream_extract", "stream_crawl_metrics"]
 
 
 def stream_extract(spark: SparkSession, pages_dir: str, output_dir: str,
@@ -57,3 +59,36 @@ def stream_extract(spark: SparkSession, pages_dir: str, output_dir: str,
              .start())
     query.awaitTermination()
     return n_batches[0]
+
+
+def stream_crawl_metrics(spark: SparkSession, pages_dir: str,
+                         output_dir: str, checkpoint_dir: str,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> int:
+    """Watermarked, windowed crawl-rate metrics over the page feed.
+
+    The stateful-streaming shape a live crawl needs: per (event-time
+    window, lang) page counts and byte volumes, tolerating ``watermark``
+    of late-arriving pages before a window finalizes.  State is bounded
+    by the watermark (Spark drops window state older than it) — that is
+    what makes this run forever on an unbounded crawl.  Append output
+    mode: each window is emitted exactly once, when it is final."""
+    pages = (spark.readStream.schema(PAGES_SCHEMA_HINT).parquet(pages_dir))
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"),
+             F.sum(F.length("html")).alias("html_bytes"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "lang", "n_pages", "html_bytes")
+    )
+    query = (agg.writeStream
+             .outputMode("append")
+             .format("parquet")
+             .option("path", output_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+    return query.lastProgress["batchId"] if query.lastProgress else 0
