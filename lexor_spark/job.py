@@ -403,11 +403,27 @@ def run_job(spark: SparkSession, pages: DataFrame, output_dir: str,
         extracted = extract_pages(part, salt_buckets, partitions)
         data_path = os.path.join(output_dir, f"group={g}")
         extracted.write.mode("overwrite").parquet(data_path)
-        n_rows = spark.read.parquet(data_path).count()
+        # metrics come from the *written* files (no recompute of the
+        # kernel): one cheap aggregate per committed group
+        stats = spark.read.parquet(data_path).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars_in").alias("bytes_in"),
+            F.sum("n_chars_out").alias("chars_out"),
+            F.sum("kernel_us").alias("kernel_us_total"),
+            F.max("kernel_us").alias("kernel_us_max"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_errors"),
+            F.sum(F.when(F.col("truncated"), 1).otherwise(0)).alias("n_truncated"),
+        ).collect()[0]
         record = {
             "group": g,
             "n_groups": n_groups,
-            "n_rows": n_rows,
+            "n_rows": stats["n_rows"],
+            "bytes_in": int(stats["bytes_in"] or 0),
+            "chars_out": int(stats["chars_out"] or 0),
+            "kernel_us_total": int(stats["kernel_us_total"] or 0),
+            "kernel_us_max": int(stats["kernel_us_max"] or 0),
+            "n_errors": int(stats["n_errors"] or 0),
+            "n_truncated": int(stats["n_truncated"] or 0),
             "wall_s": round(time.time() - t0, 3),
             "salt_buckets": salt_buckets,
         }
