@@ -61,3 +61,17 @@ def test_deterministic_and_robust():
     assert md(src) == md(src) == "x"
     assert md("") == ""
     assert md("\xff� <p>ok</p>").endswith("ok")
+
+
+def test_cli_roundtrip(tmp_path, capsys):
+    from lexor_spark.__main__ import main
+
+    f = tmp_path / "x.html"
+    f.write_text("<main><p>hello <b>world</b></p></main>")
+    assert main([str(f), "to", "text"]) == 0
+    assert capsys.readouterr().out == "hello world\n"
+    assert main([str(f), "to", "markdown"]) == 0
+    assert capsys.readouterr().out == "hello **world**\n"
+    assert main([str(f), "to", "html"]) == 0
+    assert capsys.readouterr().out == \
+        "<main><p>hello <b>world</b></p></main>\n"
