@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from lexor_spark.job import extract_pages
 from lexor_spark.pages import PAGES_SCHEMA_HINT
 
-__all__ = ["stream_extract", "stream_crawl_metrics"]
+__all__ = ["stream_extract", "stream_crawl_metrics", "stream_sessions"]
 
 
 def stream_extract(spark: SparkSession, pages_dir: str, output_dir: str,
@@ -92,3 +92,65 @@ def stream_crawl_metrics(spark: SparkSession, pages_dir: str,
              .start())
     query.awaitTermination()
     return query.lastProgress["batchId"] if query.lastProgress else 0
+
+
+def stream_sessions(spark: SparkSession, events_dir: str, output_dir: str,
+                    checkpoint_dir: str, gap_seconds: int = 1800) -> None:
+    """Custom stateful streaming operator: per-user sessionization with
+    ``applyInPandasWithState`` (the escape hatch for semantics windowed
+    aggs can't express — a session ends only when a *gap* appears).
+
+    State per user = (last event ts, open-session number, counts); each
+    micro-batch folds its events into the state in event-time order and
+    emits one row per user with running totals.  Update output mode:
+    downstream reads the latest row per user.  State size is O(users),
+    independent of event volume — the property that lets this run
+    against an unbounded feed."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .parquet(events_dir))
+
+    out_schema = ("user_id long, n_sessions long, n_events long, "
+                  "last_ts timestamp")
+    state_schema = "last_ts long, n_sessions long, n_events long"
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = -1, 0, 0
+        ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        for ts in ts_all:
+            us = int(ts.value // 1000)  # ns → µs
+            if last_us < 0 or us - last_us > gap_seconds * 1_000_000:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame({"user_id": [user_id],
+                            "n_sessions": [n_sessions],
+                            "n_events": [n_events],
+                            "last_ts": [pd.Timestamp(last_us * 1000)]})
+
+    sessions = (events.groupBy("user_id")
+                .applyInPandasWithState(fold, out_schema, state_schema,
+                                        "update",
+                                        GroupStateTimeout.NoTimeout))
+
+    def _sink(batch_df, batch_id):
+        if batch_df.count():
+            batch_df.write.mode("append").parquet(output_dir)
+
+    query = (sessions.writeStream
+             .outputMode("update")
+             .foreachBatch(_sink)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()

@@ -167,3 +167,32 @@ def test_stream_crawl_metrics_watermark(spark, tmp_path):
         b = {(r.window_start, r.lang): r.n for r in batch.collect()}
         for r in got.collect():
             assert b[(r.window_start, r.lang)] == r.n_pages
+
+
+def test_stream_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: two incremental drains must
+    agree with the batch sessionization oracle over the full data."""
+    from lexor_spark.queries import RELATIONAL_QUERIES
+    from lexor_spark.streaming import stream_sessions
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    in_dir = str(tmp_path / "ev"); out_dir = str(tmp_path / "sess")
+    ck = str(tmp_path / "sck")
+
+    # feed the stream in two chronological halves so state must carry over
+    ts_sorted = sorted(r.ts for r in events.select("ts").collect())
+    cut = F.lit(ts_sorted[len(ts_sorted) // 2])
+    events.filter(F.col("ts") <= cut).write.mode("append").parquet(in_dir)
+    stream_sessions(spark, in_dir, out_dir, ck)
+    events.filter(F.col("ts") > cut).write.mode("append").parquet(in_dir)
+    stream_sessions(spark, in_dir, out_dir, ck)
+
+    got = spark.read.parquet(out_dir)
+    # latest state row per user
+    latest = {r.user_id: r for r in got.orderBy("n_events").collect()}
+    batch = {r.user_id: r for r in
+             RELATIONAL_QUERIES["event_sessions"](spark, SF).collect()}
+    assert set(latest) == set(batch)
+    for uid, b in batch.items():
+        assert latest[uid].n_sessions == b.n_sessions, uid
+        assert latest[uid].n_events == b.n_events, uid
