@@ -145,6 +145,11 @@ def _q_dom_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n").desc(), "name"))
 
 
+def _q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lexor_spark.corpus import corpus_summary
+    return corpus_summary(spark, sf_dir)
+
+
 def _q_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = convert_markdown(pages_df(spark, sf_dir))
     return out.select("url", "markdown", "n_chars", "ok").orderBy("url")
@@ -191,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DOM flatten-export + corpus DOM analytics (kernel; rows-only)
         "dom_export": _q_dom_export,
         "dom_tag_stats": _q_dom_tag_stats,
+        # full training-corpus pipeline composition (rows-only)
+        "corpus_summary": _q_corpus_summary,
         # html→markdown conversion (the reference's flagship; rows-only)
         "to_markdown": _q_to_markdown,
         # parse→serialize normal form (writer path; rows-only)

@@ -196,3 +196,24 @@ def test_stream_sessions_stateful(spark, tmp_path):
     for uid, b in batch.items():
         assert latest[uid].n_sessions == b.n_sessions, uid
         assert latest[uid].n_events == b.n_events, uid
+
+
+def test_build_corpus_pipeline(spark):
+    from lexor_spark.corpus import build_corpus, corpus_summary
+
+    pages = pages_df(spark, SF)
+    corpus, rejects = build_corpus(pages, min_quality=0.0, min_chars=10,
+                                   jaccard_threshold=0.95)
+    c = corpus.collect()
+    r = rejects.collect()
+    n_pages = pages.count()
+    # conservation: every url lands exactly once in corpus or rejects
+    urls = [x.url for x in c] + [x.url for x in r]
+    assert len(urls) == n_pages
+    assert len(set(urls)) == n_pages
+    assert all(x.n_tokens > 0 for x in c)
+    # summary is consistent with the split
+    summary = {(row.stage, row.outcome): row.n
+               for row in corpus_summary(spark, SF).collect()}
+    assert summary[("corpus", "kept")] == len(c)
+    assert sum(v for (s, o), v in summary.items() if o == "rejected") == len(r)
