@@ -90,9 +90,13 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
 
 
 def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing: per-stage accounting of the full pipeline."""
+    """Driver-facing: per-stage accounting of the full pipeline.
+    Thresholds sit inside the synthetic corpus's quality/length
+    distribution (5th pct quality 0.5, median length 385) so every
+    pipeline stage visibly fires."""
     pages = pages_df(spark, sf_dir)
-    corpus, rejects = build_corpus(pages)
+    corpus, rejects = build_corpus(pages, min_quality=0.7, min_chars=250,
+                                   jaccard_threshold=0.5)
     kept = corpus.select(F.lit("corpus").alias("stage"),
                          F.lit("kept").alias("outcome"))
     rej = rejects.select("stage", F.lit("rejected").alias("outcome"))
