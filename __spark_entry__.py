@@ -67,6 +67,7 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         textfns.token_count(c).alias("n_tokens"),
         textfns.word_count(c).alias("n_words"),
         textfns.lang_id(c).alias("lang_guess"),
+        textfns.lang_id_ngram(c).alias("lang_ngram"),
         textfns.quality_score(c).alias("quality"),
         textfns.fingerprint(c).alias("fp"),
     ).orderBy("doc_id")
@@ -77,6 +78,7 @@ select doc_id,
        {textfns.SQL.TOKEN_COUNT.format(c='text')} as n_tokens,
        {textfns.SQL.WORD_COUNT.format(c='text')} as n_words,
        {textfns.SQL.lang_id('text')} as lang_guess,
+       {textfns.SQL.lang_id_ngram('text')} as lang_ngram,
        {textfns.SQL.quality_score('text')} as quality,
        {textfns.SQL.FINGERPRINT.format(c='text')} as fp
 from documents

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count", "word_count", "normalize_text", "fingerprint",
-    "lang_id", "quality_score", "SQL",
+    "lang_id", "lang_id_ngram", "quality_score", "SQL",
 ]
 
 
@@ -75,6 +75,35 @@ def lang_id(col: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+# Characteristic character trigrams per language (public frequency-table
+# staples); substring counts, no word boundaries — the n-gram variant of
+# language ID.  Tiny on purpose: exactly SQL-mirrorable.
+_LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", "ing", "and", "ion"],
+    "es": ["que", "ado", "los", "ent"],
+    "de": ["der", "sch", "ung", "ein"],
+    "fr": ["les", "ait", "eur", "oir"],
+}
+
+
+def _trigram_count(col: Column, grams: list[str]) -> Column:
+    pat = "(?:" + "|".join(grams) + ")"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def lang_id_ngram(col: Column) -> Column:
+    """Character-trigram language ID: argmax of per-language trigram
+    hit counts, 'und' when nothing fires; ties break en>es>de>fr."""
+    counts = {lang: _trigram_count(col, grams)
+              for lang, grams in _LANG_TRIGRAMS.items()}
+    top = F.greatest(*counts.values())
+    expr = None
+    for lang in _LANG_TRIGRAMS:
+        cond = (counts[lang] == top) & (counts[lang] > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
 def quality_score(col: Column) -> Column:
     """[0,1] quality heuristic: length band + alpha ratio + stopword
     presence + mean word length band (C4/Gopher-style features, all
@@ -120,6 +149,18 @@ class SQL:
         for lang in order:
             cases.append(f"when {counts[lang]} = {greatest} "
                          f"and {counts[lang]} > 0 then '{lang}'")
+        return "case " + " ".join(cases) + " else 'und' end"
+
+    @classmethod
+    def lang_id_ngram(cls, c: str) -> str:
+        counts = {
+            lang: f"len(regexp_extract_all(lower({c}), "
+                  f"'(?:" + "|".join(grams) + ")'))"
+            for lang, grams in _LANG_TRIGRAMS.items()}
+        order = list(_LANG_TRIGRAMS)
+        greatest = "greatest(" + ", ".join(counts[l] for l in order) + ")"
+        cases = [f"when {counts[lang]} = {greatest} "
+                 f"and {counts[lang]} > 0 then '{lang}'" for lang in order]
         return "case " + " ".join(cases) + " else 'und' end"
 
     @classmethod
