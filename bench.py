@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPEAT = int(os.environ.get("BENCH_REPEAT", "8"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "24"))
 
 
 def _sf_of(path: str) -> float:
