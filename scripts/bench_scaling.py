@@ -112,9 +112,11 @@ def main() -> None:
         f"| local[{c}] | {results[c]['wall_s']} | {results[c]['docs_per_sec']} | "
         f"{results[c]['docs_per_sec'] / c:.0f} |" for c in sorted(cores))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # single-run report; BENCH/BASELINE.md is the curated multi-run
+    # document (assembled from these) and is not overwritten here
+    md = os.path.join(REPO, "BENCH", "last_run.md")
     with open(md, "w") as fh:
-        fh.write(f"""# BENCH/BASELINE.md — measured scaling evidence
+        fh.write(f"""# BENCH/last_run.md — one scaling-protocol run
 
 Protocol: BASELINE.md §Measurement protocol. Identical extraction job
 (`lexor_spark.job.extract_pages`: salted repartition on
