@@ -319,8 +319,10 @@ sess as (
            as session_no
   from marked
 )
-select user_id, max(session_no) as n_sessions, count(*) as n_events,
-       round(sum(value), 2) as total_value
+select user_id,
+       -- ::bigint — DuckDB's windowed sum() yields HUGEINT; Spark yields BIGINT
+       max(session_no)::bigint as n_sessions, count(*) as n_events,
+       round(sum(value), 2)::double as total_value
 from sess
 group by user_id
 order by user_id
@@ -343,9 +345,10 @@ def q_event_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENT_MATRIX = """
 select strftime(ts, '%Y-%m-%d') as day,
-       sum(case when event_type = 'click'    then 1 else 0 end) as n_click,
-       sum(case when event_type = 'view'     then 1 else 0 end) as n_view,
-       sum(case when event_type = 'purchase' then 1 else 0 end) as n_purchase,
+       -- ::bigint — DuckDB sum(int) yields HUGEINT; Spark's sum(when) yields BIGINT
+       sum(case when event_type = 'click'    then 1 else 0 end)::bigint as n_click,
+       sum(case when event_type = 'view'     then 1 else 0 end)::bigint as n_view,
+       sum(case when event_type = 'purchase' then 1 else 0 end)::bigint as n_purchase,
        count(*) as n_total
 from events
 group by 1

@@ -37,6 +37,48 @@ def norm_rows(cols, rows):
     return sorted(out)
 
 
+def arrow_kind(t):
+    """Collapse an arrow type to the equivalence class the driver's
+    value-hash is sensitive to: integer width family, float, decimal,
+    string, bool, temporal.  DECIMAL vs BIGINT vs DOUBLE is exactly the
+    class of mismatch that passed the 6-sig-fig normalizer in round 1
+    but failed the driver hash (VERDICT r1 'What's wrong' #1)."""
+    import pyarrow as pa
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_kind(t.value_type)}>"
+    return str(t)
+
+
+def dtype_mismatches(sdf, d_schema):
+    """Strict dtype comparison: Spark's Arrow schema vs DuckDB's."""
+    try:
+        s_schema = sdf.limit(0).toArrow().schema
+    except Exception as exc:  # toArrow unavailable for some types
+        return [f"(dtype check skipped: {type(exc).__name__})"]
+    d_by_name = {f.name: f.type for f in d_schema}
+    bad = []
+    for f in s_schema:
+        if f.name in d_by_name:
+            sk, dk = arrow_kind(f.type), arrow_kind(d_by_name[f.name])
+            if sk != dk:
+                bad.append(f"{f.name}: spark={sk}({f.type}) duck={dk}({d_by_name[f.name]})")
+    return bad
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -73,9 +115,15 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dtable = res.fetch_arrow_table()
+            dtype_bad = dtype_mismatches(sdf, dtable.schema)
+            drows = [tuple(d[c] for c in dcols) for d in dtable.to_pylist()]
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {type(exc).__name__}: {str(exc)[:200]}")
+            failures += 1
+            continue
+        if dtype_bad:
+            print(f"FAIL  {name}: dtype mismatch: {dtype_bad}")
             failures += 1
             continue
         if sorted(scols) != sorted(dcols):
