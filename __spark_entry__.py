@@ -59,8 +59,8 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # single-row-group source scans as one task; spread before the
-    # regex-heavy feature projection (see dedup._spread)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # regex-heavy feature projection (gated — no-op on well-split tables)
+    docs = dedup._spread(docs)
     c = F.col("text")
     return docs.select(
         "doc_id",
