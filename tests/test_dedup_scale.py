@@ -68,3 +68,43 @@ def test_spread_fans_out_single_split(spark):
     df = spark.range(1000).coalesce(1)
     out = dedup._spread(df)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+# ---------------------------------------------------------------------------
+# banded sign-LSH pair join (sim.cosine_dup_pairs)
+# ---------------------------------------------------------------------------
+
+def test_cosine_dup_pairs_exact_on_survivors(spark):
+    """Every reported pair must carry the EXACT cosine (blocking only
+    prunes candidates, never changes values) and clear the threshold."""
+    from lexor_spark import sim
+    sf = "/root/testdata/sf0.001"
+    got = {(r.a, r.b): r.sim
+           for r in sim.cosine_dup_pairs(spark, sf, threshold=0.25).collect()}
+    assert got, "expected some near-dup pairs on the test corpus"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    brute = {(x.a, x.b): x.sim for x in
+             l.join(r, F.col("a") < F.col("b"))
+              .select("a", "b",
+                      F.round(sim.cosine(F.col("va"), F.col("vb")), 4)
+                       .alias("sim"))
+              .filter(F.col("sim") > 0.25).collect()}
+    # exact precision: reported pairs are a subset of brute force with
+    # identical sims
+    for k, v in got.items():
+        assert k in brute and brute[k] == v
+
+
+def test_cosine_pair_bucket_cap_bounds_degenerate(spark, tmp_path):
+    """1k identical vectors with a small cap: every band bucket holds all
+    rows, so the pair join sees zero candidates instead of ~500k pairs."""
+    from lexor_spark import sim
+    vec = [float((i % 7) - 3) for i in range(64)]
+    df = spark.createDataFrame([(i, vec) for i in range(1000)],
+                               "vec_id long, embedding array<double>")
+    d = str(tmp_path / "emb")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    pairs = sim.cosine_dup_pairs(spark, d, threshold=0.25, bucket_cap=50)
+    assert pairs.count() == 0
