@@ -211,13 +211,16 @@ class Element(Node):
         """Append text, merging into a trailing Text sibling — the
         build-time merge that reference `parser.py:342-355` performs."""
         kids = self.children
-        if kids and type(kids[-1]) is Text:
+        if kids:
             last = kids[-1]
-            last.data += data
-            if end >= 0:
-                last.end = end
-        else:
-            self.append_child(Text(data, start, end))
+            if type(last) is Text:
+                last.data += data
+                if end >= 0:
+                    last.end = end
+                return
+        node = Text(data, start, end)
+        node.parent = self
+        kids.append(node)
 
     def normalize(self) -> "Element":
         """Drop empty Text children; merge adjacent Text runs

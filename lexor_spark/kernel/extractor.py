@@ -63,6 +63,22 @@ BOILERPLATE_RE = re.compile(
 )
 
 
+def _attr_drop(attrs: dict) -> bool:
+    """Attribute-level boilerplate tests shared by :func:`extraction_decide`
+    and the fused loop in :func:`convert` (single source of truth)."""
+    token = attrs.get("class", "")
+    idv = attrs.get("id")
+    if idv:
+        token = token + " " + idv
+    if token and BOILERPLATE_RE.search(token.lower()):
+        return True
+    role = attrs.get("role")
+    if role in ("navigation", "banner", "complementary", "form",
+                "search", "contentinfo"):
+        return True
+    return attrs.get("hidden") is not None or attrs.get("aria-hidden") == "true"
+
+
 def extraction_decide(node: Node) -> int:
     """The extraction rule-set (reference style-module MAPPING analogue)."""
     cls = type(node)
@@ -73,19 +89,8 @@ def extraction_decide(node: Node) -> int:
         if name in DROP_TAGS:
             return DROP
         attrs = node.attrs
-        if attrs:
-            token = attrs.get("class", "")
-            idv = attrs.get("id")
-            if idv:
-                token = token + " " + idv
-            if token and BOILERPLATE_RE.search(token.lower()):
-                return DROP
-            role = attrs.get("role")
-            if role in ("navigation", "banner", "complementary", "form",
-                        "search", "contentinfo"):
-                return DROP
-            if attrs.get("hidden") is not None or attrs.get("aria-hidden") == "true":
-                return DROP
+        if attrs and _attr_drop(attrs):
+            return DROP
         if name in UNWRAP_TAGS:
             return UNWRAP
         return COPY
@@ -103,46 +108,86 @@ def convert(doc: Document,
     Iterative DFS (the reference is iterative for the same reason:
     hostile real-web HTML nests deep, `converter.py:348-376`); each
     completed element is ``normalize``d on the way up exactly as the
-    reference does (`converter.py:362`)."""
+    reference does (`converter.py:362`).
+
+    The default rule-set runs fused into the loop (no per-node call into
+    :func:`extraction_decide` and no double ``type()`` dispatch — the
+    rule call was ~5% of kernel time); a custom ``decide`` takes the
+    generic path with identical semantics."""
+    fused = decide is extraction_decide
     out = Document(doc.lang, doc.uri)
     out.meta.update(doc.meta)
-    # Frame: [source_children, next_index, dst_element]
-    frames: list[list] = [[doc.children, 0, out]]
-    while frames:
-        frame = frames[-1]
-        kids, i, dst = frame
-        if i >= len(kids):
-            dst.normalize()
-            frames.pop()
-            continue
-        frame[1] = i + 1
-        node = kids[i]
-        d = decide(node)
-        if d == DROP:
-            continue
-        cls = type(node)
-        if cls is Text:
-            dst.append_text(node.data, node.start, node.end)
-        elif cls is Entity:
-            ent = Entity(node.data, node.start, node.end)
-            dst.append_child(ent)
-        elif d == UNWRAP:
-            if node.children:
-                frames.append([node.children, 0, dst])
-        elif cls is Void:
-            # attrs dict is shared, not copied: the converted tree never
-            # mutates attrs, and the source tree is disposed right after
-            v = Void(node.name, node.attrs)
-            v.pos = node.pos
-            dst.append_child(v)
-        else:  # Element / Document, COPY
-            el = Element(node.name, node.attrs)
-            el.pos = node.pos
-            dst.append_child(el)
-            if node.children:
-                frames.append([node.children, 0, el])
+    # Saved frames hold (source_children, resume_index, dst_element); the
+    # current frame lives in locals so the per-node loop touches no list.
+    frames: list[tuple] = []
+    kids, i, dst = doc.children, 0, out
+    n = len(kids)
+    while True:
+        while i < n:
+            node = kids[i]
+            i += 1
+            cls = type(node)
+            if fused:
+                # inlined extraction_decide, cheapest-first
+                if cls is Text:
+                    dst.append_text(node.data, node.start, node.end)
+                    continue
+                if cls is Entity:
+                    ent = Entity(node.data, node.start, node.end)
+                    dst.append_child(ent)
+                    continue
+                if cls is Element or cls is Document:
+                    name = node.name
+                    if name in DROP_TAGS:
+                        continue
+                    attrs = node.attrs
+                    if attrs and _attr_drop(attrs):
+                        continue
+                    d = UNWRAP if name in UNWRAP_TAGS else COPY
+                elif cls is Void:
+                    if node.name not in ("br", "hr", "img"):
+                        continue
+                    d = COPY
+                else:
+                    continue  # Comment/DocumentType/PI/CData/RawText
             else:
-                el.normalize()
+                d = decide(node)
+                if d == DROP:
+                    continue
+                if cls is Text:
+                    dst.append_text(node.data, node.start, node.end)
+                    continue
+                if cls is Entity:
+                    ent = Entity(node.data, node.start, node.end)
+                    dst.append_child(ent)
+                    continue
+            if d == UNWRAP:
+                ch = node.children
+                if ch:
+                    frames.append((kids, i, dst))
+                    kids, i, n = ch, 0, len(ch)
+            elif cls is Void:
+                # attrs dict is shared, not copied: the converted tree never
+                # mutates attrs, and the source tree is disposed right after
+                v = Void(node.name, node.attrs)
+                v.pos = node.pos
+                dst.append_child(v)
+            else:  # Element / Document, COPY
+                el = Element(node.name, node.attrs)
+                el.pos = node.pos
+                dst.append_child(el)
+                ch = node.children
+                if ch:
+                    frames.append((kids, i, dst))
+                    kids, i, dst = ch, 0, el
+                    n = len(ch)
+                else:
+                    el.normalize()
+        dst.normalize()
+        if not frames:
+            break
+        kids, i, dst = frames.pop()
+        n = len(kids)
     return out
 
 
@@ -198,13 +243,31 @@ def _has_content_token(el: Element) -> bool:
     return bool(token) and bool(_CONTENT_TOKEN.search(token.lower()))
 
 
+def _preorder(root: Element) -> list[Node]:
+    """Preorder node list via an explicit stack — the generator version
+    (``Node.iter``) pays a resume per node, measurable on the two
+    whole-tree walks select_main does."""
+    order: list[Node] = []
+    stack: list[Node] = [root]
+    pop = stack.pop
+    append = order.append
+    extend = stack.extend
+    while stack:
+        node = pop()
+        append(node)
+        kids = getattr(node, "children", None)
+        if kids:
+            extend(reversed(kids))
+    return order
+
+
 def _stripped_masses(root: Document) -> dict[int, int]:
     """len(el.text_content().strip()) for every element, in ONE bottom-up
     pass (the naive per-candidate walk is O(n²) and hangs on deep
     hostile nesting).  Each node folds to (total, lead_ws, trail_ws) of
     its concatenated Text/Entity payload; segments merge associatively:
     an all-whitespace prefix extends the leading run across children."""
-    order = list(root.iter())  # preorder ⇒ reversed is children-first
+    order = _preorder(root)  # preorder ⇒ reversed is children-first
     stats: dict[int, tuple[int, int, int]] = {}
     masses: dict[int, int] = {}
     for node in reversed(order):
@@ -236,8 +299,10 @@ def select_main(converted: Document) -> Element:
 
     Cascade: <main>/[role=main] → <article> → content-ish class/id →
     highest text-mass <div>/<section>/<td> → the whole converted tree."""
-    elements = [n for n in converted.iter() if isinstance(n, Element)
-                and not isinstance(n, (Void, RawText))]
+    # plain Elements only: Document (the root itself) was skipped by the
+    # cascade anyway, Void/RawText were excluded, and nested Documents
+    # cannot occur — so `type is Element` is the same predicate, faster
+    elements = [n for n in _preorder(converted) if type(n) is Element]
     for pred in (_is_main, _is_article, _has_content_token):
         for el in elements:
             if el is converted:

@@ -99,6 +99,17 @@ SILENT_CONTAINER: dict[str, frozenset] = {
 }
 
 _SPECIAL = re.compile(r"[<&]")
+# Tag-name lowercase cache: real-web corpora reuse a few dozen tag
+# spellings, so one dict hit replaces a str.lower() allocation per tag.
+# Bounded so hostile inputs (unbounded distinct tag names) can't grow it.
+_LC_CACHE: dict[str, str] = {}
+_LC_CACHE_MAX = 8192
+# Parsed-attribute cache: boilerplate markup repeats the same attr strings
+# (class="nav", class="site-header", …) millions of times across a crawl;
+# one dict copy replaces the whole _ATTR.finditer parse on a hit.  Values
+# are treated as immutable templates — every tag gets its own dict copy.
+_ATTRS_CACHE: dict[str, dict] = {}
+_ATTRS_CACHE_MAX = 16384
 _NEWLINE = re.compile(r"\n")
 # case-insensitive close-tag scanners for rawtext bodies — avoids keeping a
 # full lowercased copy of the document just to find "</script" etc.
@@ -110,6 +121,7 @@ _ATTR = re.compile(
 )
 _ENTITY = re.compile(r"&(?:[a-zA-Z][a-zA-Z0-9]{0,31};|#[0-9]{1,7};|#[xX][0-9a-fA-F]{1,6};)")
 _WS_GT = re.compile(r"\s*>")
+_GT_OR_QUOTE = re.compile(r"[>\"']")
 
 
 class LogEntry:
@@ -147,9 +159,9 @@ class _Parser:
     # Nodes carry source OFFSETS; (line, col) is derived lazily only when a
     # diagnostic is emitted or an export asks for it — per-event newline
     # arithmetic and a tuple allocation per node were ~10% of parse time.
-    def update(self, index: int) -> None:
-        self.caret = index
-
+    # (The reference's ``update`` slot is the plain ``self.caret = x``
+    # assignment inlined at every consume site — a method call per consume
+    # event was ~8% of parse time.)
     def linecol(self, off: int) -> tuple[int, int]:
         """(1-based line, col) of a source offset; lazy newline index so
         the O(n) scan happens at most once per document, only on the
@@ -175,34 +187,60 @@ class _Parser:
     # -- main loop (reference `parser.py:385-410`) -------------------------
     def run(self) -> None:
         text, n = self.text, self.end
-        while self.caret < n:
-            m = _SPECIAL.search(text, self.caret)
+        search = _SPECIAL.search
+        ent_match = _ENTITY.match
+        tag_match = _TAG_NAME.match
+        stack = self.stack
+        caret = self.caret
+        while caret < n:
+            m = search(text, caret)
             if m is None:
-                self.emit_text(self.caret, n)
-                self.update(n)
+                if n > caret:
+                    stack[-1].append_text(text[caret:n], caret, n)
+                caret = n
                 break
             i = m.start()
-            self.emit_text(self.caret, i)
-            self.update(i)
+            if i > caret:
+                stack[-1].append_text(text[caret:i], caret, i)
             if text[i] == "&":
-                self._entity(i)
+                # entity path inlined (one markup event per '&')
+                em = ent_match(text, i)
+                if em is None:
+                    stack[-1].append_text("&", i, i + 1)
+                    caret = i + 1
+                else:
+                    j = em.end()
+                    node = Entity(text[i:j], i, j)
+                    node.pos = i
+                    top = stack[-1]
+                    node.parent = top
+                    top.children.append(node)
+                    caret = j
             else:
-                self._markup(i)
+                # tag dispatch inlined (start/end tags are ~95% of markup
+                # events; bang/PI constructs take the _markup slow path)
+                tm = tag_match(text, i)
+                if tm is not None:
+                    self.caret = i
+                    if tm.group(1):
+                        self._close_tag(i, tm)
+                    else:
+                        self._open_tag(i, tm)
+                    caret = self.caret
+                else:
+                    nxt = text[i + 1: i + 2]
+                    if nxt == "!" or nxt == "?":
+                        self.caret = i
+                        self._markup(i)
+                        caret = self.caret
+                    else:
+                        stack[-1].append_text("<", i, i + 1)
+                        caret = i + 1
+        self.caret = caret
         # EOF sweep: E100 per unclosed node, outermost first
         # (reference `parser.py:408-410`).
-        for node in self.stack[1:]:
+        for node in stack[1:]:
             self.msg("E100", node.pos, (node.name,))
-
-    def _entity(self, i: int) -> None:
-        m = _ENTITY.match(self.text, i)
-        if m is None:
-            self.stack[-1].append_text("&", i, i + 1)
-            self.update(i + 1)
-            return
-        node = Entity(m.group(0), i, m.end())
-        node.pos = i
-        self.stack[-1].append_child(node)
-        self.update(m.end())
 
     # -- markup dispatch ----------------------------------------------------
     def _markup(self, i: int) -> None:
@@ -227,7 +265,7 @@ class _Parser:
         # '<' that opens nothing: plain text (reference fallback,
         # `parser.py:348-349` advances one char).
         self.stack[-1].append_text("<", i, i + 1)
-        self.update(i + 1)
+        self.caret = i + 1
 
     # -- constructs ----------------------------------------------------------
     def _comment(self, i: int) -> None:
@@ -238,12 +276,12 @@ class _Parser:
             node.pos = pos
             self.stack[-1].append_child(node)
             self.msg("E100", pos, ("#comment",))
-            self.update(self.end)
+            self.caret = self.end
             return
         node = Comment(self.text[i + 4: j])
         node.pos = pos
         self.stack[-1].append_child(node)
-        self.update(j + 3)
+        self.caret = j + 3
 
     def _bogus_comment(self, i: int) -> None:
         # "<!" that is not comment/doctype/CDATA: consume to '>' as a
@@ -255,24 +293,24 @@ class _Parser:
             node = Comment(self.text[i + 2:])
             node.pos = pos
             self.stack[-1].append_child(node)
-            self.update(self.end)
+            self.caret = self.end
             return
         node = Comment(self.text[i + 2: j])
         node.pos = pos
         self.stack[-1].append_child(node)
-        self.update(j + 1)
+        self.caret = j + 1
 
     def _doctype(self, i: int) -> None:
         j = self.text.find(">", i + 9)
         pos = i
         if j == -1:
             self.msg("E100", pos, ("#doctype",))
-            self.update(self.end)
+            self.caret = self.end
             return
         node = DocumentType(self.text[i + 9: j].strip())
         node.pos = pos
         self.stack[-1].append_child(node)
-        self.update(j + 1)
+        self.caret = j + 1
 
     def _cdata(self, i: int) -> None:
         j = self.text.find("]]>", i + 9)
@@ -282,98 +320,118 @@ class _Parser:
             node = CData(self.text[i + 9:])
             node.pos = pos
             self.stack[-1].append_child(node)
-            self.update(self.end)
+            self.caret = self.end
             return
         node = CData(self.text[i + 9: j])
         node.pos = pos
         self.stack[-1].append_child(node)
-        self.update(j + 3)
+        self.caret = j + 3
 
     def _pi(self, i: int) -> None:
         pos = i
         j = self.text.find("?>", i + 2)
         if j == -1:
             self.msg("E100", pos, ("#pi",))
-            self.update(self.end)
+            self.caret = self.end
             return
         body = self.text[i + 2: j]
         target, _, data = body.partition(" ")
         node = ProcessingInstruction(target or "pi", data)
         node.pos = pos
         self.stack[-1].append_child(node)
-        self.update(j + 2)
+        self.caret = j + 2
 
     def _find_tag_end(self, i: int) -> int:
         """Index of the closing '>' of a start tag, honoring quoted
         attribute values; -1 if unterminated."""
-        text, n = self.text, self.end
-        # fast path (vast majority of tags): no quote before the next '>',
-        # so that '>' cannot be inside an attribute value — all C-level
-        gt = text.find(">", i)
-        if gt == -1:
-            pass  # fall through to the careful scan (quotes may span EOF)
-        else:
-            seg = text[i:gt]
-            if '"' not in seg and "'" not in seg:
-                return gt
-        while i < n:
-            c = text[i]
+        text = self.text
+        # quote-jump scan: each step is one C-level regex search for the
+        # next '>' / quote, then a C-level find for the matching quote —
+        # iterations = number of quoted values, never per-character
+        search = _GT_OR_QUOTE.search
+        while True:
+            mq = search(text, i)
+            if mq is None:
+                return -1
+            j = mq.start()
+            c = text[j]
             if c == ">":
-                return i
-            if c == '"' or c == "'":
-                j = text.find(c, i + 1)
-                if j == -1:
-                    return -1
-                i = j + 1
-            else:
-                i += 1
-        return -1
+                return j
+            k = text.find(c, j + 1)
+            if k == -1:
+                return -1
+            i = k + 1
 
     def _open_tag(self, i: int, m: "re.Match[str]") -> None:
-        name = m.group(2).lower()
+        raw_name = m.group(2)
+        name = _LC_CACHE.get(raw_name)
+        if name is None:
+            name = raw_name.lower()
+            if len(_LC_CACHE) < _LC_CACHE_MAX:
+                _LC_CACHE[raw_name] = name
         pos = i
-        gt = self._find_tag_end(m.end())
+        e = m.end()
+        text = self.text
+        # fast tag-end inline: no quote before the next '>' (bounded
+        # C-level finds); quoted tags take the careful-scan method
+        gt = text.find(">", e)
+        if gt == -1 or text.find('"', e, gt) != -1 or text.find("'", e, gt) != -1:
+            gt = self._find_tag_end(e)
         if gt == -1:
             # Unterminated tag: consume '<' as text (recovery; W102).
             self.msg("W102", pos)
             self.stack[-1].append_text("<", i, i + 1)
-            self.update(i + 1)
+            self.caret = i + 1
             return
-        raw_attrs = self.text[m.end(): gt]
-        self_close = raw_attrs.endswith("/")
-        if self_close:
-            raw_attrs = raw_attrs[:-1]
         attrs: dict[str, str] = {}
-        if raw_attrs and not raw_attrs.isspace():
-            for am in _ATTR.finditer(raw_attrs):
-                key = am.group(1).lower()
-                if key not in attrs:  # first occurrence wins, order preserved
-                    val = am.group(2)
-                    if val is None:
-                        val = am.group(3)
-                    if val is None:
-                        val = am.group(4)
-                    attrs[key] = val if val is not None else ""
+        self_close = False
+        if gt > e:  # the bare "<p>" case skips all attr work
+            end_attrs = gt
+            if text[gt - 1] == "/":
+                self_close = True
+                end_attrs = gt - 1
+            if end_attrs > e:
+                raw_attrs = text[e:end_attrs]
+                cached = _ATTRS_CACHE.get(raw_attrs)
+                if cached is not None:
+                    attrs = dict(cached)
+                else:
+                    if not raw_attrs.isspace():
+                        for am in _ATTR.finditer(raw_attrs):
+                            key = am.group(1).lower()
+                            if key not in attrs:  # first occurrence wins
+                                g2, g3, g4 = am.group(2, 3, 4)
+                                attrs[key] = (g2 if g2 is not None else
+                                              g3 if g3 is not None else
+                                              g4 if g4 is not None else "")
+                    if len(_ATTRS_CACHE) < _ATTRS_CACHE_MAX:
+                        _ATTRS_CACHE[raw_attrs] = dict(attrs)
 
         # Implied end tags: silently close (Okay per ref doc example,
-        # `parser.py:445-446`).
+        # `parser.py:445-446`).  Popped elements need no normalize: the
+        # build path merges adjacent text and never appends empty Text,
+        # so parse-time normalize is a provable no-op (the converter
+        # re-normalizes every element it rewrites anyway).
         stack = self.stack
         while len(stack) > 1 and name in IMPLIED_END.get(stack[-1].name, ()):
-            stack.pop().normalize()
+            stack.pop()
 
+        top = stack[-1]
         if name in VOID_ELEMENTS:
             node = Void(name, attrs)
             node.pos = pos
-            stack[-1].append_child(node)
-            self.update(gt + 1)
+            node.parent = top
+            top.children.append(node)
+            self.caret = gt + 1
             return
         if name in RAWTEXT_ELEMENTS:
-            self.update(gt + 1)
+            self.caret = gt + 1
             return self._rawtext(name, attrs, pos, gt + 1)
         node = Element(name, attrs)
         node.pos = pos
-        stack[-1].append_child(node)
-        self.update(gt + 1)
+        node.parent = top
+        top.children.append(node)
+        self.caret = gt + 1
         if not self_close:  # empty-element protocol: ref `parser.py:328-329`
             stack.append(node)
 
@@ -389,22 +447,27 @@ class _Parser:
             node.pos = pos
             self.stack[-1].append_child(node)
             self.msg("E100", pos, (name,))
-            self.update(self.end)
+            self.caret = self.end
             return
         node = RawText(name, attrs, self.text[body_start: j])
         node.pos = pos
         self.stack[-1].append_child(node)
         wm = _WS_GT.match(self.text, j + 2 + len(name))
-        self.update(wm.end() if wm else j + 2 + len(name))
+        self.caret = wm.end() if wm else j + 2 + len(name)
 
     def _close_tag(self, i: int, m: "re.Match[str]") -> None:
-        name = m.group(2).lower()
+        raw_name = m.group(2)
+        name = _LC_CACHE.get(raw_name)
+        if name is None:
+            name = raw_name.lower()
+            if len(_LC_CACHE) < _LC_CACHE_MAX:
+                _LC_CACHE[raw_name] = name
         gt = self.text.find(">", m.end())
         close_pos = i
         if gt == -1:
             self.msg("W102", close_pos)
             self.stack[-1].append_text("<", i, i + 1)
-            self.update(i + 1)
+            self.caret = i + 1
             return
         stack = self.stack
         # Innermost-first match (reference `parser.py:357-383`): find the
@@ -417,7 +480,7 @@ class _Parser:
                 break
         if depth == -1:
             self.msg("W101", close_pos, (name,))
-            self.update(gt + 1)
+            self.caret = gt + 1
             return
         silent = SILENT_CONTAINER.get(name, ())
         for k in range(len(stack) - 1, depth, -1):
@@ -425,9 +488,9 @@ class _Parser:
             if forced.name not in silent:
                 cl, cc = self.linecol(close_pos)
                 self.msg("W100", forced.pos, (forced.name, cl, cc))
-            stack.pop().normalize()
-        stack.pop().normalize()
-        self.update(gt + 1)
+            stack.pop()
+        stack.pop()
+        self.caret = gt + 1
 
 
 def parse_html(text: str, uri: str = "") -> tuple[Document, list[LogEntry]]:

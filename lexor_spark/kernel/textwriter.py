@@ -150,49 +150,57 @@ def write_text(root: Element) -> tuple[str, list[Span]]:
     hostile nesting depth."""
     tb = _TextBuilder()
     spans: list[Span] = []
-    # Stack of (node, path, is_close_event, in_pre)
-    stack: list[tuple] = [(root, "", False, root.name == "pre")]
+    add_inline = tb.add_inline
+    request_break = tb.request_break
+    span_append = spans.append
+    block_level = _BLOCK_LEVEL.get
+    # Stack items: (node, path, in_pre) visit events, or (None, level, 0)
+    # close events with level<0 meaning a cell-space boundary.  Close
+    # events are pushed only for elements whose close *does* something —
+    # inline elements close silently, so they skip the event entirely.
+    stack: list[tuple] = [(root, "", root.name == "pre")]
     while stack:
-        node, path, closing, in_pre = stack.pop()
-        if closing:
-            level = _BLOCK_LEVEL.get(node.name, 0)
-            if level:
-                tb.request_break(level)
-            elif node.name in _CELL_TAGS:
+        node, path, in_pre = stack.pop()
+        if node is None:  # close event; path carries the break level
+            if path < 0:
                 tb.add_space()
+            else:
+                request_break(path)
             continue
         cls = type(node)
         if cls is Text:
             if in_pre:
                 if tb.add_verbatim(node.data) and node.start >= 0:
-                    spans.append(Span(node.start, node.end, path))
+                    span_append(Span(node.start, node.end, path))
             else:
-                if tb.add_inline(node.data) and node.start >= 0:
-                    spans.append(Span(node.start, node.end, path))
+                if add_inline(node.data) and node.start >= 0:
+                    span_append(Span(node.start, node.end, path))
             continue
         if cls is Entity:
             decoded = _html.unescape(node.data)
-            if tb.add_inline(decoded) and node.start >= 0:
-                spans.append(Span(node.start, node.end, path))
+            if add_inline(decoded) and node.start >= 0:
+                span_append(Span(node.start, node.end, path))
             continue
         if cls is Void:
             if node.name == "br":
-                tb.request_break(_LINE)
+                request_break(_LINE)
             elif node.name == "hr":
-                tb.request_break(_PARA)
+                request_break(_PARA)
             continue
         if cls is RawText:
             continue  # script/style bodies never reach output
         if not isinstance(node, Element):
             continue
         name = node.name
-        level = _BLOCK_LEVEL.get(name, 0)
+        level = block_level(name, 0)
         if level:
-            tb.request_break(level)
+            request_break(level)
+            stack.append((None, level, 0))
+        elif name in _CELL_TAGS:
+            stack.append((None, -1, 0))
         child_path = path + "/" + name if path else name
         child_pre = in_pre or name == "pre"
-        # push close event, then children in reverse so they pop in order
-        stack.append((node, path, True, in_pre))
+        # children in reverse so they pop in document order
         for child in reversed(node.children):
-            stack.append((child, child_path, False, child_pre))
+            stack.append((child, child_path, child_pre))
     return tb.result(), spans
