@@ -183,6 +183,9 @@ def _flatten_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
 
     from lexor_spark.kernel.dom import CharacterData, Element, dispose
     from lexor_spark.kernel.htmlparser import parse_html
+    # save/restore (not blind enable): the outer task context may itself
+    # run with the collector off
+    gc_was_enabled = gc.isenabled()
     gc.disable()
     try:
         for batch in batches:
@@ -190,48 +193,58 @@ def _flatten_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
             htmls = batch.column("html").to_pylist()
             cols: dict[str, list] = {n: [] for n in _NODES_ARROW.names}
             for url, html in zip(urls, htmls):
+                doc = None
+                mark = len(cols["url"])  # rollback point: a mid-walk
+                # exception must not leave ragged column lists
                 try:
                     text = bytes(html or b"").decode("utf-8", errors="replace")
                     doc, _ = parse_html(text, url)
-                except Exception:
-                    continue
-                # node.pos is a source offset; derive (line, col) in bulk
-                # from one newline index per document
-                nls = [k for k, ch in enumerate(text) if ch == "\n"]
+                    # node.pos is a source offset; derive (line, col) in
+                    # bulk from one newline index per document
+                    nls = [k for k, ch in enumerate(text) if ch == "\n"]
 
-                def _lc(off: int) -> tuple[int, int]:
-                    if off < 0:
-                        return (0, 0)
-                    idx = bisect_left(nls, off)
-                    prev = nls[idx - 1] if idx else -1
-                    return (idx + 1, off - prev)
-                # preorder DFS ⇒ a parent is always numbered before its
-                # children; node_id = visit order
-                ids: dict[int, int] = {}
-                for nid, node in enumerate(doc.iter()):
-                    ids[id(node)] = nid
-                    parent = node.parent
-                    pid = ids[id(parent)] if parent is not None else -1
-                    is_el = isinstance(node, Element)
-                    cols["url"].append(url)
-                    cols["node_id"].append(nid)
-                    cols["parent_id"].append(pid)
-                    cols["name"].append(node.name)
-                    cols["kind"].append(type(node).__name__)
-                    cols["n_attrs"].append(len(node.attrs) if is_el else 0)
-                    cols["class"].append(node.attrs.get("class") if is_el else None)
-                    cols["id"].append(node.attrs.get("id") if is_el else None)
-                    data = node.data if isinstance(node, CharacterData) else None
-                    cols["data_prefix"].append(data[:64] if data else None)
-                    line, col = _lc(node.pos)
-                    cols["line"].append(line)
-                    cols["col"].append(col)
-                dispose(doc)
+                    def _lc(off: int) -> tuple[int, int]:
+                        if off < 0:
+                            return (0, 0)
+                        idx = bisect_left(nls, off)
+                        prev = nls[idx - 1] if idx else -1
+                        return (idx + 1, off - prev)
+                    # preorder DFS ⇒ a parent is always numbered before
+                    # its children; node_id = visit order
+                    ids: dict[int, int] = {}
+                    for nid, node in enumerate(doc.iter()):
+                        ids[id(node)] = nid
+                        parent = node.parent
+                        pid = ids[id(parent)] if parent is not None else -1
+                        is_el = isinstance(node, Element)
+                        cols["url"].append(url)
+                        cols["node_id"].append(nid)
+                        cols["parent_id"].append(pid)
+                        cols["name"].append(node.name)
+                        cols["kind"].append(type(node).__name__)
+                        cols["n_attrs"].append(len(node.attrs) if is_el else 0)
+                        cols["class"].append(node.attrs.get("class") if is_el else None)
+                        cols["id"].append(node.attrs.get("id") if is_el else None)
+                        data = node.data if isinstance(node, CharacterData) else None
+                        cols["data_prefix"].append(data[:64] if data else None)
+                        line, col = _lc(node.pos)
+                        cols["line"].append(line)
+                        cols["col"].append(col)
+                except Exception:
+                    for lst in cols.values():
+                        del lst[mark:]
+                    continue
+                finally:
+                    # dispose on every path: with the cyclic GC off, an
+                    # undisposed tree never frees
+                    if doc is not None:
+                        dispose(doc)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[n], type=_NODES_ARROW.field(n).type)
                  for n in _NODES_ARROW.names], schema=_NODES_ARROW)
     finally:
-        gc.enable()
+        if gc_was_enabled:
+            gc.enable()
 
 
 def export_nodes(pages: DataFrame, salt_buckets: int = 256,
@@ -266,6 +279,7 @@ def _normalize_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
     from lexor_spark.kernel.dom import dispose
     from lexor_spark.kernel.htmlparser import parse_html
     from lexor_spark.kernel.htmlwriter import write_html
+    gc_was_enabled = gc.isenabled()
     gc.disable()
     try:
         for batch in batches:
@@ -274,12 +288,15 @@ def _normalize_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
             cols: dict[str, list] = {n: [] for n in _NORM_ARROW.names}
             for url, html in zip(urls, htmls):
                 raw = bytes(html or b"")
+                doc = None
                 try:
                     doc, _ = parse_html(raw.decode("utf-8", errors="replace"), url)
                     norm = write_html(doc)
-                    dispose(doc)
                 except Exception:
                     norm = ""
+                finally:
+                    if doc is not None:
+                        dispose(doc)
                 cols["url"].append(url)
                 cols["norm_html"].append(norm)
                 cols["n_in"].append(len(raw))
@@ -288,7 +305,8 @@ def _normalize_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
                 [pa.array(cols[n], type=_NORM_ARROW.field(n).type)
                  for n in _NORM_ARROW.names], schema=_NORM_ARROW)
     finally:
-        gc.enable()
+        if gc_was_enabled:
+            gc.enable()
 
 
 def normalize_html(pages: DataFrame, salt_buckets: int = 256,
@@ -322,6 +340,7 @@ def _markdown_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
     from lexor_spark.kernel.dom import dispose
     from lexor_spark.kernel.htmlparser import parse_html
     from lexor_spark.kernel.mdwriter import write_markdown
+    gc_was_enabled = gc.isenabled()
     gc.disable()
     try:
         for batch in batches:
@@ -330,13 +349,16 @@ def _markdown_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
             cols: dict[str, list] = {n: [] for n in _MD_ARROW.names}
             for url, html in zip(urls, htmls):
                 ok = True
+                doc = None
                 try:
                     doc, _ = parse_html(
                         bytes(html or b"").decode("utf-8", errors="replace"), url)
                     text = write_markdown(doc)
-                    dispose(doc)
                 except Exception:
                     text, ok = "", False
+                finally:
+                    if doc is not None:
+                        dispose(doc)
                 cols["url"].append(url)
                 cols["markdown"].append(text)
                 cols["n_chars"].append(len(text))
@@ -345,7 +367,8 @@ def _markdown_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
                 [pa.array(cols[n], type=_MD_ARROW.field(n).type)
                  for n in _MD_ARROW.names], schema=_MD_ARROW)
     finally:
-        gc.enable()
+        if gc_was_enabled:
+            gc.enable()
 
 
 def convert_markdown(pages: DataFrame, salt_buckets: int = 256,

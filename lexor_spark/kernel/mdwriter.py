@@ -9,10 +9,22 @@ modal emission, `writer.py:233-346`) follows the reference.
 
 Mapping (CommonMark-flavored):
   h1..h6 → ``#``·n;  p/div/... → paragraphs;  b/strong → ``**``;
-  i/em → ``*``;  code → backticks;  pre → fenced block;  a →
-  ``[text](href)``;  img → ``![alt](src)``;  ul/li → ``- ``; ol/li →
-  ``1.``-style; blockquote → ``> `` prefix; hr → ``---``; br → hard
-  break (two-space newline).  script/style/comments/PIs are dropped.
+  i/em → ``*``;  code → backticks (contents verbatim, no escaping);
+  pre → fenced block;  a → ``[text](href)``;  img → ``![alt](src)``;
+  ul/li → ``- `` (tight: items joined by one newline);  ol/li →
+  ``1.``-style;  nested lists indent under their parent item's marker;
+  blockquote → ``> `` line prefix (compositional: applied to every block
+  produced inside the quote, so quotes nest and mix with lists/tables);
+  table/tr/td/th → GitHub pipe tables with a ``---`` separator under the
+  header row;  hr → ``---``;  br → hard break (two-space newline).
+  script/style/comments/PIs are dropped.
+
+Engine shape: an iterative event walk (hostile nesting depth — no
+recursion) over a FRAME STACK.  A frame is an isolated (blocks, inline)
+accumulation scope; ``li``/``a``/``td``/``tr`` push frames so that
+nested block elements inside them compose into the item instead of
+splitting the surrounding buffer (the round-1 defect), and markers /
+link syntax are applied to the *assembled* content on frame close.
 
 Runs on the PARSED tree (full fidelity), not the extraction-converted
 tree — inline markup that extraction unwraps must survive conversion."""
@@ -30,69 +42,121 @@ __all__ = ["write_markdown"]
 
 _WS = re.compile(r"\s+")
 _MD_ESCAPE = re.compile(r"([\\`*_\[\]])")
+_LIST_ITEM = re.compile(r"^(?:[-*+] |\d+[.)] )")
 
 _HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 _PARA_TAGS = frozenset(
     "p div section article main header footer aside figure figcaption "
-    "address fieldset table caption dl".split())
+    "address fieldset dl".split())
 _BOLD = frozenset(("b", "strong"))
 _ITAL = frozenset(("i", "em"))
 _SKIP = frozenset(("script", "style", "head", "title", "template",
                    "noscript"))
 
 
-class _MD:
-    """Markdown emission state (block assembly + inline accumulation)."""
+class _Frame:
+    """One accumulation scope: completed blocks + the open inline run."""
 
-    __slots__ = ("blocks", "inline", "quote_depth", "list_stack")
+    __slots__ = ("blocks", "inline", "kind", "data")
 
-    def __init__(self) -> None:
+    def __init__(self, kind: str = "", data=None) -> None:
         self.blocks: list[str] = []
         self.inline: list[str] = []
-        self.quote_depth = 0
-        self.list_stack: list[tuple[str, int]] = []  # (kind, counter)
+        self.kind = kind
+        self.data = data  # frame-kind payload (marker, href, cells, ...)
+
+
+class _MD:
+    """Markdown emission state: a stack of frames."""
+
+    __slots__ = ("frames", "code_depth", "list_stack")
+
+    def __init__(self) -> None:
+        self.frames: list[_Frame] = [_Frame("root")]
+        self.code_depth = 0  # >0 → text is verbatim (code spans)
+        self.list_stack: list[tuple[str, int]] = []  # (kind, item counter)
 
     # -- inline ----------------------------------------------------------
     def text(self, s: str, verbatim: bool = False) -> None:
-        if verbatim:
-            self.inline.append(s)
+        inline = self.frames[-1].inline
+        if verbatim or self.code_depth:
+            # code-span content is literal: `a*b` must not become `a\*b`
+            inline.append(s)
             return
         collapsed = _WS.sub(" ", s)
-        if collapsed == " " and (not self.inline
-                                 or self.inline[-1].endswith((" ", "\n"))
-                                 or not self.inline[-1]):
+        if collapsed == " " and (not inline
+                                 or inline[-1].endswith((" ", "\n"))
+                                 or not inline[-1]):
             return
-        self.inline.append(_MD_ESCAPE.sub(r"\\\1", collapsed))
+        inline.append(_MD_ESCAPE.sub(r"\\\1", collapsed))
 
     def wrap(self, marker: str) -> None:
-        self.inline.append(marker)
+        self.frames[-1].inline.append(marker)
 
     # -- blocks ----------------------------------------------------------
-    def _prefix(self) -> str:
-        return "> " * self.quote_depth
-
     def flush_block(self, prefix: str = "") -> None:
-        body = "".join(self.inline).strip()
-        self.inline = []
+        top = self.frames[-1]
+        body = "".join(top.inline).strip()
+        top.inline = []
         if not body:
             return
-        self.blocks.append(self._prefix() + prefix + body)
+        top.blocks.append(prefix + body)
 
     def fenced(self, code: str) -> None:
         self.flush_block()
         code = code.strip("\n")
-        q = self._prefix()
-        lines = [q + "```"] + [q + ln for ln in code.split("\n")] + [q + "```"]
-        self.blocks.append("\n".join(lines))
+        self.frames[-1].blocks.append("```\n" + code + "\n```")
+
+    # -- frames ----------------------------------------------------------
+    def push(self, kind: str, data=None, flush: bool = True) -> None:
+        # inline frames (links) must not flush the parent's open inline
+        # run — the link belongs to the sentence it appears in
+        if flush:
+            self.flush_block()
+        self.frames.append(_Frame(kind, data))
+
+    def pop(self) -> _Frame:
+        self.flush_block()
+        return self.frames.pop()
 
     def result(self) -> str:
+        # close any frames left open by malformed input, outermost wins
+        while len(self.frames) > 1:
+            fr = self.pop()
+            self.frames[-1].blocks.extend(fr.blocks)
         self.flush_block()
-        return "\n\n".join(self.blocks)
+        return "\n\n".join(self.frames[0].blocks)
+
+
+def _indent_continuation(blocks: list[str], marker: str) -> str:
+    """Assemble a list item: the marker heads the first block; every other
+    line (continuation paragraphs, nested list lines) is indented to the
+    marker's width so it belongs to the item."""
+    pad = " " * len(marker)
+    parts: list[str] = []
+    for bi, block in enumerate(blocks):
+        lines = block.split("\n")
+        if bi == 0:
+            parts.append(marker + lines[0])
+        else:
+            # blank line before a continuation paragraph, none before a
+            # directly nested list (tight nesting)
+            if not _LIST_ITEM.match(lines[0]):
+                parts.append("")
+            parts.append(pad + lines[0])
+        parts.extend(pad + ln for ln in lines[1:])
+    return "\n".join(parts)
 
 
 def _attr(node: Element, key: str) -> str:
     v = node.attrs.get(key)
     return v if v is not None else ""
+
+
+def _cell_text(fr: _Frame) -> str:
+    parts = [b for b in fr.blocks if b]
+    body = " ".join(parts).strip()
+    return body.replace("\n", " ").replace("|", "\\|")
 
 
 def write_markdown(root: Node) -> str:
@@ -114,27 +178,64 @@ def write_markdown(root: Node) -> str:
             elif name in _ITAL:
                 md.wrap("*")
             elif name == "code":
+                md.code_depth -= 1
                 md.wrap("`")
             elif name == "a":
-                href = _attr(node, "href")
-                md.wrap(f"]({href})" if href else "]")
+                fr = md.pop()
+                if fr.kind == "a":  # guard against stray close
+                    href = _attr(node, "href")
+                    body = " ".join(b for b in fr.blocks if b).strip()
+                    md.wrap("[" + body + (f"]({href})" if href else "]"))
             elif name == "li":
-                kind, counter = md.list_stack[-1] if md.list_stack else ("ul", 0)
-                indent = "  " * (len(md.list_stack) - 1) if md.list_stack else ""
-                if kind == "ol":
-                    md.flush_block(f"{indent}{counter}. ")
+                fr = md.pop()
+                if md.list_stack:
+                    kind, counter = md.list_stack[-1]
+                    marker = f"{counter}. " if kind == "ol" else "- "
                 else:
-                    md.flush_block(f"{indent}- ")
+                    marker = "- "
+                if fr.blocks:
+                    md.frames[-1].blocks.append(
+                        _indent_continuation(fr.blocks, marker))
             elif name in ("ul", "ol"):
+                fr = md.pop()
                 if md.list_stack:
                     md.list_stack.pop()
+                if fr.blocks:
+                    # tight list: one block, items separated by single
+                    # newlines (each item already carries its marker)
+                    md.frames[-1].blocks.append("\n".join(fr.blocks))
             elif name == "blockquote":
-                md.flush_block()
-                md.quote_depth -= 1
+                fr = md.pop()
+                if fr.kind == "quote" and fr.blocks:
+                    quoted = [
+                        "\n".join("> " + ln for ln in b.split("\n"))
+                        for b in fr.blocks]
+                    # one quote: inner paragraphs separated by a bare '>'
+                    md.frames[-1].blocks.append("\n>\n".join(quoted))
             elif name in ("td", "th"):
-                md.wrap(" ")
+                fr = md.pop()
+                if fr.kind == "cell" and md.frames[-1].kind == "row":
+                    md.frames[-1].data.append(
+                        (_cell_text(fr), name == "th"))
             elif name == "tr":
-                md.flush_block()
+                fr = md.pop()
+                if fr.kind == "row" and md.frames[-1].kind == "table":
+                    cells = fr.data
+                    if cells:
+                        tbl = md.frames[-1].data
+                        tbl["rows"].append(
+                            "| " + " | ".join(c for c, _ in cells) + " |")
+                        if not tbl["sep_done"]:
+                            tbl["sep_done"] = True
+                            tbl["rows"].append(
+                                "|" + "|".join(" --- " for _ in cells) + "|")
+            elif name == "table":
+                fr = md.pop()
+                if fr.kind == "table":
+                    md.frames[-1].blocks.extend(b for b in fr.blocks if b)
+                    if fr.data["rows"]:
+                        md.frames[-1].blocks.append(
+                            "\n".join(fr.data["rows"]))
             continue
 
         if cls is Text:
@@ -149,7 +250,7 @@ def write_markdown(root: Node) -> str:
                 md.wrap("  \n")
             elif name == "hr":
                 md.flush_block()
-                md.blocks.append(md._prefix() + "---")
+                md.frames[-1].blocks.append("---")
             elif name == "img":
                 alt = _WS.sub(" ", _attr(node, "alt"))
                 md.wrap(f"![{alt}]({_attr(node, 'src')})")
@@ -172,7 +273,7 @@ def write_markdown(root: Node) -> str:
             md.fenced("".join(parts))
             continue
         # open-phase effects
-        if name in _HEADINGS or name in _PARA_TAGS or name == "tr":
+        if name in _HEADINGS or name in _PARA_TAGS:
             md.flush_block()
         elif name in _BOLD:
             md.wrap("**")
@@ -180,18 +281,27 @@ def write_markdown(root: Node) -> str:
             md.wrap("*")
         elif name == "code":
             md.wrap("`")
+            md.code_depth += 1
         elif name == "a":
-            md.wrap("[")
+            md.push("a", flush=False)
         elif name in ("ul", "ol"):
-            md.flush_block()
+            md.push("list")
             md.list_stack.append((name, 0))
-        elif name == "li" and md.list_stack:
-            kind, counter = md.list_stack[-1]
-            md.list_stack[-1] = (kind, counter + 1)
-            md.flush_block()
+        elif name == "li":
+            if md.list_stack:
+                kind, counter = md.list_stack[-1]
+                md.list_stack[-1] = (kind, counter + 1)
+            md.push("li")
         elif name == "blockquote":
+            md.push("quote")
+        elif name == "table":
+            md.push("table", {"rows": [], "sep_done": False})
+        elif name == "tr":
+            md.push("row", [])
+        elif name in ("td", "th"):
+            md.push("cell")
+        elif name == "caption":
             md.flush_block()
-            md.quote_depth += 1
         stack.append((node, 1))
         for child in reversed(node.children):
             stack.append((child, 0))

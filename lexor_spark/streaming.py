@@ -38,7 +38,14 @@ def stream_extract(spark: SparkSession, pages_dir: str, output_dir: str,
 
     Returns the number of micro-batches processed in this invocation.
     Safe to call repeatedly: already-committed files are skipped via the
-    checkpoint, so a second call with no new files processes nothing."""
+    checkpoint, so a second call with no new files processes nothing.
+
+    Exactly-once output: ``foreachBatch`` is at-least-once (a crash after
+    the write but before the checkpoint commit replays the micro-batch),
+    so each batch writes to its own ``batch=<id>`` subdirectory with
+    ``overwrite`` — a replay overwrites the same directory instead of
+    appending duplicates.  Readers of ``output_dir`` see the batch id as
+    a partition column (useful per-row lineage)."""
     reader = (spark.readStream.schema(PAGES_SCHEMA_HINT))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -49,7 +56,7 @@ def stream_extract(spark: SparkSession, pages_dir: str, output_dir: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_pages(batch_df, salt_buckets=salt_buckets,
                             partitions=partitions)
-        out.write.mode("append").parquet(output_dir)
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
         n_batches[0] += 1
 
     query = (pages.writeStream
@@ -91,7 +98,11 @@ def stream_crawl_metrics(spark: SparkSession, pages_dir: str,
              .trigger(availableNow=True)
              .start())
     query.awaitTermination()
-    return query.lastProgress["batchId"] if query.lastProgress else 0
+    # batches processed by THIS invocation (recentProgress is scoped to
+    # this query object) — not lastProgress['batchId'], which is a
+    # monotonically increasing id across restarts
+    return sum(1 for p in query.recentProgress
+               if (p.get("numInputRows") or 0) > 0)
 
 
 def stream_sessions(spark: SparkSession, events_dir: str, output_dir: str,
@@ -144,8 +155,11 @@ def stream_sessions(spark: SparkSession, events_dir: str, output_dir: str,
                                         GroupStateTimeout.NoTimeout))
 
     def _sink(batch_df, batch_id):
+        # idempotent per-batch directory (see stream_extract): a replayed
+        # micro-batch overwrites its own output instead of duplicating
         if batch_df.count():
-            batch_df.write.mode("append").parquet(output_dir)
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_dir}/batch={batch_id}")
 
     query = (sessions.writeStream
              .outputMode("update")

@@ -22,8 +22,24 @@ CASES = [
     ("link", '<p>see <a href="http://x.y">here</a>.</p>',
      "see [here](http://x.y)."),
     ("image", '<p><img src="i.png" alt="pic"></p>', "![pic](i.png)"),
-    ("ul", "<ul><li>one<li>two</ul>", "- one\n\n- two"),
-    ("ol", "<ol><li>first<li>second</ol>", "1. first\n\n2. second"),
+    ("ul", "<ul><li>one<li>two</ul>", "- one\n- two"),
+    ("ol", "<ol><li>first<li>second</ol>", "1. first\n2. second"),
+    ("nested-ul", "<ul><li>a<ul><li>a1<li>a2</ul><li>b</ul>",
+     "- a\n  - a1\n  - a2\n- b"),
+    ("li-paragraphs", "<ul><li><p>p1</p><p>p2</p><li>x</ul>",
+     "- p1\n\n  p2\n- x"),
+    ("code-not-escaped", "<p>run <code>a*b_[c]</code></p>",
+     "run `a*b_[c]`"),
+    ("quote-paragraphs", "<blockquote><p>p1</p><p>p2</p></blockquote>",
+     "> p1\n>\n> p2"),
+    ("quote-list", "<blockquote><ul><li>q1<li>q2</ul></blockquote>",
+     "> - q1\n> - q2"),
+    ("table", "<table><tr><th>A</th><th>B</th></tr>"
+              "<tr><td>1</td><td>2|x</td></tr></table>",
+     "| A | B |\n| --- | --- |\n| 1 | 2\\|x |"),
+    ("link-in-sentence-with-block",
+     '<ul><li>text <a href="u"><p>blocky</p> link</a> tail</ul>',
+     "- text [blocky link](u) tail"),
     ("blockquote", "<blockquote>wisdom</blockquote>", "> wisdom"),
     ("nested-quote", "<blockquote><blockquote>deep</blockquote></blockquote>",
      "> > deep"),
@@ -53,7 +69,7 @@ def test_full_page():
            "<blockquote>quoted text</blockquote>"
            "</body></html>")
     assert md(src) == ("# Doc\n\nIntro with **bold**.\n\n"
-                       "- alpha\n\n- beta\n\n> quoted text")
+                       "- alpha\n- beta\n\n> quoted text")
 
 
 def test_deterministic_and_robust():
