@@ -89,6 +89,112 @@ class Node:
             if kids:
                 stack.extend(reversed(kids))
 
+    @property
+    def owner(self) -> Optional["Document"]:
+        """The Document at the root of this node's tree, if any (the
+        reference maintains ``owner`` eagerly, `node.py:88-95`; here it
+        is derived — extraction never needs it, mutation rarely)."""
+        node: Node = self
+        while node.parent is not None:
+            node = node.parent
+        return node if isinstance(node, Document) else None
+
+    # -- mutation (reference `node.py:310-443`) ---------------------------
+    def detach(self) -> "Node":
+        """Unlink from the parent (the implicit first step of every
+        reference insert, `node.py:312-315`)."""
+        p = self.parent
+        if p is not None:
+            kids = p.children
+            for k, child in enumerate(kids):
+                if child is self:
+                    del kids[k]
+                    break
+            self.parent = None
+        return self
+
+    def append_after(self, new_child: "Node") -> None:
+        """Place ``new_child`` right after this node among its siblings
+        (reference `node.py:423-430`)."""
+        parent = self.parent
+        if parent is None:
+            raise ValueError("append_after on a parentless node")
+        parent.insert_before(self.index + 1, new_child)
+
+    def prepend_before(self, new_child: "Node") -> None:
+        """Place ``new_child`` right before this node (reference
+        `node.py:436-438`)."""
+        parent = self.parent
+        if parent is None:
+            raise ValueError("prepend_before on a parentless node")
+        parent.insert_before(self.index, new_child)
+
+    def clone_node(self, deep: bool = False, normalize: bool = True) -> "Node":
+        """Copy this node; ``deep`` clones the whole subtree (reference
+        `elements.py:353-395` — its spider-walk is replaced by an
+        explicit frame stack, recursion-free for hostile depth).  Each
+        completed element is ``normalize``d on the way up, exactly as
+        the reference does."""
+        top = _shallow_clone(self)
+        kids = getattr(self, "children", None)
+        if not deep or not kids:
+            return top
+        # frames of (source_children, next_index, dst_element)
+        frames: list[tuple] = []
+        src, i, dst = kids, 0, top
+        n = len(src)
+        while True:
+            while i < n:
+                node = src[i]
+                i += 1
+                copy = _shallow_clone(node)
+                copy.parent = dst
+                dst.children.append(copy)
+                ch = getattr(node, "children", None)
+                if ch:
+                    frames.append((src, i, dst))
+                    src, i, dst = ch, 0, copy
+                    n = len(ch)
+            if normalize and isinstance(dst, Element):
+                dst.normalize()
+            if not frames:
+                break
+            src, i, dst = frames.pop()
+            n = len(src)
+        return top
+
+
+def _shallow_clone(node: "Node") -> "Node":
+    """Type-dispatched shallow copy (reference `elements.py:353-360` plus
+    each CharacterData subclass's implicit copy contract).  Attribute
+    dicts are copied — clones must be independently mutable."""
+    cls = type(node)
+    if cls is Text:
+        return Text(node.data, node.start, node.end)
+    if cls is Entity:
+        return Entity(node.data, node.start, node.end)
+    if cls is Comment:
+        return Comment(node.data)
+    if cls is CData:
+        return CData(node.data)
+    if cls is DocumentType:
+        return DocumentType(node.data)
+    if cls is ProcessingInstruction:
+        return ProcessingInstruction(node.target, node.data)
+    if cls is RawText:
+        out = RawText(node.name, dict(node.attrs), node.data)
+    elif cls is Void:
+        out = Void(node.name, dict(node.attrs))
+    elif cls is Document:
+        out = Document(node.lang, node.uri)
+        out.meta.update(node.meta)
+    elif isinstance(node, Element):
+        out = Element(node.name, dict(node.attrs))
+    else:
+        out = cls(node.name)  # pragma: no cover - future node kinds
+    out.pos = node.pos
+    return out
+
 
 class CharacterData(Node):
     """Leaf with a string payload (reference `elements.py:17-40`)."""
@@ -204,6 +310,10 @@ class Element(Node):
 
     # -- child ops ---------------------------------------------------------
     def append_child(self, node: Node) -> None:
+        """Parser hot-path primitive: links without detaching (callers
+        hand over fresh nodes).  To MOVE a node between trees use the
+        mutation API (`insert_before`/`extend_children`/…), which
+        detaches first as the reference does (`node.py:312-315`)."""
         node.parent = self
         self.children.append(node)
 
@@ -221,6 +331,125 @@ class Element(Node):
         node = Text(data, start, end)
         node.parent = self
         kids.append(node)
+
+    def insert_before(self, index: int, new_child: Node) -> "Element":
+        """Insert ``new_child`` just before the child at ``index``
+        (reference `node.py:327-340`; prev/next/index bookkeeping is
+        unnecessary here — siblings are derived from the list)."""
+        if not isinstance(new_child, Node):
+            new_child = Text(str(new_child))
+        new_child.detach()
+        self.children.insert(index, new_child)
+        new_child.parent = self
+        return self
+
+    def extend_before(self, index: int, new_children) -> "Element":
+        """Insert several nodes before the child at ``index`` (reference
+        `node.py:342-374`).  Accepts a list of nodes or an Element /
+        Document fragment, whose children are *drained* into this node;
+        a Document's ``meta`` is folded into this tree's owner document
+        (the reference's temporary-fragment rule, `node.py:355-360`)."""
+        for node in self._drain(new_children):
+            node.detach()
+            self.children.insert(index, node)
+            node.parent = self
+            index += 1
+        return self
+
+    def extend_children(self, new_children) -> "Element":
+        """Append several nodes (reference `node.py:401-421`); same
+        fragment/meta semantics as :meth:`extend_before`."""
+        for node in self._drain(new_children):
+            node.detach()
+            node.parent = self
+            self.children.append(node)
+        return self
+
+    def _drain(self, new_children) -> list[Node]:
+        if isinstance(new_children, Element):
+            if isinstance(new_children, Document):
+                owner = self.owner
+                if owner is not None:
+                    owner.meta.update(new_children.meta)
+                    new_children.meta = {}
+            drained = new_children.children
+            new_children.children = []
+            for node in drained:
+                node.parent = None
+            return drained
+        return list(new_children)
+
+    def contains(self, obj: Node) -> bool:
+        """True when ``obj`` is a strict descendant of this element
+        (reference `elements.py:293-302`; the level counter is gone, so
+        this climbs the parent chain instead)."""
+        node = obj.parent
+        while node is not None:
+            if node is self:
+                return True
+            node = node.parent
+        return False
+
+    # -- child get/del/set (reference `node.py:481-573`) -------------------
+    def __len__(self) -> int:
+        return len(self.children)
+
+    def __getitem__(self, i):
+        return self.children[i]
+
+    def __delitem__(self, i) -> None:
+        gone = self.children[i]
+        if isinstance(i, slice):
+            for node in gone:
+                node.parent = None
+        else:
+            gone.parent = None
+        del self.children[i]
+
+    def __setitem__(self, i, value) -> None:
+        if isinstance(i, slice):
+            nodes = list(value)
+            old = self.children[i]
+            if len(old) != len(nodes) and i.step is not None:
+                raise ValueError(
+                    f"attempt to assign sequence of size {len(nodes)} to "
+                    f"extended slice of size {len(old)}")
+            for node in nodes:
+                if node is self:
+                    raise TypeError("A node cannot have itself as a child.")
+                node.detach()
+            for node in old:
+                node.parent = None
+            self.children[i] = nodes
+            for node in nodes:
+                node.parent = self
+        else:
+            if not isinstance(value, Node):
+                raise TypeError("items must be Nodes")
+            if value is self:
+                raise TypeError("A node cannot have itself as a child.")
+            value.detach()
+            self.children[i].parent = None
+            self.children[i] = value
+            value.parent = self
+
+    # -- innerHTML (reference `elements.py:431-481`) ------------------------
+    def inner_html(self) -> str:
+        """Serialize the children to HTML markup (the getter half of the
+        reference's ``children()`` dual-role method)."""
+        from lexor_spark.kernel.htmlwriter import write_html
+        return "".join(write_html(c) for c in self.children)
+
+    def set_inner_html(self, markup: str) -> "Element":
+        """Replace the children with the parse of ``markup`` (the setter
+        half; parse diagnostics are discarded, as the reference's
+        inline-parse path does)."""
+        from lexor_spark.kernel.htmlparser import parse_html
+        doc, _ = parse_html(markup)
+        for node in self.children:
+            node.parent = None
+        self.children = []
+        return self.extend_children(doc)
 
     def normalize(self) -> "Element":
         """Drop empty Text children; merge adjacent Text runs

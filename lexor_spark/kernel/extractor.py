@@ -29,11 +29,12 @@ from lexor_spark.kernel.dom import (
 )
 
 __all__ = [
-    "COPY", "UNWRAP", "DROP", "convert", "extraction_decide", "select_main",
-    "collect_meta", "DROP_TAGS", "UNWRAP_TAGS", "BOILERPLATE_RE",
+    "COPY", "UNWRAP", "DROP", "REPLACE", "convert", "extraction_decide",
+    "select_main", "collect_meta", "DROP_TAGS", "UNWRAP_TAGS",
+    "BOILERPLATE_RE",
 ]
 
-COPY, UNWRAP, DROP = 0, 1, 2
+COPY, UNWRAP, DROP, REPLACE = 0, 1, 2, 3
 
 # Subtrees that never contain main content (converter rules with copy=False
 # in reference terms, `converter.py:49-56`).
@@ -102,7 +103,10 @@ def extraction_decide(node: Node) -> int:
 
 
 def convert(doc: Document,
-            decide: Callable[[Node], int] = extraction_decide) -> Document:
+            decide: Callable[[Node], int] = extraction_decide,
+            replacer: Optional[Callable[[Node], object]] = None,
+            end_hook: Optional[Callable[[Node, Element], object]] = None,
+            ) -> Document:
     """Rewrite ``doc`` into a new tree per the rule-set.
 
     Iterative DFS (the reference is iterative for the same reason:
@@ -110,17 +114,34 @@ def convert(doc: Document,
     completed element is ``normalize``d on the way up exactly as the
     reference does (`converter.py:362`).
 
+    Node replacement (the reference NodeConverter protocol,
+    `converter.py:52-76`):
+
+    * ``decide`` returning :data:`REPLACE` calls ``replacer(src_node)``;
+      its result (a Node, a list of Nodes, or None) is spliced into the
+      output in place of the node's subtree — e.g. an ``<img>`` becomes
+      its alt-text Text node.
+    * ``end_hook(src_element, dst_element)``, when given, is called
+      after an element's children have been converted (the reference's
+      ``end()`` slot, `converter.py:65-76`); returning a Node or list
+      replaces the completed element in the output.
+
     The default rule-set runs fused into the loop (no per-node call into
     :func:`extraction_decide` and no double ``type()`` dispatch — the
-    rule call was ~5% of kernel time); a custom ``decide`` takes the
-    generic path with identical semantics."""
-    fused = decide is extraction_decide
+    rule call was ~5% of kernel time); custom rules take the generic
+    path with identical semantics."""
+    fused = decide is extraction_decide and replacer is None \
+        and end_hook is None
     out = Document(doc.lang, doc.uri)
     out.meta.update(doc.meta)
-    # Saved frames hold (source_children, resume_index, dst_element); the
-    # current frame lives in locals so the per-node loop touches no list.
+    # Saved frames hold (source_children, resume_index, dst_element,
+    # completing_pair); the current frame lives in locals so the
+    # per-node loop touches no list.  ``completing`` is the (src, dst)
+    # element pair this level is filling — None for UNWRAP levels, whose
+    # exhaustion completes no element.
     frames: list[tuple] = []
     kids, i, dst = doc.children, 0, out
+    completing: Optional[tuple] = None
     n = len(kids)
     while True:
         while i < n:
@@ -154,6 +175,15 @@ def convert(doc: Document,
                 d = decide(node)
                 if d == DROP:
                     continue
+                if d == REPLACE:
+                    rep = replacer(node) if replacer is not None else None
+                    if rep is not None:
+                        for r in (rep if isinstance(rep, list) else [rep]):
+                            if type(r) is Text:
+                                dst.append_text(r.data, r.start, r.end)
+                            else:
+                                dst.append_child(r)
+                    continue
                 if cls is Text:
                     dst.append_text(node.data, node.start, node.end)
                     continue
@@ -164,8 +194,9 @@ def convert(doc: Document,
             if d == UNWRAP:
                 ch = node.children
                 if ch:
-                    frames.append((kids, i, dst))
+                    frames.append((kids, i, dst, completing))
                     kids, i, n = ch, 0, len(ch)
+                    completing = None
             elif cls is Void:
                 # attrs dict is shared, not copied: the converted tree never
                 # mutates attrs, and the source tree is disposed right after
@@ -178,17 +209,42 @@ def convert(doc: Document,
                 dst.append_child(el)
                 ch = node.children
                 if ch:
-                    frames.append((kids, i, dst))
+                    frames.append((kids, i, dst, completing))
                     kids, i, dst = ch, 0, el
                     n = len(ch)
+                    completing = (node, el)
                 else:
                     el.normalize()
+                    if end_hook is not None:
+                        _apply_end_hook(end_hook, node, el, dst)
         dst.normalize()
+        if completing is not None and end_hook is not None:
+            src_el, dst_el = completing
+            parent = dst_el.parent
+            if parent is not None:
+                _apply_end_hook(end_hook, src_el, dst_el, parent)
         if not frames:
             break
-        kids, i, dst = frames.pop()
+        kids, i, dst, completing = frames.pop()
         n = len(kids)
     return out
+
+
+def _apply_end_hook(end_hook, src_el: Node, dst_el: Element,
+                    parent: Element) -> None:
+    """Run the reference ``end()`` slot: a non-None return replaces the
+    just-completed element (always the last child of ``parent`` at this
+    point in the walk) in the output tree."""
+    rep = end_hook(src_el, dst_el)
+    if rep is None or rep is dst_el:
+        return
+    del parent.children[-1]
+    dst_el.parent = None
+    for r in (rep if isinstance(rep, list) else [rep]):
+        if type(r) is Text:
+            parent.append_text(r.data, r.start, r.end)
+        else:
+            parent.append_child(r)
 
 
 _WS = re.compile(r"\s+")
