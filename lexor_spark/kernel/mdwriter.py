@@ -119,13 +119,16 @@ class _MD:
         self.flush_block()
         return self.frames.pop()
 
-    def result(self) -> str:
+    def result(self, width: int = None) -> str:
         # close any frames left open by malformed input, outermost wins
         while len(self.frames) > 1:
             fr = self.pop()
             self.frames[-1].blocks.extend(fr.blocks)
         self.flush_block()
-        return "\n\n".join(self.frames[0].blocks)
+        blocks = self.frames[0].blocks
+        if width is not None:
+            blocks = [_wrap_block(b, width) for b in blocks]
+        return "\n\n".join(blocks)
 
 
 def _indent_continuation(blocks: list[str], marker: str) -> str:
@@ -159,8 +162,28 @@ def _cell_text(fr: _Frame) -> str:
     return body.replace("\n", " ").replace("|", "\\|")
 
 
-def write_markdown(root: Node) -> str:
-    """Convert a parsed DOM (sub)tree to Markdown text."""
+_STRUCTURAL = re.compile(r"^(?:#{1,6} |[-*+] |\d+[.)] |> |\||```|---$)")
+
+
+def _wrap_block(block: str, width: int) -> str:
+    """Wrap one plain paragraph via the W5 engine; structural blocks
+    (headings, lists, quotes, tables, fences, rules) pass through —
+    their line structure is syntax."""
+    if "\n" in block or _STRUCTURAL.match(block):
+        return block
+    from lexor_spark.kernel.wrapwriter import WrapWriter
+    ww = WrapWriter(width=width)
+    ww.enable_wrap()
+    ww.write(block)
+    return ww.getvalue()
+
+
+def write_markdown(root: Node, width: int = None) -> str:
+    """Convert a parsed DOM (sub)tree to Markdown text.
+
+    ``width`` switches on W5 paragraph wrapping (reference
+    `writer.py:233-346`); block constructs whose newlines are syntax
+    are never re-wrapped."""
     md = _MD()
     # events: (node, phase) — 0 = open, 1 = close
     stack: list[tuple[Node, int]] = [(root, 0)]
@@ -305,4 +328,4 @@ def write_markdown(root: Node) -> str:
         stack.append((node, 1))
         for child in reversed(node.children):
             stack.append((child, 0))
-    return md.result()
+    return md.result(width)

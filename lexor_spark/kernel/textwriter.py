@@ -70,13 +70,18 @@ class Span:
 class _TextBuilder:
     """Pending-break text accumulator (the writer buffer engine)."""
 
-    __slots__ = ("parts", "pending", "has_content", "trailing_space")
+    __slots__ = ("parts", "pending", "has_content", "trailing_space",
+                 "marks")
 
     def __init__(self) -> None:
         self.parts: list[str] = []
         self.pending = 0          # break level owed before next content
         self.has_content = False
         self.trailing_space = False
+        # sparse annotations for the opt-in wrap path: (part_index, kind)
+        # kind 1 = verbatim (<pre>) part, 2 = break part — the default
+        # result() never reads them, so the hot path stays unchanged
+        self.marks: list[tuple[int, int]] = []
 
     def request_break(self, level: int) -> None:
         if self.has_content and level > self.pending:
@@ -88,6 +93,7 @@ class _TextBuilder:
                 # trailing inline space is discarded at a block boundary
                 self.parts[-1] = self.parts[-1].rstrip(" ")
                 self.trailing_space = False
+            self.marks.append((len(self.parts), 2))
             self.parts.append("\n" if self.pending == 1 else "\n\n")
             self.pending = 0
 
@@ -132,6 +138,7 @@ class _TextBuilder:
         if self.trailing_space:
             self.parts[-1] = self.parts[-1].rstrip(" ")
             self.trailing_space = False
+        self.marks.append((len(self.parts), 1))
         self.parts.append(s)
         self.has_content = True
         return True
@@ -141,13 +148,49 @@ class _TextBuilder:
             self.parts[-1] = self.parts[-1].rstrip(" ")
         return "".join(self.parts)
 
+    def result_wrapped(self, width: int, indent: str) -> str:
+        """Re-emit through the W5 wrap/indent engine (opt-in; reference
+        `writer.py:233-346`): prose wraps at ``width`` with ``indent``
+        per line, <pre> parts pass through raw, breaks go through
+        ``endl`` so the engine sees real line boundaries."""
+        from lexor_spark.kernel.wrapwriter import WrapWriter
+        if self.trailing_space:
+            self.parts[-1] = self.parts[-1].rstrip(" ")
+            self.trailing_space = False
+        kinds = dict(self.marks)
+        ww = WrapWriter(width=width, indent=indent)
+        ww.enable_wrap()
+        for k, part in enumerate(self.parts):
+            kind = kinds.get(k, 0)
+            if kind == 2:  # block break
+                ww.flush(tail=False)
+                ww.write(part)
+            elif kind == 1:  # verbatim <pre> payload
+                ww.enable_raw()
+                if indent:
+                    part = "\n".join(indent + ln if ln else ln
+                                     for ln in part.split("\n"))
+                ww.write(part)
+                ww.disable_raw()
+            else:
+                ww.write(part)
+        return ww.getvalue()
 
-def write_text(root: Element) -> tuple[str, list[Span]]:
+
+def write_text(root: Element, width: Optional[int] = None,
+               indent: str = "") -> tuple[str, list[Span]]:
     """Serialize the selected subtree to plain text + source spans.
 
     Iterative DFS with explicit open/close events (the reference writer's
     start/child/end protocol, `writer.py:482-516`), recursion-free for
-    hostile nesting depth."""
+    hostile nesting depth.
+
+    ``width``/``indent`` switch on the W5 wrap/indent engine (reference
+    `writer.py:233-346`): prose lines wrap at ``width`` columns with
+    whitespace backtracking, every line gets the ``indent`` prefix, and
+    ``<pre>`` payloads stay raw.  The default (no width, no indent) path
+    is byte-identical to round 1 — the extraction oracle pins it.
+    Spans always carry SOURCE offsets, so wrapping does not move them."""
     tb = _TextBuilder()
     spans: list[Span] = []
     add_inline = tb.add_inline
@@ -203,4 +246,6 @@ def write_text(root: Element) -> tuple[str, list[Span]]:
         # children in reverse so they pop in document order
         for child in reversed(node.children):
             stack.append((child, child_path, child_pre))
-    return tb.result(), spans
+    if width is None and not indent:
+        return tb.result(), spans
+    return tb.result_wrapped(width if width is not None else 70, indent), spans
