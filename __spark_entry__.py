@@ -169,6 +169,64 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "ok").orderBy("url")
 
 
+def _q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion surfaced in the driver gate (rows-only):
+    feed the pages table through the Structured-Streaming front-end and
+    return the per-url output — identical rows to the batch job, plus
+    the micro-batch lineage column the exactly-once sink adds."""
+    import tempfile
+
+    from lexor_spark.streaming import stream_extract
+    d = tempfile.mkdtemp(prefix="sg_stream_")
+    pages_df(spark, sf_dir).write.mode("overwrite").parquet(f"{d}/in")
+    stream_extract(spark, f"{d}/in", f"{d}/out", f"{d}/ck")
+    out = spark.read.parquet(f"{d}/out")
+    return (out.select("url", F.md5("text").alias("text_md5"),
+                       "n_nodes", "ok")
+            .orderBy("url"))
+
+
+def _q_stream_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation (rows-only), made deterministic:
+    drain the corpus, then write one far-future sentinel page and drain
+    again — the watermark jumps past every real window, so the append-
+    mode sink emits ALL of them, independent of file listing order."""
+    import tempfile
+
+    from lexor_spark.streaming import stream_crawl_metrics
+    d = tempfile.mkdtemp(prefix="sg_metrics_")
+    pages = pages_df(spark, sf_dir)
+    pages.write.mode("overwrite").parquet(f"{d}/in")
+    args = (spark, f"{d}/in", f"{d}/out", f"{d}/ck")
+    stream_crawl_metrics(*args, window="30 days", watermark="1 hour")
+    sentinel = pages.limit(1).withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1_900_000_000)))
+    sentinel.write.mode("append").parquet(f"{d}/in")
+    stream_crawl_metrics(*args, window="30 days", watermark="1 hour")
+    out = spark.read.parquet(f"{d}/out")
+    return (out.filter(F.col("window_start") < F.timestamp_seconds(
+                F.lit(1_800_000_000)))  # drop the sentinel's own window
+            .select(F.date_format("window_start", "yyyy-MM-dd").alias("w"),
+                    "lang", "n_pages", "html_bytes")
+            .orderBy("w", "lang"))
+
+
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState) surfaced in
+    the gate (rows-only): per-user sessionization over the events
+    table; update-mode output, one latest row per user."""
+    import tempfile
+
+    from lexor_spark.streaming import stream_sessions
+    d = tempfile.mkdtemp(prefix="sg_sess_")
+    (spark.read.parquet(f"{sf_dir}/events.parquet")
+     .write.mode("overwrite").parquet(f"{d}/in"))
+    stream_sessions(spark, f"{d}/in", f"{d}/out", f"{d}/ck")
+    out = spark.read.parquet(f"{d}/out")
+    return (out.select("user_id", "n_sessions", "n_events")
+            .orderBy("user_id"))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_df(spark, sf_dir)
     return multimodal.image_features(media).orderBy("media_id")
@@ -209,6 +267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (stub codec; rows-only)
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        # structured streaming (rows-only: streaming semantics are not
+        # ANSI-SQL-expressible; batch-parity is pinned by pytest)
+        "stream_extract": _q_stream_extract,
+        "stream_crawl_metrics": _q_stream_crawl_metrics,
+        "stream_sessions": _q_stream_sessions,
     }
     out.update(RELATIONAL_QUERIES)
     return out
