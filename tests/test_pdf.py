@@ -61,3 +61,49 @@ def test_pdf_job_end_to_end(spark):
     again = {r.url: r.text for r in extract_pdfs(pdfs, partitions=8).collect()}
     for url, r in docs.items():
         assert again[url] == r.text
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMap (simple fonts) — VERDICT r1 item #10
+# ---------------------------------------------------------------------------
+
+def test_cmap_bfchar_decode():
+    from lexor_spark.kernel.pdftext import build_cmap_pdf
+    mapping = {0x41: "Α", 0x42: "β", 0x65: "é"}
+    r = extract_pdf_text(build_cmap_pdf(["AB test e"], mapping))
+    assert r.ok and r.text == "Αβ tést é\n"
+    # uncompressed CMap + content too
+    r2 = extract_pdf_text(build_cmap_pdf(["Ae"], mapping, compress=False))
+    assert r2.ok and r2.text == "Αé\n"
+
+
+def test_cmap_unmapped_bytes_fall_back_latin1():
+    from lexor_spark.kernel.pdftext import build_cmap_pdf
+    r = extract_pdf_text(build_cmap_pdf(["Az"], {0x41: "Ω"}))
+    assert r.text == "Ωz\n"
+
+
+def test_cmap_multichar_target():
+    """A subset ligature code expanding to several unicode chars."""
+    from lexor_spark.kernel.pdftext import build_cmap_pdf
+    r = extract_pdf_text(build_cmap_pdf(["X"], {0x58: "ffi"}))
+    assert r.text == "ffi\n"
+
+
+def test_cmap_bfrange_parsing():
+    from lexor_spark.kernel.pdftext import _parse_cmap
+    stream = (b"begincmap\n"
+              b"2 beginbfrange\n"
+              b"<41> <43> <0391>\n"          # A..C -> Alpha..Gamma
+              b"<61> <62> [<00E9> <00E8>]\n"  # a,b -> e-acute, e-grave
+              b"endbfrange\nendcmap")
+    cmap = _parse_cmap(stream)
+    assert cmap[0x41] == "Α" and cmap[0x42] == "Β" and cmap[0x43] == "Γ"
+    assert cmap[0x61] == "é" and cmap[0x62] == "è"
+
+
+def test_cmap_absent_is_latin1_identical():
+    """PDFs without ToUnicode must behave exactly as before."""
+    pdf = build_simple_pdf(["plain latin-1 café"])
+    r = extract_pdf_text(pdf)
+    assert r.ok and r.text == "plain latin-1 café\n"
