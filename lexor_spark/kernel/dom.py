@@ -90,6 +90,33 @@ class Node:
                 stack.extend(reversed(kids))
 
     @property
+    def prev_element(self) -> Optional["Element"]:
+        """Nearest Element sibling before this node (reference
+        `node.py:170-181`; derived from the parent's list — this engine
+        keeps no prev/next links)."""
+        p = self.parent
+        if p is None:
+            return None
+        kids = p.children
+        for k in range(self.index - 1, -1, -1):
+            if isinstance(kids[k], Element):
+                return kids[k]
+        return None
+
+    @property
+    def next_element(self) -> Optional["Element"]:
+        """Nearest Element sibling after this node (reference
+        `node.py:184-192`)."""
+        p = self.parent
+        if p is None:
+            return None
+        kids = p.children
+        for k in range(self.index + 1, len(kids)):
+            if isinstance(kids[k], Element):
+                return kids[k]
+        return None
+
+    @property
     def owner(self) -> Optional["Document"]:
         """The Document at the root of this node's tree, if any (the
         reference maintains ``owner`` eagerly, `node.py:88-95`; here it
@@ -307,6 +334,39 @@ class Element(Node):
         if old not in self.attrs:
             return
         self.attrs = {new if k == old else k: v for k, v in self.attrs.items()}
+
+    @property
+    def attlen(self) -> int:
+        """Number of attributes (reference `elements.py:309-311`)."""
+        return len(self.attrs)
+
+    @property
+    def attributes(self) -> list[str]:
+        """Attribute names in insertion order (reference
+        `elements.py:313-316`)."""
+        return list(self.attrs)
+
+    @property
+    def values(self) -> list[str]:
+        """Attribute values in insertion order (reference
+        `elements.py:318-321`)."""
+        return list(self.attrs.values())
+
+    def attribute(self, index: int) -> str:
+        """Name of the attribute at ``index`` (reference
+        `elements.py:323-325`)."""
+        return list(self.attrs)[index]
+
+    def attr(self, index: int) -> str:
+        """Value of the attribute at ``index`` (reference
+        `elements.py:327-330`)."""
+        return list(self.attrs.values())[index]
+
+    def update_attributes(self, node: "Element") -> None:
+        """Copy ``node``'s attributes into this element, preserving this
+        element's existing order for keys it already has (reference
+        `elements.py:224-229`)."""
+        self.attrs.update(node.attrs)
 
     # -- child ops ---------------------------------------------------------
     def append_child(self, node: Node) -> None:
@@ -529,6 +589,12 @@ class Document(Element):
         self.lang = lang
         self.uri = uri
         self.meta: dict[str, str] = {}
+
+    @staticmethod
+    def create_element(tagname: str,
+                       attrs: Optional[dict[str, str]] = None) -> Element:
+        """Factory mirror of reference `elements.py:582-585`."""
+        return Element(tagname, attrs)
 
     def get_element_by_id(self, idval: str) -> Optional[Element]:
         for n in self.iter():

@@ -183,3 +183,32 @@ def test_converter_end_hook_replacement():
     out = convert(doc, decide=extraction_decide, end_hook=end_hook)
     text, _ = write_text(out)
     assert text == "keep\n\n[figure: cap]"
+
+
+# -- navigation / attribute-order surface (N1 / E1 / E6) ----------------------
+
+def test_prev_next_element_skip_text():
+    doc, _ = parse_html("<div>t1<p>a</p>t2<b>c</b>t3</div>")
+    div = doc.children[0]
+    p, b = div.children[1], div.children[3]
+    assert p.next_element is b and b.prev_element is p
+    assert p.prev_element is None and b.next_element is None
+    assert doc.children[0].prev_element is None  # no parentless crash
+
+
+def test_positional_attribute_access():
+    doc, _ = parse_html('<a href="u" class="c" id="i">x</a>')
+    a = doc.children[0]
+    assert a.attlen == 3
+    assert a.attributes == ["href", "class", "id"]
+    assert a.values == ["u", "c", "i"]
+    assert a.attribute(1) == "class" and a.attr(1) == "c"
+    b = Element("b", {"class": "z", "title": "t"})
+    a.update_attributes(b)
+    assert a.attributes == ["href", "class", "id", "title"]
+    assert a.attrs["class"] == "z"
+
+
+def test_document_create_element():
+    el2 = Document.create_element("p", {"class": "x"})
+    assert el2.name == "p" and el2.attrs == {"class": "x"} and len(el2) == 0
