@@ -240,6 +240,12 @@ def write_markdown(root: Node, width: int = None) -> str:
                 if fr.kind == "cell" and md.frames[-1].kind == "row":
                     md.frames[-1].data.append(
                         (_cell_text(fr), name == "th"))
+                elif fr.kind == "cell":
+                    # malformed markup (cell outside a row): never drop
+                    # content — degrade to a plain block
+                    body = _cell_text(fr)
+                    if body:
+                        md.frames[-1].blocks.append(body)
             elif name == "tr":
                 fr = md.pop()
                 if fr.kind == "row" and md.frames[-1].kind == "table":
@@ -252,6 +258,11 @@ def write_markdown(root: Node, width: int = None) -> str:
                             tbl["sep_done"] = True
                             tbl["rows"].append(
                                 "|" + "|".join(" --- " for _ in cells) + "|")
+                elif fr.kind == "row":
+                    # row outside a table: emit its cells as one line
+                    body = " ".join(c for c, _ in fr.data if c)
+                    if body:
+                        md.frames[-1].blocks.append(body)
             elif name == "table":
                 fr = md.pop()
                 if fr.kind == "table":

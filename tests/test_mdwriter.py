@@ -91,3 +91,12 @@ def test_cli_roundtrip(tmp_path, capsys):
     assert main([str(f), "to", "html"]) == 0
     assert capsys.readouterr().out == \
         "<main><p>hello <b>world</b></p></main>\n"
+
+
+def test_malformed_table_fragments_keep_content():
+    # cell with no row, row with no table — content must survive
+    assert "orphan" in md("<td>orphan cell</td>")
+    assert md("<tr><td>a</td><td>b</td></tr>") == "a b"
+    # td directly under table (parser keeps it; no tr level)
+    out = md("<table><td>x</td></table>")
+    assert "x" in out
