@@ -250,14 +250,30 @@ where round(len(list_intersect(sha, shb))::double /
 
 
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
+                  id_col: str = "doc_id", threshold: float = 0.5,
+                  max_shingle_df: int = None) -> DataFrame:
     """Exhaustive shingle-inverted-index Jaccard (exact).  The scale path
     blocks by shingle (explode + equi-join) rather than a cross join;
-    this is also the recall oracle for lsh_pairs."""
+    this is also the recall oracle for lsh_pairs.
+
+    ``max_shingle_df`` (optional) drops "stop shingles" — shingles that
+    occur in more than that many documents — before the self-join: the
+    classic inverted-index pruning for boilerplate-heavy corpora, where
+    one hot shingle otherwise yields O(df²) join rows.  With the cap the
+    reported jaccard is a LOWER BOUND for pairs whose overlap includes
+    dropped shingles (their intersection is undercounted while sizes stay
+    exact); the default (None) keeps the operator exact, which is what
+    the DuckDB oracle checks."""
     docs = _spread(docs)
     sh = docs.select(F.col(id_col).alias("id"),
                      shingles(F.col(text_col)).alias("sh"))
     ex = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        # one map-side-combinable agg on the shingle key — the same key
+        # the self-join shuffles on, so the exchange is reused
+        sdf = F.count("*").over(Window.partitionBy("s"))
+        ex = (ex.withColumn("_df", sdf)
+              .filter(F.col("_df") <= max_shingle_df).drop("_df"))
     l, r = ex.alias("l"), ex.alias("r")
     inter = (
         l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id")))

@@ -108,3 +108,24 @@ def test_cosine_pair_bucket_cap_bounds_degenerate(spark, tmp_path):
     df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
     pairs = sim.cosine_dup_pairs(spark, d, threshold=0.25, bucket_cap=50)
     assert pairs.count() == 0
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """A boilerplate shingle present in every doc must not explode the
+    inverted-index join when the df cap is on; genuinely similar pairs
+    still surface through their rarer shingles."""
+    boiler = "all rights reserved by the site owner today"
+    core = "unique alpha beta gamma delta epsilon iota kappa lambda mu nu xi"
+    a = f"{core} zeta. {boiler}"
+    b = f"{core} eta. {boiler}"
+    others = [f"doc number {i} talks about topic {i} only. {boiler}"
+              for i in range(40)]
+    docs = _docs(spark, [a, b] + others)
+    capped = dedup.jaccard_pairs(docs, threshold=0.2, max_shingle_df=10)
+    got = {(r.a, r.b) for r in capped.collect()}
+    assert (0, 1) in got
+    exact = dedup.jaccard_pairs(docs, threshold=0.2)
+    exact_pairs = {(r.a, r.b): r.jaccard for r in exact.collect()}
+    # capped jaccard is a lower bound of the exact one
+    for r in capped.collect():
+        assert r.jaccard <= exact_pairs[(r.a, r.b)] + 1e-9
