@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import dedup, multimodal, sim, textfns  # noqa: E402
+from lexor_spark import dedup, multimodal, sim, textfns, urlfns  # noqa: E402
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
@@ -86,6 +86,40 @@ order by doc_id
 """
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 App. A) — all
+    per-row higher-order-function expressions, no shuffle.  The corpus
+    text is single-line, so the query derives a deterministic multi-line
+    variant (one repeated slice) in BOTH engines to exercise the
+    duplicate-line mass meaningfully under the value oracle."""
+    docs = dedup._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    ml = F.concat(
+        F.substring("text", 1, 200), F.lit("\n"),
+        F.substring("text", 1, 80), F.lit("\n"),
+        F.substring("text", 1, 80), F.lit("\n"),
+        F.substring("text", 201, 1_000_000))
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        textfns.dup_line_fraction(ml).alias("dup_line_frac"),
+        textfns.dup_line_char_fraction(ml).alias("dup_line_char_frac"),
+        textfns.top_bigram_fraction(c).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+_ML = ("(substr(text, 1, 200) || chr(10) || substr(text, 1, 80) || chr(10) "
+       "|| substr(text, 1, 80) || chr(10) || substr(text, 201))")
+
+SQL_REPETITION = f"""
+select doc_id,
+       {textfns.SQL.dup_line_fraction(_ML)} as dup_line_frac,
+       {textfns.SQL.dup_line_char_fraction(_ML)} as dup_line_char_frac,
+       {textfns.SQL.top_bigram_fraction('text')} as top_bigram_frac
+from documents
+order by doc_id
+"""
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_dedup(docs).orderBy("fp")
@@ -113,6 +147,19 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.2).orderBy("a", "b")
 
 
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a deterministic eval split
+    (doc_id % 97 == 0 stands in for the held-out benchmark set)."""
+    docs = dedup._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    ev = F.pmod(F.col("doc_id"), F.lit(97)) == 0
+    return (dedup.decontam_overlap(docs.filter(~ev), docs.filter(ev), n=4)
+            .orderBy("train_id", "eval_id"))
+
+
+SQL_DECONTAM = dedup.decontam_overlap_sql(
+    "doc_id % 97 <> 0", "doc_id % 97 = 0", n=4) + " order by train_id, eval_id"
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash_df(docs).orderBy("doc_id")
@@ -128,6 +175,58 @@ def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_dup_pairs(spark, sf_dir, threshold=0.25).orderBy("a", "b")
+
+
+# URL layer: the url column is derived from documents identically in
+# both engines (the pages.py url recipe), so the DuckDB oracle can see
+# the same table the Spark side sees.
+
+def _urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://site"),
+        F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"),
+        F.col("doc_id").cast("string"))
+    return docs.select(url.alias("url"))
+
+
+_URL_SQL = ("('https://site' || (doc_id % 97) || '.example/' || source "
+            "|| '/p' || doc_id)")
+
+
+def _q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return urlfns.url_stats(_urls_df(spark, sf_dir))
+
+
+SQL_URL_STATS = f"""
+with u as (select {_URL_SQL} as url from documents),
+f as (select {urlfns.SQL_URL.DOMAIN.format(u='url')} as domain,
+             {urlfns.SQL_URL.HOST.format(u='url')}   as host,
+             {urlfns.SQL_URL.DEPTH.format(u='url')}  as depth,
+             {urlfns.SQL_URL.HTTPS.format(u='url')}  as https
+      from u)
+select domain, count(*) as n_urls, count(distinct host) as n_hosts,
+       round(avg(depth), 4) as avg_depth,
+       sum(case when https then 1 else 0 end)::bigint as n_https
+from f group by domain order by domain
+"""
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = urlfns.domain_cap(_urls_df(spark, sf_dir), k=3)
+    return (out.select("domain", "url", F.col("rn").cast("long").alias("rn"))
+            .orderBy("domain", "url"))
+
+
+SQL_DOMAIN_CAP = f"""
+with u as (select {_URL_SQL} as url from documents),
+d as (select url, {urlfns.SQL_URL.DOMAIN.format(u='url')} as domain from u),
+r as (select domain, url,
+             row_number() over (partition by domain order by url) as rn
+      from d)
+select domain, url, rn from r where rn <= 3 order by domain, url
+"""
 
 
 def _q_dom_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,14 +344,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _q_extract_metrics,
         # training-data operators (full value oracles)
         "text_features": _q_text_features,
+        "repetition_stats": _q_repetition_stats,
         "dedup_exact": _q_exact_dedup,
         "minhash_signature": _q_minhash_sig,
         "dedup_lsh_pairs": _q_lsh_pairs,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
+        "decontam_overlap": _q_decontam,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
+        # URL/domain hygiene layer (full value oracles)
+        "url_stats": _q_url_stats,
+        "domain_cap": _q_domain_cap,
         # DOM flatten-export + corpus DOM analytics (kernel; rows-only)
         "dom_export": _q_dom_export,
         "dom_tag_stats": _q_dom_tag_stats,
@@ -280,17 +384,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = {
         "text_features": SQL_TEXT_FEATURES,
+        "repetition_stats": SQL_REPETITION,
         "dedup_exact": dedup.exact_dedup_sql("documents") + " order by fp",
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql("documents", threshold=0.2)
                                 + " order by a, b",
+        "decontam_overlap": SQL_DECONTAM,
         "simhash": dedup.simhash_sql("documents") + " order by doc_id",
         "cosine_topk": sim.cosine_topk_sql(query_id=0, k=10),
         "ann_bucketed": sim.ann_bucketed_sql(query_id=0, k=10),
         "cosine_dup_pairs": sim.cosine_dup_pairs_sql(threshold=0.25)
                              + " order by a, b",
+        "url_stats": SQL_URL_STATS,
+        "domain_cap": SQL_DOMAIN_CAP,
     }
     out.update(RELATIONAL_SQL)
     return out

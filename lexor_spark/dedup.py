@@ -29,7 +29,8 @@ from lexor_spark.textfns import SQL, fingerprint, normalize_text
 
 __all__ = [
     "shingles", "exact_dedup", "minhash_signature", "lsh_pairs",
-    "jaccard_pairs", "simhash_df", "SHINGLE_N", "MINHASH_K", "LSH_BANDS",
+    "jaccard_pairs", "simhash_df", "decontam_overlap",
+    "SHINGLE_N", "MINHASH_K", "LSH_BANDS",
 ]
 
 SHINGLE_N = 3       # word 3-grams
@@ -301,6 +302,49 @@ inter as (
 select a, b, round(inter::double / (na + nb - inter), 4) as jaccard
 from inter
 where round(inter::double / (na + nb - inter), 4) >= {threshold}
+"""
+
+
+def decontam_overlap(train: DataFrame, eval_docs: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 5, min_shared: int = 1) -> DataFrame:
+    """Benchmark decontamination: (train_id, eval_id, n_shared) for every
+    training document sharing ≥ ``min_shared`` distinct word ``n``-grams
+    with an evaluation document — the standard n-gram-overlap
+    decontamination step of public LLM pipelines (GPT-3 App. C /
+    Gopher / PaLM use 8-13-gram variants of exactly this).
+
+    Plan shape at scale: shingles are per-row array ops (no shuffle);
+    the eval side is tiny relative to the corpus, so its exploded gram
+    table BROADCASTS — the 10^12-row train side never shuffles at all,
+    and the only exchange is the final pair groupBy, whose input is just
+    the matching grams."""
+    t = train.select(F.col(id_col).alias("train_id"),
+                     F.explode(shingles(F.col(text_col), n)).alias("g"))
+    e = eval_docs.select(F.col(id_col).alias("eval_id"),
+                         F.explode(shingles(F.col(text_col), n)).alias("g"))
+    return (
+        t.join(F.broadcast(e), "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))  # shingles are distinct/doc
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontam_overlap_sql(train_pred: str, eval_pred: str,
+                         table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 5,
+                         min_shared: int = 1) -> str:
+    sh = shingles_sql(text_col, n)
+    return f"""
+with t as (select {id_col} as train_id, unnest({sh}) as g
+           from {table} where {train_pred}),
+e as (select {id_col} as eval_id, unnest({sh}) as g
+      from {table} where {eval_pred})
+select train_id, eval_id, count(*) as n_shared
+from t join e using (g)
+group by train_id, eval_id
+having count(*) >= {min_shared}
 """
 
 

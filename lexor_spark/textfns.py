@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count", "word_count", "normalize_text", "fingerprint",
-    "lang_id", "lang_id_ngram", "quality_score", "SQL",
+    "lang_id", "lang_id_ngram", "quality_score",
+    "dup_line_fraction", "dup_line_char_fraction", "top_bigram_fraction",
+    "SQL",
 ]
 
 
@@ -123,6 +125,73 @@ def quality_score(col: Column) -> Column:
     return F.round(score, 2)
 
 
+# -- repetition filters (Gopher-style, Rae et al. 2021 Appendix A) ---------
+# All three are PER-ROW higher-order-function expressions: no explode, no
+# shuffle — repetition scoring of 10^12 documents stays embarrassingly
+# parallel on the scan.
+
+def _lines(col: Column) -> Column:
+    """Non-empty trimmed lines.  NB: the transform lambda must be
+    single-arg — a bare ``F.trim`` has an optional second parameter, so
+    ``transform`` would call it as (element, index)."""
+    return F.filter(F.transform(F.split(col, r"\n"), lambda x: F.trim(x)),
+                    lambda x: x != "")
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line (the Gopher
+    duplicate-line filter): 1 - distinct/total, 0 for empty docs."""
+    lines = _lines(col)
+    n = F.size(lines)
+    return F.round((n - F.size(F.array_distinct(lines)))
+                   / F.greatest(n, F.lit(1)), 4)
+
+
+def dup_line_char_fraction(col: Column) -> Column:
+    """Fraction of line characters belonging to repeated occurrences
+    (each line's first occurrence is 'original'; later copies count as
+    duplicate mass)."""
+    lines = _lines(col)
+    chars = F.aggregate(lines, F.lit(0),
+                        lambda acc, x: acc + F.length(x))
+    dchars = F.aggregate(F.array_distinct(lines), F.lit(0),
+                         lambda acc, x: acc + F.length(x))
+    return F.round((chars - dchars).cast("double")
+                   / F.greatest(chars, F.lit(1)), 4)
+
+
+def _bigrams(col: Column) -> Column:
+    """Word 2-grams WITH multiplicity (unlike dedup.shingles, which is
+    distinct and pads short docs); < 2 words → empty array."""
+    toks = F.split(normalize_text(col), " ")
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2))))
+
+
+def top_bigram_fraction(col: Column) -> Column:
+    """Occurrences of the most frequent word 2-gram / total 2-grams (the
+    Gopher top-n-gram filter).  Computed per row in O(k log k): sort the
+    2-gram array, then fold a (prev, run, best) accumulator to find the
+    longest equal run — no per-row O(k²) scan, no explode shuffle."""
+    bg = F.array_sort(_bigrams(col))
+    best = F.aggregate(
+        bg,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)))
+            .alias("best")),
+        lambda acc: acc.best,
+    )
+    return F.round(best.cast("double") / F.greatest(F.size(bg), F.lit(1)), 4)
+
+
 class SQL:
     """DuckDB mirrors of the expressions above.  Each is a format string
     taking the source column name."""
@@ -162,6 +231,43 @@ class SQL:
         cases = [f"when {counts[lang]} = {greatest} "
                  f"and {counts[lang]} > 0 then '{lang}'" for lang in order]
         return "case " + " ".join(cases) + " else 'und' end"
+
+    @staticmethod
+    def lines(c: str) -> str:
+        return (f"list_filter(list_transform(string_split({c}, chr(10)), "
+                f"x -> trim(x)), x -> x != '')")
+
+    @classmethod
+    def dup_line_fraction(cls, c: str) -> str:
+        ln = cls.lines(c)
+        return (f"round((len({ln}) - len(list_distinct({ln})))::double "
+                f"/ greatest(len({ln}), 1), 4)")
+
+    @classmethod
+    def dup_line_char_fraction(cls, c: str) -> str:
+        ln = cls.lines(c)
+        chars = f"coalesce(list_sum(list_transform({ln}, x -> length(x))), 0)"
+        dchars = (f"coalesce(list_sum(list_transform(list_distinct({ln}), "
+                  f"x -> length(x))), 0)")
+        return (f"round(({chars} - {dchars})::double "
+                f"/ greatest({chars}, 1), 4)")
+
+    @classmethod
+    def bigrams(cls, c: str) -> str:
+        toks = f"regexp_split_to_array({cls.NORMALIZE.format(c=c)}, ' ')"
+        return (f"(case when len({toks}) < 2 then []::varchar[] else "
+                f"list_transform(generate_series(1, len({toks}) - 1), "
+                f"i -> array_to_string(({toks})[i:i+1], ' ')) end)")
+
+    @classmethod
+    def top_bigram_fraction(cls, c: str) -> str:
+        bg = cls.bigrams(c)
+        # correlated scalar subquery: mode count of the 2-gram multiset
+        # (same VALUE as Spark's sorted-run fold, different mechanism)
+        top = (f"(select max(cnt) from (select count(*) as cnt "
+               f"from unnest({bg}) as _u(g) group by g))")
+        return (f"round(coalesce({top}, 0)::double "
+                f"/ greatest(len({bg}), 1), 4)")
 
     @classmethod
     def quality_score(cls, c: str) -> str:

@@ -1,0 +1,97 @@
+"""URL/domain operators for crawl pipelines.
+
+The per-URL hygiene layer every web-scale corpus needs before content
+work: host extraction, registrable-domain grouping, path-depth features,
+and the per-domain cap (keep at most K pages per domain — the standard
+anti-monoculture sampling step).  All pure Catalyst expressions with
+exact DuckDB mirrors, so every operator is value-oracle-checked.
+
+Scale notes (100 TB): host/domain/path are scan-side regexes (no
+shuffle); per-domain stats are one map-side-combinable aggregate; the
+domain cap is a single window on the domain key — the same shuffle a
+domain-partitioned output write needs anyway, so in a real pipeline the
+cap rides an exchange that was already planned.
+
+The registrable domain is the last two dot-labels — the documented
+approximation without a public-suffix list (a PSL join is data, not
+engine work: broadcast-join the suffix table and strip accordingly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["host_of", "domain_of", "path_of", "path_depth", "is_https",
+           "url_stats", "domain_cap", "SQL_URL"]
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased host: authority minus userinfo and port."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def domain_of(url: Column) -> Column:
+    """Registrable domain ≈ last two labels of the host."""
+    return F.regexp_extract(host_of(url), r"([^.]+\.[^.]+)$", 1)
+
+
+def path_of(url: Column) -> Column:
+    return F.regexp_extract(url, _PATH_RE, 1)
+
+
+def path_depth(url: Column) -> Column:
+    """Number of non-empty path segments."""
+    return F.size(F.filter(F.split(path_of(url), "/"),
+                           lambda x: x != ""))
+
+
+def is_https(url: Column) -> Column:
+    return url.startswith("https://")
+
+
+def url_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registrable-domain corpus statistics (one hash aggregate)."""
+    u = F.col(url_col)
+    return (
+        pages.select(domain_of(u).alias("domain"),
+                     host_of(u).alias("host"),
+                     path_depth(u).alias("depth"),
+                     is_https(u).alias("https"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_urls"),
+             F.countDistinct("host").alias("n_hosts"),
+             F.round(F.avg("depth"), 4).alias("avg_depth"),
+             F.sum(F.when(F.col("https"), 1).otherwise(0)).alias("n_https"))
+        .orderBy("domain")
+    )
+
+
+def domain_cap(pages: DataFrame, k: int, url_col: str = "url") -> DataFrame:
+    """Keep at most ``k`` pages per registrable domain, deterministic
+    (ordered by url).  One window over the domain key; rows beyond the
+    cap are dropped — the anti-monoculture sampling primitive."""
+    u = F.col(url_col)
+    w = Window.partitionBy("domain").orderBy(url_col)
+    return (
+        pages.withColumn("domain", domain_of(u))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("domain", url_col, "rn")
+    )
+
+
+class SQL_URL:
+    """DuckDB mirrors (format strings over the url column name)."""
+
+    HOST = ("lower(regexp_extract({u}, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))")
+    DOMAIN = "regexp_extract(" + HOST + ", '([^.]+\\.[^.]+)$', 1)"
+    PATH = ("regexp_extract({u}, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)")
+    DEPTH = ("len(list_filter(string_split(" + PATH + ", '/'), "
+             "x -> x != ''))")
+    HTTPS = "starts_with({u}, 'https://')"

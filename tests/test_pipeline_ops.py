@@ -1,0 +1,100 @@
+"""Training-pipeline operators added in round 2: Gopher-style repetition
+filters, URL/domain hygiene layer, benchmark decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lexor_spark import dedup, textfns, urlfns
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+
+# -- repetition filters -------------------------------------------------------
+
+def test_dup_line_fractions(spark):
+    texts = [
+        "a\nb\nc",              # no dups
+        "x\nx\nx\ny",           # 2 of 4 lines are repeats
+        "",                     # empty
+        "  \n \n",              # whitespace only
+    ]
+    rows = (_docs(spark, texts)
+            .select("doc_id",
+                    textfns.dup_line_fraction(F.col("text")).alias("f"),
+                    textfns.dup_line_char_fraction(F.col("text")).alias("cf"))
+            .orderBy("doc_id").collect())
+    assert rows[0].f == 0.0 and rows[0].cf == 0.0
+    assert rows[1].f == 0.5          # 4 lines, 2 distinct
+    assert rows[1].cf == 0.5         # 4 chars, 2 duplicate chars
+    assert rows[2].f == 0.0 and rows[2].cf == 0.0
+    assert rows[3].f == 0.0 and rows[3].cf == 0.0
+
+
+def test_top_bigram_fraction(spark):
+    texts = [
+        "the cat the cat the cat",   # 'the cat' 3 of 5 bigrams
+        "all words are different here",
+        "one",                       # < 2 words -> 0
+    ]
+    rows = (_docs(spark, texts)
+            .select("doc_id",
+                    textfns.top_bigram_fraction(F.col("text")).alias("f"))
+            .orderBy("doc_id").collect())
+    assert rows[0].f == 0.6
+    assert rows[1].f == 0.25
+    assert rows[2].f == 0.0
+
+
+# -- URL layer ---------------------------------------------------------------
+
+def test_url_parts(spark):
+    urls = [
+        "https://user@Sub.Example.COM:8443/a/b/c?q=1#frag",
+        "http://example.org",
+        "not a url",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(
+        urlfns.host_of(F.col("url")).alias("h"),
+        urlfns.domain_of(F.col("url")).alias("d"),
+        urlfns.path_depth(F.col("url")).alias("pd"),
+        urlfns.is_https(F.col("url")).alias("s"),
+    ).collect()
+    assert rows[0].h == "sub.example.com" and rows[0].d == "example.com"
+    assert rows[0].pd == 3 and rows[0].s is True
+    assert rows[1].h == "example.org" and rows[1].pd == 0 and rows[1].s is False
+    assert rows[2].h == "" and rows[2].d == ""
+
+
+def test_domain_cap(spark):
+    urls = [f"https://d{i % 2}.com/p{i}" for i in range(10)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = urlfns.domain_cap(df, k=3).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert set(by_dom) == {"d0.com", "d1.com"}
+    for rows in by_dom.values():
+        assert len(rows) == 3
+        assert sorted(r.rn for r in rows) == [1, 2, 3]
+        # deterministic: lexicographically first urls survive
+        assert [r.url for r in sorted(rows, key=lambda r: r.rn)] == \
+            sorted(r.url for r in rows)
+
+
+# -- decontamination -----------------------------------------------------------
+
+def test_decontam_overlap(spark):
+    evals = _docs(spark, ["the quick brown fox jumps over the lazy dog"])
+    train = spark.createDataFrame(
+        [(10, "he said the quick brown fox jumps high today"),
+         (11, "completely unrelated text about spark plans")],
+        ["doc_id", "text"])
+    out = dedup.decontam_overlap(train, evals, n=4, min_shared=1).collect()
+    got = {(r.train_id, r.eval_id): r.n_shared for r in out}
+    assert (10, 0) in got and got[(10, 0)] >= 2  # shares 4-gram windows
+    assert (11, 0) not in got
