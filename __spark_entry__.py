@@ -331,6 +331,20 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_features(media).orderBy("media_id")
 
 
+def _q_media_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features over REAL 24-bit BMP payloads (pure-stdlib codec;
+    decode is header-driven, not the deterministic fallback)."""
+    media = multimodal.media_df_real(spark, sf_dir)
+    return (multimodal.image_features(media.filter(F.col("kind") == "image"))
+            .orderBy("media_id"))
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform features over REAL PCM16 WAV payloads (stdlib wave)."""
+    media = multimodal.media_df_real(spark, sf_dir)
+    return multimodal.audio_features(media).orderBy("media_id")
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_df(spark, sf_dir)
     return multimodal.sample_frames(media, every_n=30).orderBy(
@@ -368,8 +382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_normalize": _q_html_normalize,
         # PDF extraction (pure-Python kernel; rows-only)
         "pdf_extract": _q_pdf_extract,
-        # multimodal plumbing (stub codec; rows-only)
+        # multimodal: real BMP/WAV codecs + deterministic-fallback
+        # plumbing (rows-only — pixel/waveform math is not ANSI SQL)
         "media_features": _q_media_features,
+        "media_real_features": _q_media_real_features,
+        "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
         # structured streaming (rows-only: streaming semantics are not
         # ANSI-SQL-expressible; batch-parity is pinned by pytest)

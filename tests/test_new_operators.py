@@ -217,3 +217,48 @@ def test_build_corpus_pipeline(spark):
                for row in corpus_summary(spark, SF).collect()}
     assert sum(summary.values()) == n_pages
     assert summary[("corpus", "kept")] > 0
+
+
+# ---------------------------------------------------------------------------
+# real codecs (BMP / PPM / WAV)
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_exact():
+    rng = np.arange(17 * 23 * 3, dtype=np.uint8).reshape(23, 17, 3)
+    data = multimodal.encode_bmp(rng)
+    assert data[:2] == b"BM"
+    out = multimodal.decode_bmp(data)
+    assert np.array_equal(out, rng)
+    # sniffing dispatch picks the real decoder regardless of hints
+    assert np.array_equal(multimodal.decode_payload(data, 4, 4), rng)
+
+
+def test_ppm_roundtrip_exact():
+    img = (np.arange(5 * 7 * 3, dtype=np.uint8) * 3 % 251).reshape(7, 5, 3)
+    data = multimodal.encode_ppm(img)
+    assert np.array_equal(multimodal.decode_ppm(data), img)
+    assert np.array_equal(multimodal.decode_payload(data, 1, 1), img)
+
+
+def test_wav_roundtrip_exact():
+    t = np.arange(1000)
+    samples = (3000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    data = multimodal.encode_wav(samples, 16000)
+    arr, sr = multimodal.decode_wav(data)
+    assert sr == 16000 and arr.shape == (1000, 1)
+    assert np.array_equal(arr[:, 0], samples)
+
+
+def test_media_real_decode_end_to_end(spark):
+    media = multimodal.media_df_real(spark, SF)
+    imgs = multimodal.image_features(
+        media.filter(F.col("kind") == "image")).collect()
+    assert imgs and all(r.ok for r in imgs)
+    auds = multimodal.audio_features(media).collect()
+    assert auds and all(r.ok for r in auds)
+    assert all(r.sample_rate == 16000 and r.rms > 0 for r in auds)
+    # deterministic across runs
+    again = {r.media_id: r.phash for r in multimodal.image_features(
+        media.filter(F.col("kind") == "image")).collect()}
+    for r in imgs:
+        assert again[r.media_id] == r.phash
