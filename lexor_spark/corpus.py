@@ -1,8 +1,10 @@
 """End-to-end training-corpus pipeline: the composition every other
 module exists for.
 
-    pages ──extract──▶ text ──quality──▶ kept ──exact-dedup──▶ uniques
-          ──near-dup (minhash/LSH)──▶ canonical corpus + reject ledger
+    pages ──extract──▶ text ──quality──▶ ──repetition──▶ ──domain-cap──▶
+          ──exact-dedup──▶ ──near-dup (minhash/LSH)──▶
+          ──decontaminate (vs eval n-grams)──▶ canonical corpus
+          + reject ledger
 
 Every stage is one of this engine's first-class operators; this module
 only composes them.  At 100 TB each arrow (``──▶``) is a materialization
@@ -29,12 +31,23 @@ __all__ = ["build_corpus", "corpus_summary"]
 
 def build_corpus(pages: DataFrame, min_quality: float = 0.3,
                  min_chars: int = 100, jaccard_threshold: float = 0.9,
-                 salt_buckets: int = 256) -> tuple[DataFrame, DataFrame]:
+                 salt_buckets: int = 256,
+                 max_dup_line_frac: float = 0.5,
+                 max_top_bigram_frac: float = 0.3,
+                 domain_cap: int = None,
+                 eval_docs: DataFrame = None,
+                 decontam_n: int = 4,
+                 decontam_min_shared: int = 1) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, rejects).
 
     corpus:  url, text, title, lang_attr, n_tokens, quality
     rejects: url, stage, reason
-    """
+
+    Stages beyond round 1: the Gopher repetition filter
+    (duplicate-line / top-bigram fractions), the per-domain cap
+    (``domain_cap`` pages per registrable domain, off when None), and
+    n-gram decontamination against ``eval_docs`` (a DataFrame with a
+    ``text`` column; off when None)."""
     extracted = extract_pages(pages, salt_buckets=salt_buckets).select(
         "url", "text", "title", "lang_attr", "ok", "err", "n_chars_out")
 
@@ -56,6 +69,37 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
         .alias("reason"))
     kept = scored.filter((F.col("quality") >= min_quality)
                          & (F.col("n_chars_out") >= min_chars))
+
+    # Gopher repetition filter (per-row expressions, no shuffle)
+    dlf = textfns.dup_line_fraction(F.col("text"))
+    tbf = textfns.top_bigram_fraction(F.col("text"))
+    rep_scored = kept.withColumn("_dlf", dlf).withColumn("_tbf", tbf)
+    repetitive = rep_scored.filter(
+        (F.col("_dlf") > max_dup_line_frac)
+        | (F.col("_tbf") > max_top_bigram_frac)).select(
+        "url", F.lit("repetition").alias("stage"),
+        F.concat(F.lit("dup_line_frac="), F.col("_dlf").cast("string"),
+                 F.lit(" top_bigram_frac="), F.col("_tbf").cast("string"))
+        .alias("reason"))
+    kept = rep_scored.filter(
+        (F.col("_dlf") <= max_dup_line_frac)
+        & (F.col("_tbf") <= max_top_bigram_frac)).drop("_dlf", "_tbf")
+
+    # per-domain cap (anti-monoculture sampling; one window on domain)
+    if domain_cap is not None:
+        from pyspark.sql import Window
+
+        from lexor_spark import urlfns
+        w = Window.partitionBy("_dom").orderBy("url")
+        ranked = (kept.withColumn("_dom", urlfns.domain_of(F.col("url")))
+                  .withColumn("_rn", F.row_number().over(w)))
+        capped = ranked.filter(F.col("_rn") > domain_cap).select(
+            "url", F.lit("domain_cap").alias("stage"),
+            F.concat(F.lit("rank="), F.col("_rn").cast("string"),
+                     F.lit(" domain="), F.col("_dom")).alias("reason"))
+        kept = ranked.filter(F.col("_rn") <= domain_cap).drop("_dom", "_rn")
+    else:
+        capped = None
 
     # exact dedup: keep the lexicographically-first url per fingerprint
     # (deterministic keeper — min() is order-insensitive)
@@ -85,7 +129,32 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
 
     corpus = uniq.join(near.select("url"), "url", "left_anti").select(
         "url", "text", "title", "lang_attr", "n_tokens", "quality")
-    rejects = err.unionByName(low).unionByName(exact_dups).unionByName(near)
+
+    # benchmark decontamination: drop training docs overlapping the eval
+    # set on >= min_shared distinct n-grams (eval side broadcasts)
+    if eval_docs is not None:
+        hits = dedup.decontam_overlap(
+            corpus.withColumnRenamed("url", "doc_id"),
+            eval_docs.select(F.monotonically_increasing_id().alias("doc_id"),
+                             "text"),
+            n=decontam_n, min_shared=decontam_min_shared)
+        contaminated = (hits.groupBy("train_id")
+                        .agg(F.sum("n_shared").alias("n_shared"))
+                        .select(F.col("train_id").alias("url"),
+                                F.lit("decontam").alias("stage"),
+                                F.concat(F.lit("shared_ngrams="),
+                                         F.col("n_shared").cast("string"))
+                                .alias("reason")))
+        corpus = corpus.join(contaminated.select("url"), "url", "left_anti")
+    else:
+        contaminated = None
+
+    rejects = err.unionByName(low).unionByName(repetitive) \
+        .unionByName(exact_dups).unionByName(near)
+    if capped is not None:
+        rejects = rejects.unionByName(capped)
+    if contaminated is not None:
+        rejects = rejects.unionByName(contaminated)
     return corpus, rejects
 
 
@@ -95,8 +164,14 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (5th pct quality 0.5, median length 385) so every
     pipeline stage visibly fires."""
     pages = pages_df(spark, sf_dir)
+    # deterministic stand-in eval set: a slice of the documents table
+    evals = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .filter(F.pmod("doc_id", F.lit(41)) == 0).select("text"))
     corpus, rejects = build_corpus(pages, min_quality=0.7, min_chars=250,
-                                   jaccard_threshold=0.5)
+                                   jaccard_threshold=0.5,
+                                   max_top_bigram_frac=0.06,
+                                   domain_cap=4, eval_docs=evals,
+                                   decontam_n=3, decontam_min_shared=8)
     kept = corpus.select(F.lit("corpus").alias("stage"),
                          F.lit("kept").alias("outcome"))
     rej = rejects.select("stage", F.lit("rejected").alias("outcome"))
