@@ -281,7 +281,12 @@ class Entity(CharacterData):
     __slots__ = ("start", "end")
 
     def __init__(self, data: str = "", start: int = -1, end: int = -1) -> None:
-        super().__init__("#entity", data)
+        # hot path: slots set directly (no super() chain — entities are
+        # frequent in real markup)
+        self.name = "#entity"
+        self.parent = None
+        self.pos = -1
+        self.data = data
         self.start = start
         self.end = end
 
@@ -565,7 +570,12 @@ class RawText(Element):
 
     def __init__(self, name: str, attrs: Optional[dict[str, str]] = None,
                  data: str = "") -> None:
-        super().__init__(name, attrs)
+        # hot path: slots set directly (script/style on every real page)
+        self.name = name
+        self.parent = None
+        self.pos = -1
+        self.attrs = attrs if attrs is not None else {}
+        self.children = []
         self.data = data
 
 

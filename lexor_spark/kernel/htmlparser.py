@@ -196,12 +196,29 @@ class _Parser:
             m = search(text, caret)
             if m is None:
                 if n > caret:
-                    stack[-1].append_text(text[caret:n], caret, n)
+                    # append_text inlined (merge-with-trailing-Text)
+                    kids = stack[-1].children
+                    if kids and type(kids[-1]) is Text:
+                        last = kids[-1]
+                        last.data += text[caret:n]
+                        last.end = n
+                    else:
+                        node = Text(text[caret:n], caret, n)
+                        node.parent = stack[-1]
+                        kids.append(node)
                 caret = n
                 break
             i = m.start()
             if i > caret:
-                stack[-1].append_text(text[caret:i], caret, i)
+                kids = stack[-1].children
+                if kids and type(kids[-1]) is Text:
+                    last = kids[-1]
+                    last.data += text[caret:i]
+                    last.end = i
+                else:
+                    node = Text(text[caret:i], caret, i)
+                    node.parent = stack[-1]
+                    kids.append(node)
             if text[i] == "&":
                 # entity path inlined (one markup event per '&')
                 em = ent_match(text, i)
