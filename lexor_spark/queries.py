@@ -356,6 +356,59 @@ order by day
 """
 
 
+# --- Q14-ish: promo revenue share (conditional agg over a join) --------------
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            * 100.0 / F.sum(rev), 4).alias("promo_pct"),
+            F.count("*").alias("n_items"))
+    )
+
+
+SQL_PROMO = """
+select round(sum(case when p_type = 'PROMO'
+                      then l_extendedprice * (1 - l_discount)
+                      else 0.0 end) * 100.0 /
+             sum(l_extendedprice * (1 - l_discount)), 4) as promo_pct,
+       count(*) as n_items
+from lineitem join part on l_partkey = p_partkey
+"""
+
+
+# --- Q17-ish: small-quantity orders vs per-part average (correlated agg) -----
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below half their part's
+    average quantity — the TPC-H Q17 shape: a per-key aggregate joined
+    back to the fact table (Catalyst plans the decorrelated form; the
+    per-part avg side is tiny and broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = (li.groupBy(F.col("l_partkey").alias("ap"))
+               .agg(F.avg("l_quantity").alias("aq")))
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+             F.count("*").alias("n_small"))
+    )
+
+
+SQL_SMALL_QTY = """
+select round(sum(l_extendedprice), 2) as revenue,
+       count(*) as n_small
+from lineitem l
+join (select l_partkey as ap, avg(l_quantity) as aq
+      from lineitem group by 1) a on l.l_partkey = a.ap
+where l.l_quantity < 0.5 * a.aq
+"""
+
+
 # --- corpus stats on documents ------------------------------------------------
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,6 +444,8 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_only_nations": q_supplier_only_nations,
     "event_sessions": q_event_sessions,
     "event_type_matrix": q_event_type_matrix,
+    "promo_revenue": q_promo_revenue,
+    "small_quantity_revenue": q_small_quantity_revenue,
     "corpus_stats": q_corpus_stats,
 }
 
@@ -406,5 +461,7 @@ RELATIONAL_SQL: dict[str, str] = {
     "supplier_only_nations": SQL_SUPPLIER_ONLY,
     "event_sessions": SQL_SESSIONS,
     "event_type_matrix": SQL_EVENT_MATRIX,
+    "promo_revenue": SQL_PROMO,
+    "small_quantity_revenue": SQL_SMALL_QTY,
     "corpus_stats": SQL_CORPUS,
 }
