@@ -157,3 +157,50 @@ def test_markdown_wrapped_paragraphs_only():
     assert "```\nfenced content stays exactly as written\n```" in out
     # width=None identical to old behavior
     assert write_markdown(doc) == write_markdown(doc, width=None)
+
+
+# -- property-based invariants (hypothesis) -----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                                       max_codepoint=0x24F),
+                min_size=1, max_size=24)
+_words = st.lists(_word, min_size=0, max_size=60)
+_width = st.integers(min_value=4, max_value=90)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_words, _width)
+def test_wrap_preserves_words(words, width):
+    ww = WrapWriter(width=width)
+    ww.enable_wrap()
+    ww.write(" ".join(words))
+    assert ww.getvalue().split() == " ".join(words).split()
+
+
+@settings(max_examples=300, deadline=None)
+@given(_words, _width)
+def test_wrap_lines_bounded_or_single_token(words, width):
+    """A line may exceed the width only when it is one unsplittable
+    token (the reference never splits mid-token — writer.py:42-51)."""
+    ww = WrapWriter(width=width)
+    ww.enable_wrap()
+    ww.write(" ".join(words))
+    for ln in ww.getvalue().split("\n"):
+        assert len(ln) <= width or " " not in ln.strip()
+
+
+@settings(max_examples=200, deadline=None)
+@given(_words, st.integers(min_value=0, max_value=6))
+def test_indent_prefixes_every_line(words, pad):
+    indent = " " * pad
+    ww = WrapWriter(width=40, indent=indent)
+    ww.enable_wrap()
+    ww.write(" ".join(words))
+    out = ww.getvalue()
+    for ln in out.split("\n"):
+        if ln:
+            assert ln.startswith(indent)
+    assert out.split() == " ".join(words).split()
