@@ -173,6 +173,10 @@ def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_bucketed(spark, sf_dir, query_id=0, k=10)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_ivf(spark, sf_dir, query_id=0, k=10)
+
+
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_dup_pairs(spark, sf_dir, threshold=0.25).orderBy("a", "b")
 
@@ -244,6 +248,35 @@ def _q_dom_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.countDistinct("url").alias("n_urls"))
             .orderBy(F.col("n").desc(), "name"))
+
+
+def _q_to_text_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 wrap/indent writer engine at corpus scale (rows-only): the
+    extraction pipeline with width-70 wrapping — `lexor FILE to text`
+    with the reference writer's default wrap, distributed."""
+    out = extract_pages(pages_df(spark, sf_dir), width=70)
+    return (out.select("url", F.md5("text").alias("wrapped_md5"),
+                       "n_chars_out", "ok")
+            .orderBy("url"))
+
+
+def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level CSS selection (reference selector.py S1-S4 surface;
+    rows-only — selector matching over the kernel DOM is not ANSI SQL).
+    The probe list exercises the whole supported grammar: quick paths,
+    child/descendant/sibling combinators, attribute operators, groups."""
+    from lexor_spark.job import css_select
+    probes = [
+        "nav.nav a",                      # descendant + class
+        "div.sidebar > p",                # child
+        "#main p",                        # id fast-context (variant 3 only)
+        "ul > li + li",                   # adjacent sibling
+        'meta[name="description"]',       # attribute =
+        'a[href^="/about"]',              # attribute prefix
+        "main blockquote, article blockquote",  # comma group
+    ]
+    out = css_select(pages_df(spark, sf_dir), probes)
+    return out.orderBy("url", "selector")
 
 
 def _q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
+        "ann_ivf": _q_ann_ivf,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # URL/domain hygiene layer (full value oracles)
         "url_stats": _q_url_stats,
@@ -374,12 +408,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DOM flatten-export + corpus DOM analytics (kernel; rows-only)
         "dom_export": _q_dom_export,
         "dom_tag_stats": _q_dom_tag_stats,
+        # corpus-level CSS selection (kernel selector engine; rows-only)
+        "css_select": _q_css_select,
         # full training-corpus pipeline composition (rows-only)
         "corpus_summary": _q_corpus_summary,
         # html→markdown conversion (the reference's flagship; rows-only)
         "to_markdown": _q_to_markdown,
         # parse→serialize normal form (writer path; rows-only)
         "html_normalize": _q_html_normalize,
+        # W5 wrap/indent writer at corpus scale (rows-only)
+        "to_text_wrapped": _q_to_text_wrapped,
         # PDF extraction (pure-Python kernel; rows-only)
         "pdf_extract": _q_pdf_extract,
         # multimodal: real BMP/WAV codecs + deterministic-fallback
@@ -412,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.simhash_sql("documents") + " order by doc_id",
         "cosine_topk": sim.cosine_topk_sql(query_id=0, k=10),
         "ann_bucketed": sim.ann_bucketed_sql(query_id=0, k=10),
+        "ann_ivf": sim.ann_ivf_sql(query_id=0, k=10),
         "cosine_dup_pairs": sim.cosine_dup_pairs_sql(threshold=0.25)
                              + " order by a, b",
         "url_stats": SQL_URL_STATS,

@@ -22,6 +22,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="output style")
     ap.add_argument("--log", action="store_true",
                     help="print parse diagnostics to stderr")
+    ap.add_argument("--width", type=int, default=None, metavar="N",
+                    help="wrap prose at N columns (W5 engine; reference "
+                         "default is 70 — off here to keep raw output "
+                         "byte-pinned)")
+    ap.add_argument("--indent", default="", metavar="STR",
+                    help="prefix every output line with STR (text target)")
     args = ap.parse_args(argv)
 
     if args.source == "-":
@@ -29,6 +35,25 @@ def main(argv: list[str] | None = None) -> int:
     else:
         with open(args.source, "rb") as fh:
             data = fh.read()
+
+    # L2 extension→language defaults (reference `lexor/command/to.py`
+    # derives the input language from the file extension): .pdf routes
+    # through the PDF text kernel; PDF has no DOM, so only the text
+    # target applies.
+    if args.source.lower().endswith(".pdf") or data[:5] == b"%PDF-":
+        if args.target != "text":
+            print(f"lexor_spark: PDF input supports only 'to text' "
+                  f"(got {args.target})", file=sys.stderr)
+            return 2
+        from lexor_spark.kernel.pdftext import extract_pdf_text
+        res = extract_pdf_text(data)
+        body = res.text
+        if args.width or args.indent:
+            from lexor_spark.kernel.wrapwriter import wrap_text
+            body = wrap_text(body, args.width or 70, args.indent)
+        sys.stdout.write(body + "\n")
+        return 0 if res.ok else 1
+
     text = data.decode("utf-8", errors="replace")
 
     from lexor_spark.kernel.htmlparser import parse_html
@@ -41,12 +66,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.target == "text":
         from lexor_spark.kernel.pipeline import extract_document
-        res = extract_document(data, args.source)
+        res = extract_document(data, args.source, args.width, args.indent)
         sys.stdout.write(res.text + "\n")
         return 0 if res.ok else 1
     if args.target == "markdown":
         from lexor_spark.kernel.mdwriter import write_markdown
-        sys.stdout.write(write_markdown(doc) + "\n")
+        sys.stdout.write(write_markdown(doc, width=args.width) + "\n")
         return 0
     from lexor_spark.kernel.htmlwriter import write_html
     sys.stdout.write(write_html(doc) + "\n")

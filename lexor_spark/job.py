@@ -94,14 +94,17 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
             gc.enable()
 
 
-def _extract_batches_inner(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _extract_batches_inner(batches: Iterator[pa.RecordBatch],
+                           width: Optional[int] = None,
+                           indent: str = "") -> Iterator[pa.RecordBatch]:
     for batch in batches:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         out: dict[str, list] = {name: [] for name in _ARROW_SCHEMA.names}
         for url, html in zip(urls, htmls):
             t0 = time.perf_counter_ns()
-            res = extract_document(html if html is not None else b"", url)
+            res = extract_document(html if html is not None else b"", url,
+                                   width, indent)
             dt_us = (time.perf_counter_ns() - t0) // 1000
             out["url"].append(url)
             out["text"].append(res.text)
@@ -124,13 +127,34 @@ def _extract_batches_inner(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Rec
             schema=_ARROW_SCHEMA)
 
 
+def _extract_batches_wrapped(width: Optional[int], indent: str):
+    """Factory variant of `_extract_batches` for the opt-in W5
+    wrap/indent output mode; the default extraction path keeps the
+    module-level function (stable reference, no closure)."""
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            yield from _extract_batches_inner(batches, width, indent)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+    return run
+
+
 def extract_pages(pages: DataFrame, salt_buckets: int = 256,
-                  partitions: Optional[int] = None) -> DataFrame:
+                  partitions: Optional[int] = None,
+                  width: Optional[int] = None,
+                  indent: str = "") -> DataFrame:
     """pages (url, html, ...) → extraction output DataFrame.
 
     Column-prunes to (url, html) *before* the exchange so the shuffle
     moves only what the kernel needs; the salt is a pure expression so
-    Catalyst plans a single hash exchange."""
+    Catalyst plans a single hash exchange.
+
+    ``width``/``indent`` switch the writer stage into the W5 wrap/indent
+    mode (corpus-scale `lexor FILE to text --width`); defaults produce
+    the byte-pinned raw text of the north rule."""
     sc = pages.sparkSession.sparkContext
     if partitions is None:
         # fine-grained tasks (4× slots) hide per-task tail latency: giant
@@ -141,7 +165,10 @@ def extract_pages(pages: DataFrame, salt_buckets: int = 256,
         pages.select("url", "html")
         .repartition(partitions, F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
     )
-    return salted.mapInArrow(_extract_batches, OUTPUT_SCHEMA)
+    if width is None and not indent:
+        return salted.mapInArrow(_extract_batches, OUTPUT_SCHEMA)
+    return salted.mapInArrow(_extract_batches_wrapped(width, indent),
+                             OUTPUT_SCHEMA)
 
 
 def partition_metrics(extracted: DataFrame) -> DataFrame:
@@ -320,6 +347,91 @@ def normalize_html(pages: DataFrame, salt_buckets: int = 256,
               .repartition(partitions,
                            F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
     return salted.mapInArrow(_normalize_batches, NORMALIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level CSS selection (reference selector.py S1-S4, Spark-side)
+# ---------------------------------------------------------------------------
+
+CSS_SCHEMA = ("url string, selector string, n_matches int, "
+              "first_text string")
+
+_CSS_ARROW = pa.schema([
+    ("url", pa.string()), ("selector", pa.string()),
+    ("n_matches", pa.int32()), ("first_text", pa.string()),
+])
+
+
+def _css_batches(selectors: list[str]):
+    """Batch UDF factory: parse each page once, evaluate every selector
+    against the same tree (amortizes the parse — the dominant cost —
+    across the selector list)."""
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import gc
+
+        from lexor_spark.kernel.dom import dispose
+        from lexor_spark.kernel.htmlparser import parse_html
+        from lexor_spark.kernel.selector import query
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            for batch in batches:
+                urls = batch.column("url").to_pylist()
+                htmls = batch.column("html").to_pylist()
+                cols: dict[str, list] = {n: [] for n in _CSS_ARROW.names}
+                for url, html in zip(urls, htmls):
+                    doc = None
+                    try:
+                        text = bytes(html or b"").decode(
+                            "utf-8", errors="replace")
+                        doc, _ = parse_html(text, url)
+                        for sel in selectors:
+                            found = query(doc, sel)
+                            first = (found[0].text_content().strip()[:128]
+                                     if found else None)
+                            cols["url"].append(url)
+                            cols["selector"].append(sel)
+                            cols["n_matches"].append(len(found))
+                            cols["first_text"].append(first)
+                    except Exception:
+                        for sel in selectors:
+                            cols["url"].append(url)
+                            cols["selector"].append(sel)
+                            cols["n_matches"].append(0)
+                            cols["first_text"].append(None)
+                    finally:
+                        if doc is not None:
+                            dispose(doc)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[n], type=_CSS_ARROW.field(n).type)
+                     for n in _CSS_ARROW.names], schema=_CSS_ARROW)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+    return run
+
+
+def css_select(pages: DataFrame, selectors: list[str],
+               salt_buckets: int = 256,
+               partitions: Optional[int] = None) -> DataFrame:
+    """Per-url match counts + first-match text for each CSS selector
+    (url, selector, n_matches, first_text).
+
+    Selectors are validated on the driver (`tokenize` raises on grammar
+    errors) so a typo fails fast instead of 10^12 rows in.  One fused
+    `mapInArrow` pass: the page is parsed once regardless of how many
+    selectors are probed.
+    """
+    from lexor_spark.kernel.selector import tokenize
+    for sel in selectors:
+        tokenize(sel)  # driver-side validation
+    sc = pages.sparkSession.sparkContext
+    if partitions is None:
+        partitions = sc.defaultParallelism * 4
+    salted = (pages.select("url", "html")
+              .repartition(partitions,
+                           F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    return salted.mapInArrow(_css_batches(selectors), CSS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -510,13 +510,28 @@ class _Parser:
         self.caret = gt + 1
 
 
-def parse_html(text: str, uri: str = "") -> tuple[Document, list[LogEntry]]:
+def parse_html(text: str, uri: str = "",
+               pre_process=None,
+               post_process=None) -> tuple[Document, list[LogEntry]]:
     """Parse an HTML string into (Document, log).
 
     The document root's children are exactly the top-level constructs found
     (no synthetic <html>/<body> insertion — the reference inserts nothing
-    either; `parser.py:165` just creates an empty Document)."""
+    either; `parser.py:165` just creates an empty Document).
+
+    ``pre_process`` / ``post_process`` are the P8 hook slots (reference
+    `parser.py:174-178`: style modules may define both; called with the
+    parser state around the main loop).  The hot extraction path passes
+    neither — the ``None`` checks are the only cost.  ``pre_process(p)``
+    runs after state init, before the loop (e.g. to pre-mark byte
+    ranges); ``post_process(p)`` runs after the loop and before
+    ``normalize`` so it can still see raw adjacent Text runs and may
+    mutate ``p.doc`` / append to ``p.log``."""
     p = _Parser(text, uri)
+    if pre_process is not None:
+        pre_process(p)
     p.run()
+    if post_process is not None:
+        post_process(p)
     p.doc.normalize()
     return p.doc, p.log

@@ -57,8 +57,14 @@ def _decode(html: Union[bytes, bytearray, memoryview, str]) -> str:
     raise TypeError(f"html must be str or bytes-like, got {type(html).__name__}")
 
 
-def extract_document(html: Union[bytes, str], uri: str = "") -> ExtractResult:
-    """Extract main-content text + spans from one HTML document."""
+def extract_document(html: Union[bytes, str], uri: str = "",
+                     width: Optional[int] = None,
+                     indent: str = "") -> ExtractResult:
+    """Extract main-content text + spans from one HTML document.
+
+    ``width``/``indent`` opt into the W5 wrap/indent writer engine
+    (reference `writer.py:233-346`); the defaults keep the byte-pinned
+    raw output the extraction oracle verifies."""
     res = ExtractResult()
     doc = converted = None
     try:
@@ -78,7 +84,7 @@ def extract_document(html: Union[bytes, str], uri: str = "") -> ExtractResult:
         res.n_nodes = dispose(doc)
         doc = None
         main = select_main(converted)
-        res.text, spans = write_text(main)
+        res.text, spans = write_text(main, width=width, indent=indent)
         res.spans = [s.as_tuple() for s in spans]
     except Exception as exc:  # hostile input → error row, not task failure
         res.ok = False

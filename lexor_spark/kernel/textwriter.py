@@ -178,7 +178,8 @@ class _TextBuilder:
 
 
 def write_text(root: Element, width: Optional[int] = None,
-               indent: str = "") -> tuple[str, list[Span]]:
+               indent: str = "", pre_process=None,
+               post_process=None) -> tuple[str, list[Span]]:
     """Serialize the selected subtree to plain text + source spans.
 
     Iterative DFS with explicit open/close events (the reference writer's
@@ -190,9 +191,16 @@ def write_text(root: Element, width: Optional[int] = None,
     whitespace backtracking, every line gets the ``indent`` prefix, and
     ``<pre>`` payloads stay raw.  The default (no width, no indent) path
     is byte-identical to round 1 — the extraction oracle pins it.
-    Spans always carry SOURCE offsets, so wrapping does not move them."""
+    Spans always carry SOURCE offsets, so wrapping does not move them.
+
+    ``pre_process(builder, root)`` / ``post_process(builder, root)`` are
+    the writer's W2 hook slots (reference `writer.py:395-400`: called
+    around ``_write``); the post hook still sees the builder before the
+    final result string is assembled."""
     tb = _TextBuilder()
     spans: list[Span] = []
+    if pre_process is not None:
+        pre_process(tb, root)
     add_inline = tb.add_inline
     request_break = tb.request_break
     span_append = spans.append
@@ -246,6 +254,8 @@ def write_text(root: Element, width: Optional[int] = None,
         # children in reverse so they pop in document order
         for child in reversed(node.children):
             stack.append((child, child_path, child_pre))
+    if post_process is not None:
+        post_process(tb, root)
     if width is None and not indent:
         return tb.result(), spans
     return tb.result_wrapped(width if width is not None else 70, indent), spans

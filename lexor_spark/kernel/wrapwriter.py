@@ -24,7 +24,7 @@ needs for the resume contract.
 
 from __future__ import annotations
 
-__all__ = ["WrapWriter", "find_whitespace"]
+__all__ = ["WrapWriter", "find_whitespace", "wrap_text"]
 
 DEFAULT_WIDTH = 70  # reference `writer.py:389`
 
@@ -176,3 +176,18 @@ class WrapWriter:
     def getvalue(self) -> str:
         self.flush()
         return "".join(self._parts)
+
+
+def wrap_text(text: str, width: int = DEFAULT_WIDTH, indent: str = "") -> str:
+    """Wrap already-extracted plain text paragraph-wise: each input line
+    is a paragraph, re-broken at ``width`` columns with ``indent`` on
+    every output line (the W5 engine applied to flat text — e.g. the PDF
+    path, which has no DOM for the writer to drive)."""
+    w = WrapWriter(width=width, indent=indent)
+    w.enable_wrap()
+    lines = text.split("\n")
+    for k, line in enumerate(lines):
+        w.write(line)
+        if k < len(lines) - 1:
+            w.endl()
+    return w.getvalue()

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["cosine", "cosine_topk", "ann_bucketed", "bucket_of",
            "cosine_topk_sql", "ann_bucketed_sql",
+           "ann_ivf", "ann_ivf_sql",
            "cosine_dup_pairs", "cosine_dup_pairs_sql"]
 
 _SIGN_BITS = 8
@@ -102,6 +103,85 @@ def ann_bucketed(spark: SparkSession, sf_dir: str, query_id: int = 0,
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str, query_id: int = 0,
+            k: int = 10, m: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``m`` centroid
+    cells, search only the query's ``nprobe`` nearest cells.
+
+    Centroids are a deterministic subset (``vec_id < m``) rather than
+    k-means iterates — seedless, so the DuckDB oracle runs the identical
+    algorithm and the value hash is meaningful.  Assignment is a
+    broadcast of the tiny centroid table against the corpus with a
+    window argmax; at production ``m`` (4096+) the per-row m-way cross
+    join should become one Arrow-batched pandas UDF doing a numpy
+    matmul against the broadcast centroid matrix — same cells, one
+    pass.  The cell id is the natural partition column for the stored
+    index: probing then prunes ``(m - nprobe)/m`` of the data before
+    any vector arithmetic (like `ann_bucketed`'s 255/256, but with a
+    tunable cell count and data-adaptive cells).
+
+    Determinism notes: cell argmax and probe choice order by
+    ``(round(sim, 6) desc, cid)`` so engine-side summation-order ulps
+    cannot flip the choice; the final score is rounded to 4 like every
+    other sim operator here."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    cents = (emb.filter(F.col("vec_id") < m)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cv")))
+    csim = F.round(cosine(F.col("embedding"), F.col("cv")), 6)
+    ranked = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "embedding", "cid", csim.alias("csim")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    assigned = (ranked.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "embedding", "cid"))
+    probes = (assigned.filter(F.col("vec_id") == query_id)
+              .select(F.col("embedding").alias("qv"))
+              .crossJoin(F.broadcast(cents))
+              .select("qv", "cid",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                      .alias("qsim"))
+              .orderBy(F.col("qsim").desc(), "cid").limit(nprobe)
+              .select("qv", "cid"))
+    sim = F.round(cosine(F.col("embedding"), F.col("qv")), 4)
+    return (assigned.join(F.broadcast(probes), "cid")
+            .select("vec_id", sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), "vec_id")
+            .limit(k))
+
+
+def ann_ivf_sql(query_id: int = 0, k: int = 10, m: int = 16,
+                nprobe: int = 4) -> str:
+    cos = ("list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b})))")
+    c_ec = cos.format(a="e.v", b="c.cv")
+    c_qc = cos.format(a="q.qv", b="c.cv")
+    c_eq = cos.format(a="a.v", b="p.qv")
+    return f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+c as (select vec_id as cid, v as cv from e where vec_id < {m}),
+assigned as (
+  select vec_id, v, cid from (
+    select e.vec_id, e.v, c.cid,
+           row_number() over (partition by e.vec_id
+                              order by round({c_ec}, 6) desc, c.cid) as rn
+    from e cross join c)
+  where rn = 1
+),
+q as (select v as qv from e where vec_id = {query_id}),
+probes as (
+  select q.qv, c.cid from q cross join c
+  order by round({c_qc}, 6) desc, c.cid limit {nprobe}
+)
+select a.vec_id, round({c_eq}, 4) as sim
+from assigned a join probes p on a.cid = p.cid
+order by sim desc, a.vec_id
+limit {k}
+"""
 
 
 # --- banded sign blocking for the pair join ---------------------------------

@@ -153,3 +153,27 @@ GOLDEN = [
 def test_goldens():
     for html, expected in GOLDEN:
         assert extract_document(html).text == expected, html
+
+
+def test_writer_hooks_w2():
+    """W2 hook slots (reference writer.py:395-400): pre sees the empty
+    builder, post sees it before final assembly and may append."""
+    from lexor_spark.kernel.htmlparser import parse_html
+    from lexor_spark.kernel.textwriter import write_text
+
+    doc, _ = parse_html("<p>body text</p>")
+    calls = []
+
+    def pre(tb, root):
+        calls.append(("pre", tb.result()))
+
+    def post(tb, root):
+        calls.append(("post",))
+        tb.add_inline(" [hooked]")
+
+    out, _ = write_text(doc, pre_process=pre, post_process=post)
+    assert calls[0] == ("pre", "") and calls[1] == ("post",)
+    assert out.endswith("[hooked]")
+    # hookless call unchanged
+    out2, _ = write_text(doc)
+    assert out2 == "body text"

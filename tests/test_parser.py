@@ -148,3 +148,32 @@ def test_empty_and_whitespace():
     assert not log and not doc.children
     doc, log = parse_html("   \n  ")
     assert not log and isinstance(doc.children[0], Text)
+
+
+def test_parse_hooks_p8():
+    """P8 hook slots (reference parser.py:174-178): pre runs before the
+    loop, post runs after it but before normalize (raw Text runs still
+    visible), both see the same parser state object."""
+    from lexor_spark.kernel.htmlparser import LogEntry, parse_html
+
+    seen = {}
+
+    def pre(p):
+        seen["pre_children"] = len(p.doc.children)
+        seen["caret"] = p.caret
+
+    def post(p):
+        seen["post_children"] = len(p.doc.children)
+        p.log.append(LogEntry("X999", 1, 1))
+        p.doc.meta["hooked"] = "yes"
+
+    doc, log = parse_html("<p>a</p>&amp;tail", pre_process=pre,
+                          post_process=post)
+    assert seen["pre_children"] == 0 and seen["caret"] == 0
+    assert seen["post_children"] == len(doc.children)
+    assert doc.meta["hooked"] == "yes"
+    assert any(e.code == "X999" for e in log)
+    # hooks absent -> identical output (hot path untouched)
+    doc2, _ = parse_html("<p>a</p>&amp;tail")
+    from lexor_spark.kernel.htmlwriter import write_html
+    assert write_html(doc2) == write_html(doc)

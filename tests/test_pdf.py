@@ -107,3 +107,35 @@ def test_cmap_absent_is_latin1_identical():
     pdf = build_simple_pdf(["plain latin-1 café"])
     r = extract_pdf_text(pdf)
     assert r.ok and r.text == "plain latin-1 café\n"
+
+
+def test_cli_pdf_routing(tmp_path, capsys):
+    """L2 extension→language defaults (reference command/to.py): .pdf
+    (or %PDF- magic) routes through the PDF kernel; non-text targets
+    are rejected; --width wraps the flat text."""
+    from lexor_spark.__main__ import main
+    from lexor_spark.kernel.pdftext import build_simple_pdf
+
+    words = " ".join(f"tok{i}" for i in range(30))
+    f = tmp_path / "doc.pdf"
+    f.write_bytes(build_simple_pdf([words]))
+
+    assert main([str(f), "to", "text"]) == 0
+    out = capsys.readouterr().out
+    assert "tok0" in out and "tok29" in out
+
+    assert main([str(f), "to", "markdown"]) == 2
+
+    assert main([str(f), "to", "text", "--width", "20"]) == 0
+    wrapped = capsys.readouterr().out
+    assert all(len(ln) <= 20 for ln in wrapped.strip().split("\n"))
+
+
+def test_wrap_text_helper():
+    from lexor_spark.kernel.wrapwriter import wrap_text
+
+    s = "aaa bbb ccc ddd eee\n\nsecond para here"
+    out = wrap_text(s, width=8, indent="> ")
+    lines = out.split("\n")
+    assert all(ln.startswith("> ") or ln == "" for ln in lines)
+    assert all(len(ln) <= 8 for ln in lines)

@@ -1,0 +1,194 @@
+"""Selector engine tests (reference S1-S4: lexor/core/selector.py).
+
+Covers the tokenizer grammar, the quick-expression fast paths, full
+combinator matching, and the jQuery-like DOM-edit verbs.
+"""
+
+import pytest
+
+from lexor_spark.kernel.htmlparser import parse_html
+from lexor_spark.kernel.htmlwriter import write_html
+from lexor_spark.kernel.selector import (
+    Selector, SelectorError, matches, query, tokenize)
+
+DOC = """
+<div id="top" class="wrap main">
+  <p class="intro">hello <b>world</b></p>
+  <p data-x="a b">two</p>
+  <span></span>
+  <p class="intro outro">three</p>
+  <ul><li>1</li><li class="sel">2</li><li>3</li></ul>
+</div>
+<div class="wrap"><p>outside</p></div>
+"""
+
+
+@pytest.fixture()
+def doc():
+    tree, _ = parse_html(DOC)
+    return tree
+
+
+def texts(nodes):
+    return [n.text_content().strip() for n in nodes]
+
+
+# -- tokenizer (S2) -------------------------------------------------------
+
+def test_tokenize_groups_and_combinators():
+    groups = tokenize("div.a > p, #x ~ i.b[t='v']")
+    assert len(groups) == 2
+    g0, g1 = groups
+    assert [t for t in g0 if isinstance(t, str)] == [">"]
+    assert g0[0].tag == "div" and g0[0].classes == ["a"]
+    assert g0[2].tag == "p"
+    assert [t for t in g1 if isinstance(t, str)] == ["~"]
+    assert g1[0].ids == ["x"]
+    assert g1[2].classes == ["b"] and g1[2].attrs == [("t", "=", "v")]
+
+
+def test_tokenize_rejects_garbage_and_pseudos():
+    with pytest.raises(SelectorError):
+        tokenize("p >")
+    with pytest.raises(SelectorError):
+        tokenize("")
+    with pytest.raises(SelectorError):
+        tokenize("p:nth-child(2)")
+    with pytest.raises(SelectorError):
+        tokenize("p ? q")
+
+
+def test_tokenize_cached():
+    assert tokenize("div p") is tokenize("div p")
+
+
+# -- quick paths (S1, reference selector.py:173-199) ----------------------
+
+def test_quick_id_tag_class(doc):
+    assert [n.name for n in query(doc, "#top")] == ["div"]
+    assert len(query(doc, "p")) == 4
+    assert texts(query(doc, ".intro")) == ["hello world", "three"]
+
+
+# -- full matching --------------------------------------------------------
+
+def test_descendant_and_child(doc):
+    assert len(query(doc, "div p")) == 4
+    assert len(query(doc, "div > p")) == 4  # 3 in #top + 1 outside, all direct
+    assert texts(query(doc, "ul > li.sel")) == ["2"]
+    assert query(doc, "ul > p") == []
+
+
+def test_sibling_combinators(doc):
+    # + : immediately preceding element sibling
+    assert texts(query(doc, "p + p")) == ["two"]
+    # ~ : any preceding element sibling
+    assert texts(query(doc, "p ~ p")) == ["two", "three"]
+    assert texts(query(doc, "span + p.intro")) == ["three"]
+
+
+def test_attribute_operators(doc):
+    assert len(query(doc, "[data-x]")) == 1
+    assert texts(query(doc, 'p[data-x="a b"]')) == ["two"]
+    assert texts(query(doc, "p[data-x~=b]")) == ["two"]
+    assert texts(query(doc, "div[class^=wr] > p[class$=tro]")) \
+        == ["hello world", "three"]
+    assert texts(query(doc, "p[class*=ut]")) == ["three"]
+    assert len(query(doc, "div[id|=top]")) == 1
+    # != matches mismatching AND attribute-less elements (jQuery rule)
+    assert texts(query(doc, "p[data-x!='a b']")) \
+        == ["hello world", "three", "outside"]
+
+
+def test_compound_and_groups(doc):
+    assert texts(query(doc, "p.intro.outro")) == ["three"]
+    got = query(doc, "li.sel, #top > span, .no-such")
+    assert [n.name for n in got] == ["span", "li"]  # document order
+
+
+def test_matches_predicate(doc):
+    li = query(doc, "li.sel")[0]
+    assert matches(li, "ul li")
+    assert matches(li, "#top li.sel")
+    assert not matches(li, "span li")
+
+
+def test_quick_id_scoped_to_context(doc):
+    outside = query(doc, "div")[-1]  # the .wrap without id
+    assert query(outside, "#top") == []  # #top not under this context
+
+
+# -- Selector DOM edits (S4, reference selector.py:306-624) ---------------
+
+def test_selector_find_and_contents(doc):
+    sel = Selector("div", doc).find("li.sel")
+    assert texts(sel.data) == ["2"]
+    kids = Selector("ul", doc).contents()
+    assert len(kids) == 3
+
+
+def test_append_string_parses_and_clones(doc):
+    Selector("p.intro", doc).append("<i>!</i>")
+    ps = query(doc, "p.intro")
+    assert all(p.children[-1].name == "i" for p in ps)
+    # cloned per target: the two <i> nodes are distinct objects
+    assert ps[0].children[-1] is not ps[1].children[-1]
+
+
+def test_prepend_before_after(doc):
+    Selector("ul", doc).prepend("<li>0</li>")
+    assert texts(query(doc, "ul > li"))[0] == "0"
+    Selector("span", doc).before("<hr>").after("<wbr>")
+    top = query(doc, "#top")[0]
+    names = [n.name for n in top.children if n.name != "#text"]
+    k = names.index("span")
+    assert names[k - 1] == "hr" and names[k + 1] == "wbr"
+
+
+def test_edit_with_function(doc):
+    Selector("li", doc).append(lambda node, i: f"<em>{i}</em>")
+    ems = query(doc, "li > em")
+    assert texts(ems) == ["0", "1", "2"]
+
+
+def test_remove(doc):
+    Selector("ul", doc).remove()
+    assert query(doc, "li") == []
+    html = write_html(doc)
+    assert "<ul>" not in html
+
+
+def test_append_node_moves_last_clones_rest(doc):
+    b = query(doc, "b")[0]
+    Selector("p[data-x]", doc).append(b)  # single target: moves, no clone
+    assert b.parent.get("data-x") == "a b"
+    assert query(doc, "p.intro b") == []
+
+
+# -- corpus-level batch UDF (Spark-free: feed Arrow batches directly) -----
+
+def test_css_batches_arrow():
+    import pyarrow as pa
+
+    from lexor_spark.job import _css_batches
+
+    html1 = b'<div class="a"><p>one</p><p>two</p></div>'
+    html2 = b"<ul><li>x</li></ul>"
+    batch = pa.RecordBatch.from_pydict(
+        {"url": ["u1", "u2", "u3"], "html": [html1, html2, None]})
+    out = list(_css_batches(["div.a > p", "li"])([batch]))
+    assert len(out) == 1
+    rows = out[0].to_pylist()
+    assert len(rows) == 6  # 3 urls x 2 selectors
+    by_key = {(r["url"], r["selector"]): r for r in rows}
+    assert by_key[("u1", "div.a > p")]["n_matches"] == 2
+    assert by_key[("u1", "div.a > p")]["first_text"] == "one"
+    assert by_key[("u2", "li")]["n_matches"] == 1
+    assert by_key[("u3", "li")]["n_matches"] == 0
+    assert by_key[("u3", "li")]["first_text"] is None
+
+
+def test_css_select_validates_on_driver():
+    from lexor_spark.kernel.selector import SelectorError, tokenize
+    with pytest.raises(SelectorError):
+        tokenize("p:hover")

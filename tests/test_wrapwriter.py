@@ -204,3 +204,37 @@ def test_indent_prefixes_every_line(words, pad):
         if ln:
             assert ln.startswith(indent)
     assert out.split() == " ".join(words).split()
+
+
+def test_extract_document_wrapped_and_cli_parity():
+    """width flows kernel-deep: extract_document(width=) wraps prose at
+    the column budget, raw default stays byte-identical, and the batch
+    UDF factory produces the same wrapped bytes as the serial call."""
+    import pyarrow as pa
+
+    from lexor_spark.job import _extract_batches_wrapped
+    from lexor_spark.kernel.pipeline import extract_document
+
+    words = " ".join(f"word{i}" for i in range(40))
+    html = f"<main><p>{words}</p></main>".encode()
+    raw = extract_document(html, "u")
+    wrapped = extract_document(html, "u", 30)
+    assert "\n" not in raw.text
+    lines = wrapped.text.split("\n")
+    assert len(lines) > 1 and all(len(ln) <= 30 for ln in lines)
+    assert wrapped.text.replace("\n", " ") == raw.text
+    batch = pa.RecordBatch.from_pydict({"url": ["u"], "html": [html]})
+    [out] = list(_extract_batches_wrapped(30, "")([batch]))
+    assert out.to_pylist()[0]["text"] == wrapped.text
+
+
+def test_cli_width_flag(tmp_path, capsys):
+    from lexor_spark.__main__ import main
+
+    f = tmp_path / "p.html"
+    body = " ".join(f"w{i}" for i in range(50))
+    f.write_text(f"<main><p>{body}</p></main>")
+    assert main([str(f), "to", "text", "--width", "25"]) == 0
+    out = capsys.readouterr().out
+    assert all(len(ln) <= 25 for ln in out.strip().split("\n"))
+    assert len(out.strip().split("\n")) > 3
