@@ -75,18 +75,44 @@ def measure(cores: int) -> None:
     spark.stop()
 
 
+def _ambient() -> dict:
+    """Host-condition snapshot (1-min loadavg + cumulative non-idle CPU
+    jiffies): recorded around every measurement so each run documents
+    its own validity — a shared-VM epoch that depresses one level shows
+    up here instead of being argued about after the fact."""
+    with open("/proc/loadavg") as fh:
+        load1 = float(fh.read().split()[0])
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    return {"load1": load1, "busy_jiffies": busy}
+
+
 def run_level(cores: int) -> dict:
     # taskset confines the WHOLE process tree (JVM + Python workers) to
     # `cores` CPUs — an N-core cluster does not get spare cores for shuffle
     # and Arrow IPC, so neither may the N-core measurement.
+    amb0 = _ambient()
+    t0 = time.time()
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}",
          sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
         capture_output=True, text=True, cwd=REPO, timeout=1800,
         env={**os.environ, "PYTHONPATH": REPO},
     )
+    amb1 = _ambient()
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    # whole-host CPU utilisation over the measurement window, in cores;
+    # subtracting the pinned allotment approximates EXTERNAL load
+    dt = max(time.time() - t0, 1e-9)
+    host_cores_busy = (amb1["busy_jiffies"] - amb0["busy_jiffies"]) / 100.0 / dt
+    res["ambient"] = {"load1_before": amb0["load1"],
+                      "load1_after": amb1["load1"],
+                      "host_cores_busy": round(host_cores_busy, 2),
+                      "external_est": round(max(0.0, host_cores_busy - cores), 2)}
+    return res
 
 
 def main() -> None:
@@ -94,7 +120,7 @@ def main() -> None:
         measure(int(sys.argv[2]))
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--interleaved":
-        interleaved()
+        interleaved(reps=int(os.environ.get("BENCH_INTERLEAVED_REPS", "3")))
         return
     cores = {c for pair in PAIRS for c in pair}
     results = {c: run_level(c) for c in sorted(cores)}
@@ -189,7 +215,8 @@ def interleaved(lo: int = 4, hi: int = 16, reps: int = 3) -> None:
             r = run_level(cores)
             seq.append((cores, r["docs_per_sec"]))
             print(json.dumps({"cores": cores,
-                              "docs_per_sec": r["docs_per_sec"]}),
+                              "docs_per_sec": r["docs_per_sec"],
+                              "ambient": r.get("ambient")}),
                   flush=True)
     med = {c: statistics.median(v for cc, v in seq if cc == c)
            for c in (lo, hi)}
