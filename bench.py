@@ -97,6 +97,12 @@ def main() -> None:
     timings["extract_metrics"] = timed(
         lambda: partition_metrics(extract_pages(pages, salt_buckets=256)))
 
+    from lexor_spark.job import css_select
+    timings["css_select"] = timed(
+        lambda: css_select(pages, ["nav.nav a", "#main p",
+                                   "main blockquote, article blockquote"],
+                           salt_buckets=256))
+
     # -- training-data operators ------------------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
         .repartition(CPUS)  # single-row-group file scans as one task
@@ -114,6 +120,7 @@ def main() -> None:
         "simhash": lambda: dedup.simhash_df(docs),
         "cosine_topk": lambda: sim.cosine_topk(spark, SF_DIR, query_id=0, k=10),
         "ann_bucketed": lambda: sim.ann_bucketed(spark, SF_DIR, query_id=0, k=10),
+        "ann_ivf": lambda: sim.ann_ivf(spark, SF_DIR, query_id=0, k=10),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)
