@@ -192,3 +192,49 @@ def test_css_select_validates_on_driver():
     from lexor_spark.kernel.selector import SelectorError, tokenize
     with pytest.raises(SelectorError):
         tokenize("p:hover")
+
+
+# -- property: query() and matches() agree on random trees/selectors ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TAGS = ["div", "p", "span", "b", "ul", "li"]
+_CLASSES = ["a", "b", "c"]
+
+
+@st.composite
+def _tree_html(draw, depth=0):
+    tag = draw(st.sampled_from(_TAGS))
+    cls = draw(st.lists(st.sampled_from(_CLASSES), max_size=2, unique=True))
+    attr = f' class="{" ".join(cls)}"' if cls else ""
+    if depth >= 3:
+        return f"<{tag}{attr}>x</{tag}>"
+    kids = draw(st.lists(_tree_html(depth + 1), max_size=3))
+    return f"<{tag}{attr}>{''.join(kids)}</{tag}>"
+
+
+@st.composite
+def _selector(draw):
+    def compound():
+        tag = draw(st.sampled_from(_TAGS + ["*", ""]))
+        cls = draw(st.lists(st.sampled_from(_CLASSES), max_size=1))
+        s = tag + "".join(f".{c}" for c in cls)
+        return s or "p"
+    parts = [compound()]
+    for _ in range(draw(st.integers(0, 2))):
+        parts.append(draw(st.sampled_from([" ", " > ", " + ", " ~ "])))
+        parts.append(compound())
+    return "".join(parts)
+
+
+@given(html=_tree_html(), sel=_selector())
+@settings(max_examples=120, deadline=None)
+def test_query_matches_consistency(html, sel):
+    doc, _ = parse_html(html)
+    got = query(doc, sel)
+    from lexor_spark.kernel.dom import Element
+    all_els = [n for n in doc.iter()
+               if n is not doc and isinstance(n, Element)]
+    expected = [n for n in all_els if matches(n, sel)]
+    assert got == expected  # same nodes, same (document) order
