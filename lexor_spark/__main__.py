@@ -48,9 +48,13 @@ def main(argv: list[str] | None = None) -> int:
         from lexor_spark.kernel.pdftext import extract_pdf_text
         res = extract_pdf_text(data)
         body = res.text
-        if args.width or args.indent:
+        if args.width:
             from lexor_spark.kernel.wrapwriter import wrap_text
-            body = wrap_text(body, args.width or 70, args.indent)
+            body = wrap_text(body, args.width, args.indent)
+        elif args.indent:
+            # indent-only: prefix, never re-wrap
+            body = "\n".join(args.indent + ln if ln else ln
+                             for ln in body.split("\n"))
         sys.stdout.write(body + "\n")
         return 0 if res.ok else 1
 

@@ -74,24 +74,10 @@ _ARROW_SCHEMA = pa.schema([
 ])
 
 
-def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """The vectorized UDF body: Arrow batch in → Arrow batch out.
-
-    Runs once per Arrow batch per task; the per-document loop is plain
-    Python over already-materialized buffers (no pandas detour — the html
-    payload is binary and pandas would copy it twice).
-
-    The cyclic GC is disabled for the duration: DOM trees are explicitly
-    cycle-broken by the kernel (``dom.dispose``) so everything frees by
-    refcount, and turning the collector off removes its cache-thrashing
-    scans — measured ~+50% throughput at 32 workers."""
-    gc_was_enabled = gc.isenabled()
-    gc.disable()
-    try:
-        yield from _extract_batches_inner(batches)
-    finally:
-        if gc_was_enabled:
-            gc.enable()
+# The cyclic GC is disabled for the duration of every batch UDF here:
+# DOM trees are explicitly cycle-broken by the kernel (``dom.dispose``)
+# so everything frees by refcount, and turning the collector off removes
+# its cache-thrashing scans — measured ~+50% throughput at 32 workers.
 
 
 def _extract_batches_inner(batches: Iterator[pa.RecordBatch],
@@ -128,9 +114,9 @@ def _extract_batches_inner(batches: Iterator[pa.RecordBatch],
 
 
 def _extract_batches_wrapped(width: Optional[int], indent: str):
-    """Factory variant of `_extract_batches` for the opt-in W5
-    wrap/indent output mode; the default extraction path keeps the
-    module-level function (stable reference, no closure)."""
+    """Batch-UDF factory for the extraction kernel; ``(None, "")`` is
+    the default raw-output path (bound once at module level below as
+    ``_extract_batches`` — a stable reference, no per-call closure)."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         gc_was_enabled = gc.isenabled()
         gc.disable()
@@ -140,6 +126,9 @@ def _extract_batches_wrapped(width: Optional[int], indent: str):
             if gc_was_enabled:
                 gc.enable()
     return run
+
+
+_extract_batches = _extract_batches_wrapped(None, "")
 
 
 def extract_pages(pages: DataFrame, salt_buckets: int = 256,
@@ -381,6 +370,9 @@ def _css_batches(selectors: list[str]):
                 cols: dict[str, list] = {n: [] for n in _CSS_ARROW.names}
                 for url, html in zip(urls, htmls):
                     doc = None
+                    mark = len(cols["url"])  # rollback point: an
+                    # exception mid-selector-loop must not leave a
+                    # partial row set that the except block then doubles
                     try:
                         text = bytes(html or b"").decode(
                             "utf-8", errors="replace")
@@ -394,6 +386,8 @@ def _css_batches(selectors: list[str]):
                             cols["n_matches"].append(len(found))
                             cols["first_text"].append(first)
                     except Exception:
+                        for lst in cols.values():
+                            del lst[mark:]
                         for sel in selectors:
                             cols["url"].append(url)
                             cols["selector"].append(sel)

@@ -54,6 +54,15 @@ _RE_ATTR = re.compile(
 _RE_PSEUDO = re.compile(rf"^:({_IDENT})(\([^)]*\))?")
 # reference quick-expression (selector.py:77): a bare #id, tag or .class
 _RE_QUICK = re.compile(r"^(?:#([\w-]+)|(\w+)|\.([\w-]+))$")
+_RE_UNESCAPE = re.compile(r"\\(.)")
+
+
+def _unescape(s: str) -> str:
+    """Resolve ``\\x`` escapes the identifier grammar admits (the
+    reference tokenizes them but its ``funescape`` is commented out,
+    `selector.py:85-89` — tokens that can never match; here ``.a\\.b``
+    matches class ``a.b`` as CSS intends)."""
+    return _RE_UNESCAPE.sub(r"\1", s) if "\\" in s else s
 
 
 class SelectorError(ValueError):
@@ -170,19 +179,19 @@ def tokenize(selector: str) -> list[list[Union[str, Compound]]]:
         matched_any = False
         m = _RE_TAG.match(so_far)
         if m:
-            compound.tag = m.group(1)
+            compound.tag = _unescape(m.group(1))
             so_far = so_far[m.end():]
             matched_any = True
         while so_far:
             m = _RE_ID.match(so_far)
             if m:
-                compound.ids.append(m.group(1))
+                compound.ids.append(_unescape(m.group(1)))
                 so_far = so_far[m.end():]
                 matched_any = True
                 continue
             m = _RE_CLASS.match(so_far)
             if m:
-                compound.classes.append(m.group(1))
+                compound.classes.append(_unescape(m.group(1)))
                 so_far = so_far[m.end():]
                 matched_any = True
                 continue
@@ -190,7 +199,9 @@ def tokenize(selector: str) -> list[list[Union[str, Compound]]]:
             if m:
                 name, op, _q, quoted, bare = m.groups()
                 value = quoted if quoted is not None else bare
-                compound.attrs.append((name, op, value))
+                compound.attrs.append((
+                    _unescape(name), op,
+                    _unescape(value) if value is not None else None))
                 so_far = so_far[m.end():]
                 matched_any = True
                 continue
@@ -213,6 +224,23 @@ def tokenize(selector: str) -> list[list[Union[str, Compound]]]:
     return groups
 
 
+def _prev_elements(cur: Element) -> Iterator[Element]:
+    """Element siblings strictly before ``cur``, nearest first — one
+    linear pass over the parent's child list (repeated
+    ``prev_element`` calls would rescan the list per step, O(n²) on
+    sibling-heavy pages)."""
+    p = cur.parent
+    if p is None:
+        return
+    before: list[Element] = []
+    for child in p.children:
+        if child is cur:
+            break
+        if isinstance(child, Element):
+            before.append(child)
+    yield from reversed(before)
+
+
 def _chain_matches(node: Element, tokens: list[Union[str, Compound]]) -> bool:
     """True when ``node`` matches the rightmost compound of ``tokens``
     with all left-context (combinator) constraints satisfied.
@@ -220,18 +248,25 @@ def _chain_matches(node: Element, tokens: list[Union[str, Compound]]) -> bool:
     Right-to-left with backtracking for the non-``first`` combinators
     (descendant, ``~``) — the same relative-direction semantics the
     reference encodes in ``EXPR['relative']`` (`selector.py:143-148`).
-    Iterative worklist, no recursion.
-    """
+    Iterative worklist, no recursion; a visited-state memo bounds the
+    work at O(chain_length × candidates) even when sibling runs offer
+    exponentially many backtracking paths (e.g. ``.a ~ .a ~ .a`` over
+    thousands of identical siblings)."""
     last = tokens[-1]
     assert isinstance(last, Compound)
     if not last.matches(node):
         return False
     # worklist of (token_index_of_next_compound_to_match, candidate node)
     stack: list[tuple[int, Element]] = [(len(tokens) - 3, node)]
+    seen: set[tuple[int, int]] = set()
     while stack:
         idx, cur = stack.pop()
         if idx < 0:
             return True
+        key = (idx, id(cur))
+        if key in seen:
+            continue
+        seen.add(key)
         comb = tokens[idx + 1]
         compound = tokens[idx]
         assert isinstance(comb, str) and isinstance(compound, Compound)
@@ -246,15 +281,14 @@ def _chain_matches(node: Element, tokens: list[Union[str, Compound]]) -> bool:
                     stack.append((idx - 2, anc))
                 anc = anc.parent
         elif comb == "+":
-            prev = cur.prev_element
-            if prev is not None and compound.matches(prev):
-                stack.append((idx - 2, prev))
-        elif comb == "~":
-            prev = cur.prev_element
-            while prev is not None:
+            for prev in _prev_elements(cur):
                 if compound.matches(prev):
                     stack.append((idx - 2, prev))
-                prev = prev.prev_element
+                break  # adjacent only: nearest preceding element
+        elif comb == "~":
+            for prev in _prev_elements(cur):
+                if compound.matches(prev):
+                    stack.append((idx - 2, prev))
         else:  # pragma: no cover - tokenize only emits the four above
             raise SelectorError(f"unknown combinator {comb!r}")
     return False
@@ -267,45 +301,80 @@ def matches(node: Node, selector: str) -> bool:
     return any(_chain_matches(node, g) for g in tokenize(selector))
 
 
+def _group_match_ids(context: Element,
+                     tokens: list[Union[str, Compound]]) -> set[int]:
+    """``id()`` set of descendants of ``context`` matching one comma
+    group, by level-wise set propagation: one DFS pass per chain step,
+    O(chain_length × nodes) total — no backtracking, so sibling-heavy
+    pages (long ``<li>``/``<tr>`` runs) stay linear where a per-node
+    backtracking matcher degrades to O(n²)+ (css_select runs arbitrary
+    probes corpus-wide; worst-case time per page is a task-stall risk,
+    not just a latency one)."""
+    comps = tokens[0::2]
+    combs = tokens[1::2]
+    cur: set[int] = {id(n) for n in _descendant_elements(context)
+                     if comps[0].matches(n)}  # type: ignore[arg-type]
+    for comb, compound in zip(combs, comps[1:]):
+        assert isinstance(comb, str) and isinstance(compound, Compound)
+        if not cur:
+            return cur
+        nxt: set[int] = set()
+        # DFS frames: (element-or-context, any-strict-ancestor-in-`cur`)
+        stack: list[tuple[Element, bool]] = [(context, False)]
+        while stack:
+            node, anc = stack.pop()
+            parent_in = id(node) in cur
+            prev_el_in = False   # nearest preceding element sibling ∈ cur
+            any_prev_in = False  # any preceding element sibling ∈ cur
+            for child in node.children:
+                if not isinstance(child, Element):
+                    continue
+                if compound.matches(child):
+                    if ((comb == ">" and parent_in)
+                            or (comb == " " and (anc or parent_in))
+                            or (comb == "+" and prev_el_in)
+                            or (comb == "~" and any_prev_in)):
+                        nxt.add(id(child))
+                child_in = id(child) in cur
+                prev_el_in = child_in
+                any_prev_in = any_prev_in or child_in
+                if child.children:
+                    stack.append((child, anc or parent_in))
+        cur = nxt
+    return cur
+
+
 def query(context: Element, selector: str) -> list[Element]:
     """All elements under ``context`` matching ``selector``, document
     order, ``context`` itself excluded (reference ``sizzle``,
     `selector.py:173-200`: quick-expression fast paths first, full
-    matching otherwise)."""
+    matching otherwise).  ``#id`` scans the context subtree like any
+    other compound — duplicate ids (routine in real crawled HTML) all
+    match, and ``query``/``matches`` stay consistent."""
     m = _RE_QUICK.match(selector.strip())
     if m is not None:
         element_id, tag, cls = m.groups()
         if element_id:
-            doc = context if isinstance(context, Document) else context.owner
-            root = doc if doc is not None else context
-            elem = _first_by_id(root, element_id)
-            if elem is not None and elem is not context and (
-                    root is context or context.contains(elem)):
-                return [elem]
-            return []
+            return [n for n in _descendant_elements(context)
+                    if n.attrs.get("id") == element_id]
         if tag:
-            return [n for n in _descendant_elements(context) if n.name == tag]
-        return [n for n in _descendant_elements(context)
-                if cls in (n.attrs.get("class") or "").split()]
+            return [n for n in context.get_nodes_by_name(tag)
+                    if n is not context]  # tag idents never hit #text names
+        return [n for n in context.get_elements_by_class_name(cls)
+                if n is not context]
     groups = tokenize(selector)
-    out: list[Element] = []
-    for node in _descendant_elements(context):
-        if any(_chain_matches(node, g) for g in groups):
-            out.append(node)
-    return out
+    hits: set[int] = set()
+    for g in groups:
+        hits |= _group_match_ids(context, g)
+    if not hits:
+        return []
+    return [n for n in _descendant_elements(context) if id(n) in hits]
 
 
 def _descendant_elements(context: Element) -> Iterator[Element]:
     for n in context.iter():
         if n is not context and isinstance(n, Element):
             yield n
-
-
-def _first_by_id(root: Element, idval: str) -> Optional[Element]:
-    for n in root.iter():
-        if isinstance(n, Element) and n.attrs.get("id") == idval:
-            return n
-    return None
 
 
 Content = Union[str, Node, "Selector", list]
@@ -405,9 +474,15 @@ class Selector:
                 place(node, _to_nodes(fnc(node, num), clone=False))
             return self
         for item in content:
+            # normalize once (strings parse exactly once), deep-clone for
+            # every target but the last, which adopts the originals —
+            # the reference's clone_obj loop (`selector.py:394-398`)
+            nodes = _to_nodes(item, clone=False)
             for i, node in enumerate(self.data):
-                last = i == len(self.data) - 1
-                place(node, _to_nodes(item, clone=not last))
+                if i == len(self.data) - 1:
+                    place(node, nodes)
+                else:
+                    place(node, [n.clone_node(deep=True) for n in nodes])
         return self
 
 

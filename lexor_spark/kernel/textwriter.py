@@ -256,6 +256,12 @@ def write_text(root: Element, width: Optional[int] = None,
             stack.append((child, child_path, child_pre))
     if post_process is not None:
         post_process(tb, root)
-    if width is None and not indent:
-        return tb.result(), spans
-    return tb.result_wrapped(width if width is not None else 70, indent), spans
+    if width is None:
+        out = tb.result()
+        if indent:
+            # indent-only mode: prefix lines, never re-wrap (reference
+            # indent mode with wrap off, `writer.py:248-258`)
+            out = "\n".join(indent + ln if ln else ln
+                            for ln in out.split("\n"))
+        return out, spans
+    return tb.result_wrapped(width, indent), spans

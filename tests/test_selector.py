@@ -238,3 +238,60 @@ def test_query_matches_consistency(html, sel):
                if n is not doc and isinstance(n, Element)]
     expected = [n for n in all_els if matches(n, sel)]
     assert got == expected  # same nodes, same (document) order
+
+
+# -- regression: review findings ------------------------------------------
+
+def test_sibling_chain_linear_on_wide_pages():
+    """Chained sibling selectors over thousands of identical siblings
+    must stay near-linear (set-propagation matcher), not backtrack."""
+    import time
+
+    html = "<div>" + '<p class="a">x</p>' * 3000 + "</div>"
+    doc, _ = parse_html(html)
+    t0 = time.perf_counter()
+    got = query(doc, "p.a ~ p.a ~ p.a")
+    dt = time.perf_counter() - t0
+    assert len(got) == 2998
+    assert dt < 2.0, f"sibling chain took {dt:.2f}s"
+    t0 = time.perf_counter()
+    got = query(doc, "div > p + p")
+    dt = time.perf_counter() - t0
+    assert len(got) == 2999 and dt < 2.0
+
+
+def test_escaped_selectors_match():
+    doc, _ = parse_html(
+        '<p class="a.b">dot</p><p title=\'a"b\'>quote</p>')
+    assert texts(query(doc, r"p.a\.b")) == ["dot"]
+    assert texts(query(doc, '[title="a\\"b"]')) == ["quote"]
+
+
+def test_duplicate_ids_all_match_and_scope():
+    html = ('<div id="x">first</div>'
+            '<section><div id="x"><p>inner</p></div></section>')
+    doc, _ = parse_html(html)
+    assert len(query(doc, "#x")) == 2  # duplicates are routine in crawls
+    section = query(doc, "section")[0]
+    got = query(section, "#x")
+    assert len(got) == 1 and got[0].children[0].name == "p"
+    # query()/matches() agree on every element
+    from lexor_spark.kernel.dom import Element
+    els = [n for n in doc.iter() if n is not doc and isinstance(n, Element)]
+    assert [n for n in els if matches(n, "#x")] == query(doc, "#x")
+
+
+def test_indent_only_never_rewraps(tmp_path, capsys):
+    from lexor_spark.__main__ import main
+    from lexor_spark.kernel.pipeline import extract_document
+
+    body = " ".join(f"w{i}" for i in range(40))
+    html = f"<main><p>{body}</p></main>"
+    res = extract_document(html.encode(), "u", None, "> ")
+    lines = res.text.split("\n")
+    assert len(lines) == 1 and lines[0].startswith("> ")
+    f = tmp_path / "p.html"
+    f.write_text(html)
+    assert main([str(f), "to", "text", "--indent", "> "]) == 0
+    out = capsys.readouterr().out.rstrip("\n")
+    assert out.split("\n") == [f"> {body}"]
