@@ -409,6 +409,100 @@ where l.l_quantity < 0.5 * a.aq
 """
 
 
+# --- Q13 shape: order-count distribution (left outer join + 2-level agg) ----
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed N orders, including N=0 — the TPC-H
+    Q13 shape: LEFT OUTER join (zero-order customers must survive),
+    count of the nullable side, then a second aggregation over the
+    counts.  Both aggs are map-side combinable; the join key is the
+    customer key so one exchange serves join + first agg."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+SQL_ORDER_DIST = """
+select c_count, count(*) as custdist
+from (select c_custkey, count(o_orderkey) as c_count
+      from customer left outer join orders on c_custkey = o_custkey
+      group by c_custkey)
+group by c_count
+order by custdist desc, c_count desc
+"""
+
+
+# --- Q15 shape: top supplier(s) by revenue (agg + correlated max) -----------
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) achieving the maximum lineitem revenue — the TPC-H
+    Q15 shape: an aggregate view joined against its own max.  Revenue is
+    rounded BEFORE the max comparison so the equality is stable across
+    engines; the 1-row max side broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.round(F.sum(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount"))), 2)
+                    .alias("total_revenue")))
+    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    return (sup.join(revenue, sup.s_suppkey == F.col("supplier_no"))
+            .join(F.broadcast(max_rev),
+                  F.col("total_revenue") == F.col("mr"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+SQL_TOP_SUPPLIER = """
+with revenue as (
+  select l_suppkey as supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) as total_revenue
+  from lineitem group by l_suppkey)
+select s_suppkey, s_name, total_revenue
+from supplier join revenue on s_suppkey = supplier_no
+where total_revenue = (select max(total_revenue) from revenue)
+order by s_suppkey
+"""
+
+
+# --- Q22 shape: rich customers with no orders (scalar subquery + anti join) -
+
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose balance exceeds the average positive balance and
+    who placed no order in the corpus's final year — the TPC-H Q22
+    shape: a scalar aggregate subquery (broadcast 1-row cross join)
+    filtering into a LEFT ANTI join.  The anti join shuffles only the
+    customer key column.  (Plain "never ordered" is vacuous on this
+    dataset — every customer has orders — so the anti side is
+    date-restricted to keep the oracle non-trivial.)"""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01"))
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+            .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+            .orderBy("c_custkey"))
+
+
+SQL_RICH_IDLE = """
+select c_custkey, round(c_acctbal, 2) as acctbal
+from customer
+where c_acctbal > (select avg(c_acctbal) from customer where c_acctbal > 0)
+  and not exists (select 1 from orders
+                  where o_custkey = c_custkey
+                    and o_orderdate >= timestamp '1998-01-01')
+order by c_custkey
+"""
+
+
 # --- corpus stats on documents ------------------------------------------------
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,6 +540,9 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_type_matrix": q_event_type_matrix,
     "promo_revenue": q_promo_revenue,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "order_count_distribution": q_order_count_distribution,
+    "top_supplier": q_top_supplier,
+    "rich_idle_customers": q_rich_idle_customers,
     "corpus_stats": q_corpus_stats,
 }
 
@@ -463,5 +560,8 @@ RELATIONAL_SQL: dict[str, str] = {
     "event_type_matrix": SQL_EVENT_MATRIX,
     "promo_revenue": SQL_PROMO,
     "small_quantity_revenue": SQL_SMALL_QTY,
+    "order_count_distribution": SQL_ORDER_DIST,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "rich_idle_customers": SQL_RICH_IDLE,
     "corpus_stats": SQL_CORPUS,
 }
