@@ -343,6 +343,23 @@ def _q_stream_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("w", "lang"))
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-backed streaming exact dedup (rows-only): feed the corpus
+    twice across two invocations — the second pass emits nothing, and
+    the output holds exactly one row per distinct fingerprint."""
+    import tempfile
+
+    from lexor_spark.streaming import stream_dedup
+    d = tempfile.mkdtemp(prefix="sg_sdedup_")
+    pages = pages_df(spark, sf_dir)
+    pages.write.mode("overwrite").parquet(f"{d}/in")
+    stream_dedup(spark, f"{d}/in", f"{d}/out", f"{d}/ck")
+    pages.write.mode("append").parquet(f"{d}/in")  # full recrawl
+    stream_dedup(spark, f"{d}/in", f"{d}/out", f"{d}/ck")
+    out = spark.read.parquet(f"{d}/out")
+    return out.select("url", "fp", "n_bytes").orderBy("url")
+
+
 def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (applyInPandasWithState) surfaced in
     the gate (rows-only): per-user sessionization over the events
@@ -430,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANSI-SQL-expressible; batch-parity is pinned by pytest)
         "stream_extract": _q_stream_extract,
         "stream_crawl_metrics": _q_stream_crawl_metrics,
+        "stream_dedup": _q_stream_dedup,
         "stream_sessions": _q_stream_sessions,
     }
     out.update(RELATIONAL_QUERIES)

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from lexor_spark.job import extract_pages
 from lexor_spark.pages import PAGES_SCHEMA_HINT
 
-__all__ = ["stream_extract", "stream_crawl_metrics", "stream_sessions"]
+__all__ = ["stream_extract", "stream_crawl_metrics", "stream_sessions",
+           "stream_dedup"]
 
 
 def stream_extract(spark: SparkSession, pages_dir: str, output_dir: str,
@@ -103,6 +104,48 @@ def stream_crawl_metrics(spark: SparkSession, pages_dir: str,
     # monotonically increasing id across restarts
     return sum(1 for p in query.recentProgress
                if (p.get("numInputRows") or 0) > 0)
+
+
+def stream_dedup(spark: SparkSession, pages_dir: str, output_dir: str,
+                 checkpoint_dir: str, watermark: str = "30 days") -> int:
+    """Streaming exact dedup: keep the first occurrence of each content
+    fingerprint across ALL micro-batches — the continuous-ingest form of
+    `dedup.exact_dedup` (a recrawled or mirrored page that already
+    streamed through is dropped, even if it arrives days later in a
+    different batch).
+
+    ``dropDuplicates`` on a stream is state-backed: Spark keeps the seen
+    fingerprint set in the checkpointed state store, so dedup survives
+    restarts exactly-once.  The event-time watermark bounds that state —
+    a fingerprint older than ``watermark`` is forgotten, which is the
+    knob that makes unbounded crawls feasible (state = fingerprints seen
+    within the watermark horizon, not ever).  Returns the number of rows
+    emitted by this invocation."""
+    pages = spark.readStream.schema(PAGES_SCHEMA_HINT).parquet(pages_dir)
+    deduped = (
+        pages.withColumn("fp", F.md5(F.col("html").cast("binary")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicates(["fp"])
+        .select("url", "warc_ts", "fp", F.length("html").alias("n_bytes"))
+    )
+    n_rows = [0]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per-batch directory (see stream_extract)
+        n = batch_df.count()
+        if n:
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_dir}/batch={batch_id}")
+        n_rows[0] += n
+
+    query = (deduped.writeStream
+             .outputMode("append")
+             .foreachBatch(_sink)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+    return n_rows[0]
 
 
 def stream_sessions(spark: SparkSession, events_dir: str, output_dir: str,

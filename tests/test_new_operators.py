@@ -262,3 +262,31 @@ def test_media_real_decode_end_to_end(spark):
         media.filter(F.col("kind") == "image")).collect()}
     for r in imgs:
         assert again[r.media_id] == r.phash
+
+
+def test_stream_dedup_cross_batch(spark, tmp_path):
+    """State-backed streaming dedup: a page recrawled in a LATER
+    micro-batch is dropped (the seen-fingerprint set lives in the
+    checkpointed state store, not per-batch memory)."""
+    from lexor_spark.streaming import stream_dedup
+
+    pages = pages_df(spark, SF).limit(60)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    first = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    first.write.mode("append").parquet(in_dir)
+    n1 = stream_dedup(spark, in_dir, out_dir, ck)
+    assert n1 == first.count()
+
+    # second feed = the SAME pages again plus genuinely new ones
+    second_new = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    first.write.mode("append").parquet(in_dir)        # recrawl duplicates
+    second_new.write.mode("append").parquet(in_dir)   # fresh pages
+    n2 = stream_dedup(spark, in_dir, out_dir, ck)
+    assert n2 == second_new.count()  # duplicates from batch 1 dropped
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == pages.count()
+    assert got.select("fp").distinct().count() == pages.count()
