@@ -395,6 +395,18 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(media).orderBy("media_id")
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→resize→re-emit over REAL BMP payloads (rows-only): the
+    payload-to-payload mapInPandas shape with updated typed metadata."""
+    media = multimodal.media_df_real(spark, sf_dir)
+    out = multimodal.resize_images(
+        media.filter(F.col("kind") == "image"), width=8, height=8)
+    return (out.select("media_id", F.md5("payload").alias("payload_md5"),
+                       F.col("meta.width").alias("w"),
+                       F.col("meta.height").alias("h"), "ok")
+            .orderBy("media_id"))
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_df(spark, sf_dir)
     return multimodal.sample_frames(media, every_n=30).orderBy(
@@ -442,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_real_features": _q_media_real_features,
         "audio_features": _q_audio_features,
+        "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
         # structured streaming (rows-only: streaming semantics are not
         # ANSI-SQL-expressible; batch-parity is pinned by pytest)
