@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["cosine", "cosine_topk", "ann_bucketed", "bucket_of",
            "cosine_topk_sql", "ann_bucketed_sql",
-           "ann_ivf", "ann_ivf_sql",
+           "ann_ivf", "ann_ivf_sql", "assign_cells_matmul",
            "cosine_dup_pairs", "cosine_dup_pairs_sql"]
 
 _SIGN_BITS = 8
@@ -151,6 +151,52 @@ def ann_ivf(spark: SparkSession, sf_dir: str, query_id: int = 0,
             .select("vec_id", sim.alias("sim"))
             .orderBy(F.col("sim").desc(), "vec_id")
             .limit(k))
+
+
+def assign_cells_matmul(emb: DataFrame, cents: DataFrame,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Production-``m`` IVF cell assignment: one Arrow-batched pandas
+    UDF doing a numpy matmul against the collected centroid matrix,
+    instead of the m-way broadcast cross join `ann_ivf` uses (which
+    amplifies every corpus row m times before the argmax).
+
+    The centroid table is collected to the driver (m × dim floats — a
+    few MB even at m=65k) and closed over; Spark broadcasts it with the
+    serialized UDF.  Scores are computed in float64 with the same
+    rounding (6 dp) and the same ``(score desc, cid asc)`` tie-break as
+    the expression path, so both assignments agree exactly — pinned by
+    ``tests/test_new_operators.py``.  Per-batch work is one
+    (batch × dim)·(dim × m) GEMM: the compute shape that scales to
+    10^12 rows × 4096 cells."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cents.collect()
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    order = np.argsort(cids)
+    cids, cmat = cids[order], cmat[order]
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def _assign(batches):
+        for pdf in batches:
+            vecs = np.array([list(v) for v in pdf[vec_col]],
+                            dtype=np.float64)
+            if len(vecs) == 0:
+                yield pd.DataFrame({id_col: [], "cid": []})
+                continue
+            vnorm = np.sqrt((vecs * vecs).sum(axis=1))
+            sims = (vecs @ cmat.T) / np.outer(vnorm, cnorm)
+            sims = np.round(sims, 6)
+            # argmax with (score desc, cid asc) tie-break: cids are
+            # sorted ascending and np.argmax takes the FIRST maximum
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "cid": cids[best]})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        _assign, f"{id_col} long, cid long")
 
 
 def ann_ivf_sql(query_id: int = 0, k: int = 10, m: int = 16,

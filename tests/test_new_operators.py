@@ -290,3 +290,28 @@ def test_stream_dedup_cross_batch(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == pages.count()
     assert got.select("fp").distinct().count() == pages.count()
+
+
+def test_ivf_matmul_assignment_matches_expression_path(spark):
+    """The pandas-UDF GEMM cell assignment (production-m path) agrees
+    exactly with ann_ivf's expression-based broadcast assignment."""
+    from pyspark.sql import Window
+
+    from lexor_spark.sim import assign_cells_matmul, cosine
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    cents = (emb.filter(F.col("vec_id") < 16)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cv")))
+    csim = F.round(cosine(F.col("embedding"), F.col("cv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    expr_path = (emb.crossJoin(F.broadcast(cents))
+                 .select("vec_id", "cid", csim.alias("csim"))
+                 .withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .select("vec_id", "cid"))
+    gemm_path = assign_cells_matmul(emb, cents)
+    a = {r["vec_id"]: r["cid"] for r in expr_path.collect()}
+    b = {r["vec_id"]: r["cid"] for r in gemm_path.collect()}
+    assert a == b and len(a) == emb.count()
