@@ -212,6 +212,36 @@ order by status, priority
 """
 
 
+def q_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, returnflag): all 2² grouping sets in one
+    map-side-combinable aggregation — the grouping-sets sibling of the
+    rollup above (Catalyst expands to a single Expand + HashAggregate)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        joined.cube("o_orderstatus", "l_returnflag")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_extendedprice"), 2).alias("gross"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            "n_items", "gross")
+        .orderBy("status", "returnflag")
+    )
+
+
+SQL_CUBE = """
+select coalesce(o_orderstatus, 'ALL') as status,
+       coalesce(l_returnflag, 'ALL')  as returnflag,
+       count(*) as n_items,
+       round(sum(l_extendedprice), 2) as gross
+from lineitem join orders on l_orderkey = o_orderkey
+group by cube(o_orderstatus, l_returnflag)
+order by status, returnflag
+"""
+
+
 # --- anti join: customers with no urgent orders (the resume-diff pattern) ---
 # (predicate chosen so the result is non-vacuous on the driver testdata:
 # every customer has *some* order, ~14% have no 1-URGENT order)
@@ -533,6 +563,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_order_per_customer": q_latest_order,
     "running_revenue": q_running_revenue,
     "rollup_status": q_rollup_status,
+    "cube_status": q_cube_status,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "parts_shipped": q_parts_shipped,
     "supplier_only_nations": q_supplier_only_nations,
@@ -553,6 +584,7 @@ RELATIONAL_SQL: dict[str, str] = {
     "latest_order_per_customer": SQL_LATEST_ORDER,
     "running_revenue": SQL_RUNNING,
     "rollup_status": SQL_ROLLUP,
+    "cube_status": SQL_CUBE,
     "customers_no_urgent_orders": SQL_NO_URGENT,
     "parts_shipped": SQL_PARTS_SHIPPED,
     "supplier_only_nations": SQL_SUPPLIER_ONLY,
