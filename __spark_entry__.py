@@ -279,6 +279,17 @@ def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("url", "selector")
 
 
+def _q_css_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector-driven DOM rewrite at corpus scale (rows-only): strip
+    nav/sidebar/footer via author-style CSS rules and re-serialize."""
+    from lexor_spark.job import css_rewrite
+    out = css_rewrite(pages_df(spark, sf_dir),
+                      ["nav.nav", "div.sidebar", "footer.footer"])
+    return (out.select("url", F.md5("html_out").alias("html_md5"),
+                       "n_removed", "n_in", "n_out")
+            .orderBy("url"))
+
+
 def _q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lexor_spark.corpus import corpus_summary
     return corpus_summary(spark, sf_dir)
@@ -437,8 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DOM flatten-export + corpus DOM analytics (kernel; rows-only)
         "dom_export": _q_dom_export,
         "dom_tag_stats": _q_dom_tag_stats,
-        # corpus-level CSS selection (kernel selector engine; rows-only)
+        # corpus-level CSS selection + selector-driven rewrite (rows-only)
         "css_select": _q_css_select,
+        "css_rewrite": _q_css_rewrite,
         # full training-corpus pipeline composition (rows-only)
         "corpus_summary": _q_corpus_summary,
         # html→markdown conversion (the reference's flagship; rows-only)

@@ -295,3 +295,24 @@ def test_indent_only_never_rewraps(tmp_path, capsys):
     assert main([str(f), "to", "text", "--indent", "> "]) == 0
     out = capsys.readouterr().out.rstrip("\n")
     assert out.split("\n") == [f"> {body}"]
+
+
+def test_rewrite_batches_arrow():
+    """css_rewrite batch UDF: selector-matched subtrees removed, page
+    re-serialized, removal count reported."""
+    import pyarrow as pa
+
+    from lexor_spark.job import _rewrite_batches
+
+    html = (b'<body><nav class="nav"><a href="/">x</a></nav>'
+            b'<main><p>keep</p></main>'
+            b'<footer class="footer">f</footer></body>')
+    batch = pa.RecordBatch.from_pydict(
+        {"url": ["u1", "u2"], "html": [html, None]})
+    [out] = list(_rewrite_batches(["nav.nav", "footer"])([batch]))
+    rows = {r["url"]: r for r in out.to_pylist()}
+    assert rows["u1"]["n_removed"] == 2
+    assert "<nav" not in rows["u1"]["html_out"]
+    assert "<footer" not in rows["u1"]["html_out"]
+    assert "<p>keep</p>" in rows["u1"]["html_out"]
+    assert rows["u2"]["n_removed"] == 0 and rows["u2"]["html_out"] == ""
