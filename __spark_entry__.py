@@ -69,6 +69,7 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         textfns.lang_id(c).alias("lang_guess"),
         textfns.lang_id_ngram(c).alias("lang_ngram"),
         textfns.quality_score(c).alias("quality"),
+        textfns.char_entropy(c).alias("entropy"),
         textfns.fingerprint(c).alias("fp"),
     ).orderBy("doc_id")
 
@@ -80,6 +81,7 @@ select doc_id,
        {textfns.SQL.lang_id('text')} as lang_guess,
        {textfns.SQL.lang_id_ngram('text')} as lang_ngram,
        {textfns.SQL.quality_score('text')} as quality,
+       {textfns.SQL.char_entropy('text')} as entropy,
        {textfns.SQL.FINGERPRINT.format(c='text')} as fp
 from documents
 order by doc_id

@@ -125,6 +125,24 @@ def quality_score(col: Column) -> Column:
     return F.round(score, 2)
 
 
+def char_entropy(col: Column, cap: int = 512) -> Column:
+    """Shannon entropy (bits/char) of the first ``cap`` characters —
+    the cheap junk detector: natural prose sits ~4-4.5, repeated
+    boilerplate or single-char padding collapses toward 0.  Per-row
+    higher-order functions only (distinct chars × filter scan over a
+    capped slice), no explode, no shuffle."""
+    ch = F.split(F.substring(col, 1, cap), "")
+    ch = F.filter(ch, lambda x: x != "")  # split('') yields a tail ""
+    n = F.size(ch)
+    def term(d: Column) -> Column:
+        p = F.size(F.filter(ch, lambda x: x == d)) / n
+        return p * F.log2(p)
+    ent = -F.aggregate(F.array_distinct(ch), F.lit(0.0),
+                       lambda acc, d: acc + term(d))
+    # + 0.0 normalizes IEEE -0.0 (uniform strings) to 0.0 in BOTH engines
+    return F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)) + F.lit(0.0), 4)
+
+
 # -- repetition filters (Gopher-style, Rae et al. 2021 Appendix A) ---------
 # All three are PER-ROW higher-order-function expressions: no explode, no
 # shuffle — repetition scoring of 10^12 documents stays embarrassingly
@@ -231,6 +249,15 @@ class SQL:
         cases = [f"when {counts[lang]} = {greatest} "
                  f"and {counts[lang]} > 0 then '{lang}'" for lang in order]
         return "case " + " ".join(cases) + " else 'und' end"
+
+    @staticmethod
+    def char_entropy(c: str, cap: int = 512) -> str:
+        ch = (f"list_filter(string_split(substr({c}, 1, {cap}), ''), "
+              f"x -> x != '')")
+        p = f"(len(list_filter({ch}, x -> x = d))::double / len({ch}))"
+        t = f"list_transform(list_distinct({ch}), d -> {p} * log2({p}))"
+        return (f"round((case when len({ch}) > 0 then -list_sum({t}) "
+                f"else 0.0 end) + 0.0, 4)")
 
     @staticmethod
     def lines(c: str) -> str:
