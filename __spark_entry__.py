@@ -66,6 +66,7 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         textfns.token_count(c).alias("n_tokens"),
         textfns.word_count(c).alias("n_words"),
+        textfns.bpe_token_count(c).alias("n_bpe"),
         textfns.lang_id(c).alias("lang_guess"),
         textfns.lang_id_ngram(c).alias("lang_ngram"),
         textfns.quality_score(c).alias("quality"),
@@ -78,6 +79,7 @@ SQL_TEXT_FEATURES = f"""
 select doc_id,
        {textfns.SQL.TOKEN_COUNT.format(c='text')} as n_tokens,
        {textfns.SQL.WORD_COUNT.format(c='text')} as n_words,
+       {textfns.SQL.BPE_COUNT.format(c='text')} as n_bpe,
        {textfns.SQL.lang_id('text')} as lang_guess,
        {textfns.SQL.lang_id_ngram('text')} as lang_ngram,
        {textfns.SQL.quality_score('text')} as quality,

@@ -40,7 +40,8 @@ from lexor_spark.kernel.pipeline import extract_document
 
 __all__ = [
     "OUTPUT_SCHEMA", "NODES_SCHEMA", "extract_pages", "export_nodes",
-    "partition_metrics", "run_job", "committed_groups",
+    "partition_metrics", "run_job", "committed_groups", "read_lineage",
+    "css_select", "css_rewrite", "normalize_html", "convert_markdown",
 ]
 
 # Output schema of the extraction stage (strings here so the schema lives
@@ -584,6 +585,25 @@ def committed_groups(output_dir: str) -> set[int]:
         if name.startswith("group-") and name.endswith(".json"):
             done.add(int(name[len("group-"):-len(".json")]))
     return done
+
+
+LINEAGE_SCHEMA = ("group int, n_groups int, n_rows long, bytes_in long, "
+                  "chars_out long, kernel_us_total long, kernel_us_max long, "
+                  "n_errors long, n_truncated long, wall_s double, "
+                  "salt_buckets int")
+
+
+def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The job's per-group lineage commits as a queryable DataFrame —
+    the 'per-partition lineage + metrics tables' surface of the north
+    rule: each row is one atomically-committed group (its marker IS the
+    commit point), so joins against this table answer 'what exactly is
+    on disk and what did it cost' after any number of kills/resumes.
+    On a real cluster the same records live in an Iceberg table's
+    snapshot metadata; here they are the marker files."""
+    lineage_dir = os.path.join(output_dir, "_lineage")
+    return (spark.read.schema(LINEAGE_SCHEMA)
+            .json(f"{lineage_dir}/group-*.json"))
 
 
 def run_job(spark: SparkSession, pages: DataFrame, output_dir: str,

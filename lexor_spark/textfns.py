@@ -43,6 +43,24 @@ def word_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0))
 
 
+# GPT-2-style pretokenizer pattern (Radford et al. 2019, the public
+# gpt2 `pat`): contractions, space-prefixed letter runs, digit runs,
+# symbol runs, residual whitespace.  Java and RE2-less DuckDB both lack
+# lookahead-free parity with the original's `\s+(?!\S)`, so the final
+# whitespace branch is simplified to `\s+` — equivalent for COUNTING
+# (every whitespace run is one token either way).
+_BPE_PAT = (r"'s|'t|'re|'ve|'m|'ll|'d"
+            r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-budget proxy: GPT-2 pretokenizer segments (the unit BPE
+    merges start from).  Counts pretokens, not merged BPE ids — an
+    upper bound on (and strongly correlated with) real tokenizer cost,
+    without shipping a merges table."""
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_PAT), 0))
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic content fingerprint on the normalized text."""
     return F.md5(normalize_text(col))
@@ -218,6 +236,8 @@ class SQL:
     TOKEN_COUNT = ("case when trim({c}) = '' then 0 else "
                    "len(regexp_split_to_array(trim({c}), '\\s+')) end")
     WORD_COUNT = "len(regexp_extract_all({c}, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]'))"
+    BPE_COUNT = ("len(regexp_extract_all({c}, '"
+                 + _BPE_PAT.replace("'", "''") + "'))")
     FINGERPRINT = "md5(" + NORMALIZE + ")"
 
     @staticmethod

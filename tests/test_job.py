@@ -77,6 +77,15 @@ def test_resume_after_kill(spark, pages, tmp_path):
     # idempotent third run
     r3 = run_job(spark, pages, out_dir, n_groups=4, partitions=8)
     assert r3["processed"] == [] and r3["complete"]
+    # lineage table: one row per committed group, conserved row count
+    from lexor_spark.job import read_lineage
+    lin = read_lineage(spark, out_dir)
+    assert lin.count() == 4
+    got = {r["group"]: r for r in lin.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert sum(r["n_rows"] for r in got.values()) == pages.count()
+    assert all(r["bytes_in"] > 0 and r["kernel_us_total"] > 0
+               for r in got.values())
 
 
 def test_hostile_rows_become_data(spark):
