@@ -81,6 +81,25 @@ _ARROW_SCHEMA = pa.schema([
 # its cache-thrashing scans — measured ~+50% throughput at 32 workers.
 
 
+def _salted_pages(pages: DataFrame, salt_buckets: int,
+                  partitions: Optional[int],
+                  slots_mult: int = 4) -> DataFrame:
+    """The shared scan-side preamble of every kernel job: column-prune
+    to (url, html) BEFORE the exchange (the shuffle moves only what the
+    kernel needs), then one salted repartition on
+    ``pmod(xxhash64(url), salt_buckets)``.  Fine-grained tasks
+    (``slots_mult``× slots) hide per-task tail latency: a giant
+    document delays one small task, not 1/cores of the corpus —
+    measured +30% at local[32] over 2× slots (sweep: 4×≈8×, 16×
+    worse)."""
+    sc = pages.sparkSession.sparkContext
+    if partitions is None:
+        partitions = sc.defaultParallelism * slots_mult
+    return (pages.select("url", "html")
+            .repartition(partitions,
+                         F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+
+
 def _extract_batches_inner(batches: Iterator[pa.RecordBatch],
                            width: Optional[int] = None,
                            indent: str = "") -> Iterator[pa.RecordBatch]:
@@ -145,16 +164,7 @@ def extract_pages(pages: DataFrame, salt_buckets: int = 256,
     ``width``/``indent`` switch the writer stage into the W5 wrap/indent
     mode (corpus-scale `lexor FILE to text --width`); defaults produce
     the byte-pinned raw text of the north rule."""
-    sc = pages.sparkSession.sparkContext
-    if partitions is None:
-        # fine-grained tasks (4× slots) hide per-task tail latency: giant
-        # documents delay one small task, not 1/cores of the corpus —
-        # measured +30% at local[32] over 2× slots (sweep: 4×≈8×, 16× worse)
-        partitions = sc.defaultParallelism * 4
-    salted = (
-        pages.select("url", "html")
-        .repartition(partitions, F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
-    )
+    salted = _salted_pages(pages, salt_buckets, partitions)
     if width is None and not indent:
         return salted.mapInArrow(_extract_batches, OUTPUT_SCHEMA)
     return salted.mapInArrow(_extract_batches_wrapped(width, indent),
@@ -269,12 +279,7 @@ def export_nodes(pages: DataFrame, salt_buckets: int = 256,
     """Flatten every page's DOM into one corpus-level node table
     (url, node_id, parent_id, name, kind, attrs summary, pos) — the
     §1.3 export that lets tag/class queries run as DataFrame filters."""
-    sc = pages.sparkSession.sparkContext
-    if partitions is None:
-        partitions = sc.defaultParallelism * 8
-    salted = (pages.select("url", "html")
-              .repartition(partitions,
-                           F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    salted = _salted_pages(pages, salt_buckets, partitions, slots_mult=8)
     return salted.mapInArrow(_flatten_batches, NODES_SCHEMA)
 
 
@@ -330,12 +335,7 @@ def normalize_html(pages: DataFrame, salt_buckets: int = 256,
                    partitions: Optional[int] = None) -> DataFrame:
     """parse→serialize normal form per page (idempotent; the writer-path
     operator a markup→markup converter user needs)."""
-    sc = pages.sparkSession.sparkContext
-    if partitions is None:
-        partitions = sc.defaultParallelism * 4
-    salted = (pages.select("url", "html")
-              .repartition(partitions,
-                           F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    salted = _salted_pages(pages, salt_buckets, partitions)
     return salted.mapInArrow(_normalize_batches, NORMALIZE_SCHEMA)
 
 
@@ -420,12 +420,7 @@ def css_select(pages: DataFrame, selectors: list[str],
     from lexor_spark.kernel.selector import tokenize
     for sel in selectors:
         tokenize(sel)  # driver-side validation
-    sc = pages.sparkSession.sparkContext
-    if partitions is None:
-        partitions = sc.defaultParallelism * 4
-    salted = (pages.select("url", "html")
-              .repartition(partitions,
-                           F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    salted = _salted_pages(pages, salt_buckets, partitions)
     return salted.mapInArrow(_css_batches(selectors), CSS_SCHEMA)
 
 
@@ -499,12 +494,7 @@ def css_rewrite(pages: DataFrame, remove_selectors: list[str],
     from lexor_spark.kernel.selector import tokenize
     for sel in remove_selectors:
         tokenize(sel)
-    sc = pages.sparkSession.sparkContext
-    if partitions is None:
-        partitions = sc.defaultParallelism * 4
-    salted = (pages.select("url", "html")
-              .repartition(partitions,
-                           F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    salted = _salted_pages(pages, salt_buckets, partitions)
     return salted.mapInArrow(_rewrite_batches(remove_selectors),
                              REWRITE_SCHEMA)
 
@@ -562,12 +552,7 @@ def convert_markdown(pages: DataFrame, salt_buckets: int = 256,
                      partitions: Optional[int] = None) -> DataFrame:
     """html → markdown per page (`lexor file.html to markdown` at corpus
     scale), salted + Arrow-batched like every kernel job."""
-    sc = pages.sparkSession.sparkContext
-    if partitions is None:
-        partitions = sc.defaultParallelism * 4
-    salted = (pages.select("url", "html")
-              .repartition(partitions,
-                           F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    salted = _salted_pages(pages, salt_buckets, partitions)
     return salted.mapInArrow(_markdown_batches, MARKDOWN_SCHEMA)
 
 
@@ -600,8 +585,15 @@ def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
     commit point), so joins against this table answer 'what exactly is
     on disk and what did it cost' after any number of kills/resumes.
     On a real cluster the same records live in an Iceberg table's
-    snapshot metadata; here they are the marker files."""
+    snapshot metadata; here they are the marker files.  Zero committed
+    groups (fresh dir, or killed before the first commit) is a valid
+    state: returns an empty DataFrame, not a missing-path error."""
     lineage_dir = os.path.join(output_dir, "_lineage")
+    has_any = os.path.isdir(lineage_dir) and any(
+        n.startswith("group-") and n.endswith(".json")
+        for n in os.listdir(lineage_dir))
+    if not has_any:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
     return (spark.read.schema(LINEAGE_SCHEMA)
             .json(f"{lineage_dir}/group-*.json"))
 

@@ -163,9 +163,14 @@ def assign_cells_matmul(emb: DataFrame, cents: DataFrame,
 
     The centroid table is collected to the driver (m × dim floats — a
     few MB even at m=65k) and closed over; Spark broadcasts it with the
-    serialized UDF.  Scores are computed in float64 with the same
-    rounding (6 dp) and the same ``(score desc, cid asc)`` tie-break as
-    the expression path, so both assignments agree exactly — pinned by
+    serialized UDF.  Scores are computed in float64, rounded to 6 dp
+    with Spark's ROUND_HALF_UP rule (``np.round`` is half-to-even and
+    WOULD diverge on tie digits), tie-broken ``(score desc, cid asc)``
+    like the expression path; non-finite scores (zero-norm vectors,
+    where Spark's divide yields null and sorts last) are excluded the
+    same way.  Residual divergence is limited to rows whose top-two
+    cosines differ by less than a summation-order ulp AT a rounding
+    boundary — agreement on the driver corpus is pinned exactly by
     ``tests/test_new_operators.py``.  Per-batch work is one
     (batch × dim)·(dim × m) GEMM: the compute shape that scales to
     10^12 rows × 4096 cells."""
@@ -187,8 +192,12 @@ def assign_cells_matmul(emb: DataFrame, cents: DataFrame,
                 yield pd.DataFrame({id_col: [], "cid": []})
                 continue
             vnorm = np.sqrt((vecs * vecs).sum(axis=1))
-            sims = (vecs @ cmat.T) / np.outer(vnorm, cnorm)
-            sims = np.round(sims, 6)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (vecs @ cmat.T) / np.outer(vnorm, cnorm)
+            # ROUND_HALF_UP at 6 dp (sign-aware), matching Spark round()
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            # null scores sort last in the expression path; -inf here
+            sims = np.where(np.isfinite(sims), sims, -np.inf)
             # argmax with (score desc, cid asc) tie-break: cids are
             # sorted ascending and np.argmax takes the FIRST maximum
             best = sims.argmax(axis=1)

@@ -109,34 +109,46 @@ def stream_crawl_metrics(spark: SparkSession, pages_dir: str,
 def stream_dedup(spark: SparkSession, pages_dir: str, output_dir: str,
                  checkpoint_dir: str, watermark: str = "30 days") -> int:
     """Streaming exact dedup: keep the first occurrence of each content
-    fingerprint across ALL micro-batches — the continuous-ingest form of
-    `dedup.exact_dedup` (a recrawled or mirrored page that already
-    streamed through is dropped, even if it arrives days later in a
-    different batch).
+    fingerprint seen within the watermark horizon — the
+    continuous-ingest form of `dedup.exact_dedup` (a recrawled or
+    mirrored page that already streamed through is dropped, even when
+    it arrives in a later micro-batch).
 
-    ``dropDuplicates`` on a stream is state-backed: Spark keeps the seen
-    fingerprint set in the checkpointed state store, so dedup survives
-    restarts exactly-once.  The event-time watermark bounds that state —
-    a fingerprint older than ``watermark`` is forgotten, which is the
-    knob that makes unbounded crawls feasible (state = fingerprints seen
-    within the watermark horizon, not ever).  Returns the number of rows
+    ``dropDuplicatesWithinWatermark`` is the state-backed operator with
+    REAL state eviction: the seen-fingerprint set lives in the
+    checkpointed state store (dedup survives restarts exactly-once) and
+    entries older than the event-time watermark are dropped from state
+    — that bound is what makes an unbounded crawl feasible.  The
+    inherent trade-off of any bounded-state dedup: an event arriving
+    with an event time older than the watermark is late data (dropped
+    by the watermark, like every watermarked operator), and a
+    re-occurrence more than ``watermark`` after the original is no
+    longer in state and passes through — size ``watermark`` to the
+    recrawl horizon you need.  (A plain ``dropDuplicates(["fp"])``
+    would instead keep state forever and silently discard late NEW
+    fingerprints — the worst of both.)  Returns the number of rows
     emitted by this invocation."""
     pages = spark.readStream.schema(PAGES_SCHEMA_HINT).parquet(pages_dir)
     deduped = (
         pages.withColumn("fp", F.md5(F.col("html").cast("binary")))
         .withWatermark("warc_ts", watermark)
-        .dropDuplicates(["fp"])
+        .dropDuplicatesWithinWatermark(["fp"])
         .select("url", "warc_ts", "fp", F.length("html").alias("n_bytes"))
     )
     n_rows = [0]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotent per-batch directory (see stream_extract)
-        n = batch_df.count()
-        if n:
-            batch_df.write.mode("overwrite").parquet(
-                f"{output_dir}/batch={batch_id}")
-        n_rows[0] += n
+        # idempotent per-batch directory (see stream_extract); persist:
+        # count + write are two actions over the same stateful plan
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n:
+                batch_df.write.mode("overwrite").parquet(
+                    f"{output_dir}/batch={batch_id}")
+            n_rows[0] += n
+        finally:
+            batch_df.unpersist()
 
     query = (deduped.writeStream
              .outputMode("append")

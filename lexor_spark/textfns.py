@@ -55,9 +55,10 @@ _BPE_PAT = (r"'s|'t|'re|'ve|'m|'ll|'d"
 
 def bpe_token_count(col: Column) -> Column:
     """Subword-budget proxy: GPT-2 pretokenizer segments (the unit BPE
-    merges start from).  Counts pretokens, not merged BPE ids — an
-    upper bound on (and strongly correlated with) real tokenizer cost,
-    without shipping a merges table."""
+    merges start from).  Counts pretokens, not merged BPE ids — a
+    LOWER bound on (and strongly correlated with) real tokenizer cost
+    (each pretoken becomes ≥1 merged id), without shipping a merges
+    table; scale by a corpus-calibrated factor for budget gates."""
     return F.size(F.regexp_extract_all(col, F.lit(_BPE_PAT), 0))
 
 

@@ -128,3 +128,12 @@ def test_heavy_tail_skew(spark, sf_dir):
     sample = big.limit(1).collect()[0]
     assert extract_document(sample.html, sample.url).text == \
         {r.url: r.text for r in rows}[sample.url]
+
+
+def test_read_lineage_empty_dir(spark, tmp_path):
+    """Zero committed groups is a valid state: empty DataFrame, not a
+    missing-path crash."""
+    from lexor_spark.job import read_lineage
+    lin = read_lineage(spark, str(tmp_path / "never_ran"))
+    assert lin.count() == 0
+    assert "group" in lin.columns and "n_rows" in lin.columns
