@@ -428,6 +428,15 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_no")
 
 
+def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling with REAL decode (rows-only): BMV container
+    payloads, seek-by-length-prefix to each sampled frame, hash of the
+    decoded pixels."""
+    media = multimodal.media_df_real(spark, sf_dir)
+    return multimodal.sample_frames(media, every_n=5).orderBy(
+        "media_id", "frame_no")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
@@ -472,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
+        "frame_sample_real": _q_frame_sample_real,
         # structured streaming (rows-only: streaming semantics are not
         # ANSI-SQL-expressible; batch-parity is pinned by pytest)
         "stream_extract": _q_stream_extract,

@@ -34,6 +34,7 @@ __all__ = [
     "MEDIA_SCHEMA", "media_df", "media_df_real", "decode_payload",
     "encode_bmp", "decode_bmp", "encode_ppm", "decode_ppm",
     "encode_wav", "decode_wav",
+    "encode_bmv", "decode_bmv_count", "decode_bmv_frame",
     "image_features", "audio_features", "resize_images", "sample_frames",
 ]
 
@@ -206,12 +207,57 @@ def decode_payload(payload: bytes, width: int, height: int,
     return np.frombuffer(buf, dtype=np.uint8).reshape(height, width, channels)
 
 
+# -- BMV: a minimal real video container (length-prefixed BMP frames) ------
+# magic "BMV1" + u32 frame count + per frame (u32 length + BMP bytes).
+# Trivial by design, but REAL: frames are independently seekable by
+# walking the length prefixes (no full decode to reach frame k), each
+# frame is a genuine BMP, and a truncated payload raises — the three
+# properties the frame-sampling path needs from any production container.
+
+_BMV_MAGIC = b"BMV1"
+
+
+def encode_bmv(frames: list) -> bytes:
+    parts = [_BMV_MAGIC, len(frames).to_bytes(4, "little")]
+    for img in frames:
+        raw = encode_bmp(img)
+        parts.append(len(raw).to_bytes(4, "little"))
+        parts.append(raw)
+    return b"".join(parts)
+
+
+def decode_bmv_count(data: bytes) -> int:
+    if data[:4] != _BMV_MAGIC:
+        raise ValueError("not a BMV payload")
+    return int.from_bytes(data[4:8], "little")
+
+
+def decode_bmv_frame(data: bytes, frame_no: int) -> np.ndarray:
+    """Seek to frame ``frame_no`` by walking length prefixes, decode
+    only that frame's BMP."""
+    n = decode_bmv_count(data)
+    if not 0 <= frame_no < n:
+        raise IndexError(f"frame {frame_no} of {n}")
+    off = 8
+    for k in range(frame_no + 1):
+        if off + 4 > len(data):
+            raise ValueError("truncated BMV")
+        flen = int.from_bytes(data[off:off + 4], "little")
+        off += 4
+        if off + flen > len(data):
+            raise ValueError("truncated BMV frame")
+        if k == frame_no:
+            return decode_bmp(data[off:off + flen])
+        off += flen
+    raise AssertionError  # pragma: no cover
+
+
 def media_df_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media table whose image/audio payloads are REAL encoded files
-    (24-bit BMP, PCM16 WAV) generated deterministically per ``doc_id``
-    by the pure-stdlib encoders above; ``video`` rows stay opaque bytes
-    (no container format is decodable without native libs).  Built with
-    one ``mapInPandas`` — generation is batch-level, not per-row-UDF."""
+    """Media table whose payloads are REAL encoded files — 24-bit BMP
+    images, PCM16 WAV audio, and BMV video (length-prefixed BMP frames)
+    — generated deterministically per ``doc_id`` by the pure-stdlib
+    encoders above.  Built with one ``mapInPandas`` — generation is
+    batch-level, not per-row-UDF."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -221,7 +267,8 @@ def media_df_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mid = int(mid)
                 kind = ("image", "audio", "video")[mid % 3]
                 w, h = 16 + mid % 32, 16 + mid % 24
-                sr, n_frames = 16000, 8 + mid % 240
+                sr = 16000
+                n_frames = 8 + mid % 240
                 if kind == "image":
                     yy, xx = np.mgrid[0:h, 0:w]
                     img = np.stack([(xx * 3 + yy * 7 + mid) % 256,
@@ -236,8 +283,18 @@ def media_df_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     samples = (1000 * np.sin(2 * np.pi * freq * t / sr))
                     payload = encode_wav(samples.astype(np.int16), sr)
                 else:
-                    payload = hashlib.sha256(
-                        mid.to_bytes(8, "big")).digest() * 8
+                    # real BMV container: small real-BMP frames, count
+                    # capped so the synthetic table stays compact
+                    n_frames = 4 + mid % 28
+                    w, h = 16, 12
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    frames = [
+                        np.stack([(xx + fr * 3 + mid) % 256,
+                                  (yy * 5 + fr) % 256,
+                                  (xx + yy + fr * 7) % 256],
+                                 axis=2).astype(np.uint8)
+                        for fr in range(n_frames)]
+                    payload = encode_bmv(frames)
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["payload"].append(payload)
@@ -393,9 +450,13 @@ FRAMES_SCHEMA = "media_id long, frame_no int, frame_hash string"
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Sample every ``every_n``-th frame of each video; emits one row per
     sampled frame (row-expanding map — the Arrow batch shape every video
-    pipeline needs).  Frame bytes are the stub codec applied per frame
-    index; only a hash is emitted (frames themselves would be written to
-    a side table in production)."""
+    pipeline needs).  BMV payloads (`media_df_real`) are REALLY decoded:
+    the sampler seeks by length prefix to each wanted frame and hashes
+    its decoded pixels — compute is O(sampled frames), not O(all
+    frames).  Opaque payloads (`media_df` stand-ins for MP4 etc.) hash
+    deterministically from (payload, frame index) via the stub seam.
+    Only hashes are emitted (frames themselves would be written to a
+    side table in production)."""
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -403,13 +464,24 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
                                           pdf["meta"]):
                 try:
-                    n = int(meta["n_frames"])
-                    for f in range(0, n, every_n):
-                        fh = hashlib.sha256(
-                            bytes(payload) + f.to_bytes(4, "big")).hexdigest()[:16]
-                        ids.append(mid)
-                        nos.append(f)
-                        hashes.append(fh)
+                    raw = bytes(payload)
+                    if raw[:4] == _BMV_MAGIC:
+                        n = decode_bmv_count(raw)
+                        for f in range(0, n, every_n):
+                            img = decode_bmv_frame(raw, f)
+                            fh = hashlib.sha256(
+                                img.tobytes()).hexdigest()[:16]
+                            ids.append(mid)
+                            nos.append(f)
+                            hashes.append(fh)
+                    else:
+                        n = int(meta["n_frames"])
+                        for f in range(0, n, every_n):
+                            fh = hashlib.sha256(
+                                raw + f.to_bytes(4, "big")).hexdigest()[:16]
+                            ids.append(mid)
+                            nos.append(f)
+                            hashes.append(fh)
                 except Exception:
                     continue
             yield pd.DataFrame({"media_id": ids, "frame_no": nos,
