@@ -137,3 +137,31 @@ def test_read_lineage_empty_dir(spark, tmp_path):
     lin = read_lineage(spark, str(tmp_path / "never_ran"))
     assert lin.count() == 0
     assert "group" in lin.columns and "n_rows" in lin.columns
+
+
+def test_resume_table_commit(spark, pages):
+    """Catalog-table commit variant (the Iceberg-snapshot shape): kill
+    after 2 of 4 group appends, resume completes the rest, committed
+    set = distinct group values, rows conserve, third run is a no-op."""
+    from lexor_spark.job import committed_groups_table, run_job_table
+
+    table = "sg_test_extract"
+    spark.sql(f"drop table if exists {table}")
+    try:
+        r1 = run_job_table(spark, pages, table, n_groups=4, max_groups=2,
+                           partitions=8)
+        assert len(r1["processed"]) == 2 and not r1["complete"]
+        assert committed_groups_table(spark, table) == \
+            {p["group"] for p in r1["processed"]}
+        r2 = run_job_table(spark, pages, table, n_groups=4, partitions=8)
+        assert r2["complete"]
+        assert sorted(r2["skipped_committed"]) == sorted(
+            p["group"] for p in r1["processed"])
+        total = spark.table(table)
+        assert total.count() == pages.count()
+        assert total.select("url").distinct().count() == pages.count()
+        assert total.select("group").distinct().count() == 4
+        r3 = run_job_table(spark, pages, table, n_groups=4, partitions=8)
+        assert r3["processed"] == [] and r3["complete"]
+    finally:
+        spark.sql(f"drop table if exists {table}")
