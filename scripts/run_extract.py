@@ -23,16 +23,27 @@ def main() -> None:
                     help="testdata dir to derive the pages table from")
     ap.add_argument("--pages", default=None,
                     help="read an existing pages parquet instead of deriving")
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output", default=None,
+                    help="output dir for the parquet+marker commit path")
+    ap.add_argument("--table", default=None,
+                    help="catalog table for the snapshot-append commit "
+                         "path (e.g. iceberg_cat.db.pages_extracted); "
+                         "exactly one of --output/--table is required")
+    ap.add_argument("--provider", default="parquet",
+                    help="table provider on first create (iceberg on a "
+                         "real catalog)")
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--salt-buckets", type=int, default=256)
     ap.add_argument("--max-groups", type=int, default=None,
                     help="process at most N new groups (resume testing)")
     args = ap.parse_args()
 
+    if bool(args.output) == bool(args.table):
+        ap.error("exactly one of --output / --table is required")
+
     from pyspark.sql import SparkSession
 
-    from lexor_spark.job import run_job
+    from lexor_spark.job import run_job, run_job_table
     from lexor_spark.pages import pages_df
 
     spark = SparkSession.builder.appName("lexor-spark-extract").getOrCreate()
@@ -41,9 +52,16 @@ def main() -> None:
         pages = spark.read.parquet(args.pages)
     else:
         pages = pages_df(spark, args.sf_dir)
-    summary = run_job(spark, pages, args.output, n_groups=args.groups,
-                      salt_buckets=args.salt_buckets,
-                      max_groups=args.max_groups)
+    if args.table:
+        summary = run_job_table(spark, pages, args.table,
+                                n_groups=args.groups,
+                                salt_buckets=args.salt_buckets,
+                                max_groups=args.max_groups,
+                                provider=args.provider)
+    else:
+        summary = run_job(spark, pages, args.output, n_groups=args.groups,
+                          salt_buckets=args.salt_buckets,
+                          max_groups=args.max_groups)
     print(json.dumps(summary))
     spark.stop()
 
