@@ -599,6 +599,35 @@ def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
             .json(f"{lineage_dir}/group-*.json"))
 
 
+def _group_record(written: DataFrame, g: int, n_groups: int,
+                  t0: float, salt_buckets: int) -> dict:
+    """One committed group's lineage record, aggregated from the rows
+    actually on disk/in the table (no kernel recompute)."""
+    stats = written.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars_in").alias("bytes_in"),
+        F.sum("n_chars_out").alias("chars_out"),
+        F.sum("kernel_us").alias("kernel_us_total"),
+        F.max("kernel_us").alias("kernel_us_max"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_errors"),
+        F.sum(F.when(F.col("truncated"), 1).otherwise(0))
+         .alias("n_truncated"),
+    ).collect()[0]
+    return {
+        "group": g,
+        "n_groups": n_groups,
+        "n_rows": stats["n_rows"],
+        "bytes_in": int(stats["bytes_in"] or 0),
+        "chars_out": int(stats["chars_out"] or 0),
+        "kernel_us_total": int(stats["kernel_us_total"] or 0),
+        "kernel_us_max": int(stats["kernel_us_max"] or 0),
+        "n_errors": int(stats["n_errors"] or 0),
+        "n_truncated": int(stats["n_truncated"] or 0),
+        "wall_s": round(time.time() - t0, 3),
+        "salt_buckets": salt_buckets,
+    }
+
+
 def run_job(spark: SparkSession, pages: DataFrame, output_dir: str,
             n_groups: int = 8, salt_buckets: int = 256,
             partitions: Optional[int] = None,
@@ -627,28 +656,8 @@ def run_job(spark: SparkSession, pages: DataFrame, output_dir: str,
         extracted.write.mode("overwrite").parquet(data_path)
         # metrics come from the *written* files (no recompute of the
         # kernel): one cheap aggregate per committed group
-        stats = spark.read.parquet(data_path).agg(
-            F.count("*").alias("n_rows"),
-            F.sum("n_chars_in").alias("bytes_in"),
-            F.sum("n_chars_out").alias("chars_out"),
-            F.sum("kernel_us").alias("kernel_us_total"),
-            F.max("kernel_us").alias("kernel_us_max"),
-            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_errors"),
-            F.sum(F.when(F.col("truncated"), 1).otherwise(0)).alias("n_truncated"),
-        ).collect()[0]
-        record = {
-            "group": g,
-            "n_groups": n_groups,
-            "n_rows": stats["n_rows"],
-            "bytes_in": int(stats["bytes_in"] or 0),
-            "chars_out": int(stats["chars_out"] or 0),
-            "kernel_us_total": int(stats["kernel_us_total"] or 0),
-            "kernel_us_max": int(stats["kernel_us_max"] or 0),
-            "n_errors": int(stats["n_errors"] or 0),
-            "n_truncated": int(stats["n_truncated"] or 0),
-            "wall_s": round(time.time() - t0, 3),
-            "salt_buckets": salt_buckets,
-        }
+        record = _group_record(spark.read.parquet(data_path), g, n_groups,
+                               t0, salt_buckets)
         # marker write is the commit point: data is fully on disk first
         marker = os.path.join(output_dir, "_lineage", f"group-{g}.json")
         tmp = marker + ".tmp"
@@ -693,11 +702,17 @@ def run_job_table(spark: SparkSession, pages: DataFrame, table: str,
     there; the default ``parquet`` exercises the identical code path on
     this sandbox's built-in catalog (where append atomicity is
     approximate — which is why the marker-file `run_job` remains the
-    local-mode default).  Returns the same lineage summary shape."""
+    local-mode default).  Returns the same lineage summary shape.
+
+    Committed-ness is derived from data rows, so the work list is the
+    set of NON-EMPTY groups (one cheap distinct over the url-hash
+    column) — a group no url hashes to can never be pending forever."""
     done = committed_groups_table(spark, table)
     group_col = F.pmod(F.xxhash64("url"), F.lit(n_groups))
+    expected = {int(r["g"]) for r in
+                pages.select(group_col.alias("g")).distinct().collect()}
     processed: list[dict] = []
-    for g in range(n_groups):
+    for g in sorted(expected):
         if g in done:
             continue
         if max_groups is not None and len(processed) >= max_groups:
@@ -709,39 +724,25 @@ def run_job_table(spark: SparkSession, pages: DataFrame, table: str,
         if spark.catalog.tableExists(table):
             try:
                 extracted.writeTo(table).append()
-            except Exception as exc:
+            except Exception:
                 # the sandbox's session catalog serves V1 tables, which
                 # the V2 writer refuses; a real Iceberg/V2 catalog takes
-                # the writeTo path above
-                if "v1 table" not in str(exc):
-                    raise
-                extracted.write.mode("append").saveAsTable(table)
+                # the writeTo path above.  Error TEXT is Spark-version-
+                # fragile, so fall back on behavior: try the V1 writer
+                # (its own failure propagates).  insertInto matches the
+                # table's existing partitioning positionally.
+                extracted.write.mode("append").insertInto(table)
         else:
-            extracted.writeTo(table).using(provider).create()
-        stats = spark.table(table).filter(F.col("group") == g).agg(
-            F.count("*").alias("n_rows"),
-            F.sum("n_chars_in").alias("bytes_in"),
-            F.sum("n_chars_out").alias("chars_out"),
-            F.sum("kernel_us").alias("kernel_us_total"),
-            F.max("kernel_us").alias("kernel_us_max"),
-            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_errors"),
-            F.sum(F.when(F.col("truncated"), 1).otherwise(0))
-             .alias("n_truncated"),
-        ).collect()[0]
-        processed.append({
-            "group": g, "n_groups": n_groups,
-            "n_rows": stats["n_rows"],
-            "bytes_in": int(stats["bytes_in"] or 0),
-            "chars_out": int(stats["chars_out"] or 0),
-            "kernel_us_total": int(stats["kernel_us_total"] or 0),
-            "kernel_us_max": int(stats["kernel_us_max"] or 0),
-            "n_errors": int(stats["n_errors"] or 0),
-            "n_truncated": int(stats["n_truncated"] or 0),
-            "wall_s": round(time.time() - t0, 3),
-            "salt_buckets": salt_buckets,
-        })
+            # partition by group so the per-group stats scan and any
+            # downstream group predicate prune instead of full-scanning
+            extracted.writeTo(table).using(provider) \
+                .partitionedBy(F.col("group")).create()
+        record = _group_record(
+            spark.table(table).filter(F.col("group") == g),
+            g, n_groups, t0, salt_buckets)
+        processed.append(record)
     return {
         "processed": processed,
         "skipped_committed": sorted(done),
-        "complete": len(committed_groups_table(spark, table)) == n_groups,
+        "complete": expected <= committed_groups_table(spark, table),
     }

@@ -7,10 +7,11 @@ never per-row Python.  This module implements that plumbing for real
 (schemas, batch iteration, partitioning, deterministic outputs, error
 rows) AND real codecs for the self-describing formats decodable without
 native libraries: 24-bit BMP and P6-PPM images, PCM16 WAV audio (stdlib
-``wave``) — encode+decode round-trip pinned by tests.  Compressed
-formats (JPEG/PNG/MP4) still route through the clearly-marked
-deterministic fallback in ``decode_payload``, the seam where
-Pillow/pyav would plug in outside this sandbox.
+``wave``), and BMV video (a minimal real container of length-prefixed
+BMP frames, seekable per frame) — encode+decode round-trips pinned by
+tests.  Formats needing native libs (JPEG/PNG/MP4) still route through
+the clearly-marked deterministic fallback in ``decode_payload``, the
+seam where Pillow/pyav would plug in outside this sandbox.
 
 Design rules carried from the extraction job (`lexor_spark/job.py`):
 
@@ -188,18 +189,23 @@ def decode_payload(payload: bytes, width: int, height: int,
     """Image decode with real-codec sniffing.
 
     BMP and P6-PPM payloads decode for real (header-driven shape; the
-    width/height hints are ignored).  Unrecognized payloads fall back to
-    the DETERMINISTIC FAKE: SHA-256-seeded bytes reshaped to
-    (height, width, channels) uint8 — stable, payload-sensitive,
+    width/height hints are ignored); a BMV video payload decodes to its
+    FIRST frame (poster-frame semantics — the BMV sniff must precede
+    the BMP one, the magics share a prefix).  Unrecognized payloads
+    fall back to the DETERMINISTIC FAKE: SHA-256-seeded bytes reshaped
+    to (height, width, channels) uint8 — stable, payload-sensitive,
     platform-independent, and the documented seam where Pillow/pyav
     would plug in for formats this sandbox cannot decode."""
     if not payload:
         raise ValueError("empty payload")
-    head = bytes(payload[:2])
+    raw = bytes(payload)
+    if raw[:4] == _BMV_MAGIC:
+        return decode_bmv_frame(raw, 0)
+    head = raw[:2]
     if head == b"BM":
-        return decode_bmp(bytes(payload))
+        return decode_bmp(raw)
     if head == b"P6":
-        return decode_ppm(bytes(payload))
+        return decode_ppm(raw)
     need = width * height * channels
     seed = hashlib.sha256(payload).digest()
     reps = -(-need // len(seed))  # ceil
@@ -463,17 +469,31 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
             ids, nos, hashes = [], [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
                                           pdf["meta"]):
+                mark = len(ids)  # corrupt payload → drop the WHOLE
+                # media's rows, never a silent partial frame set
                 try:
                     raw = bytes(payload)
                     if raw[:4] == _BMV_MAGIC:
+                        # one forward walk over the length prefixes;
+                        # only sampled frames are decoded
                         n = decode_bmv_count(raw)
-                        for f in range(0, n, every_n):
-                            img = decode_bmv_frame(raw, f)
-                            fh = hashlib.sha256(
-                                img.tobytes()).hexdigest()[:16]
-                            ids.append(mid)
-                            nos.append(f)
-                            hashes.append(fh)
+                        wanted = set(range(0, n, every_n))
+                        off = 8
+                        for f in range(n):
+                            if off + 4 > len(raw):
+                                raise ValueError("truncated BMV")
+                            flen = int.from_bytes(raw[off:off + 4],
+                                                  "little")
+                            off += 4
+                            if off + flen > len(raw):
+                                raise ValueError("truncated BMV frame")
+                            if f in wanted:
+                                img = decode_bmp(raw[off:off + flen])
+                                ids.append(mid)
+                                nos.append(f)
+                                hashes.append(hashlib.sha256(
+                                    img.tobytes()).hexdigest()[:16])
+                            off += flen
                     else:
                         n = int(meta["n_frames"])
                         for f in range(0, n, every_n):
@@ -483,6 +503,7 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
                             nos.append(f)
                             hashes.append(fh)
                 except Exception:
+                    del ids[mark:], nos[mark:], hashes[mark:]
                     continue
             yield pd.DataFrame({"media_id": ids, "frame_no": nos,
                                 "frame_hash": hashes})

@@ -165,3 +165,21 @@ def test_resume_table_commit(spark, pages):
         assert r3["processed"] == [] and r3["complete"]
     finally:
         spark.sql(f"drop table if exists {table}")
+
+
+def test_table_commit_empty_groups_complete(spark, pages):
+    """A group no url hashes to must not leave the job pending forever:
+    work list = non-empty groups, complete once those commit."""
+    from lexor_spark.job import run_job_table
+
+    table = "sg_test_sparse"
+    spark.sql(f"drop table if exists {table}")
+    try:
+        # 64 groups over 150 urls -> some groups are certainly empty
+        r = run_job_table(spark, pages, table, n_groups=64, partitions=8)
+        assert r["complete"]
+        assert spark.table(table).count() == pages.count()
+        r2 = run_job_table(spark, pages, table, n_groups=64, partitions=8)
+        assert r2["processed"] == [] and r2["complete"]
+    finally:
+        spark.sql(f"drop table if exists {table}")

@@ -359,3 +359,39 @@ def test_frame_sample_real_decodes(spark):
         assert r["frame_hash"] == hashlib.sha256(
             img.tobytes()).hexdigest()[:16]
     vids.unpersist()
+
+
+def test_decode_payload_bmv_poster_frame():
+    """decode_payload routes BMV before the BMP sniff (shared 'BM'
+    prefix) and returns the first frame."""
+    import numpy as np
+
+    from lexor_spark.multimodal import decode_payload, encode_bmv
+
+    frames = [np.full((4, 6, 3), k * 40, dtype=np.uint8) for k in range(3)]
+    img = decode_payload(encode_bmv(frames), 6, 4)
+    assert (img == frames[0]).all()
+
+
+def test_sample_frames_truncated_payload_drops_whole_media(spark):
+    """A truncated BMV must yield NO rows for that media (never a
+    silent partial frame set), while intact media in the same batch
+    sample normally."""
+    import numpy as np
+
+    from lexor_spark import multimodal
+
+    frames = [np.full((4, 6, 3), k, dtype=np.uint8) for k in range(6)]
+    good = multimodal.encode_bmv(frames)
+    bad = good[:len(good) // 2]  # header intact, frames cut mid-container
+    assert multimodal.decode_bmv_count(bad) == 6
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(good), (6, 4, 3, 16000, 6)),
+         (2, "video", bytearray(bad), (6, 4, 3, 16000, 6))],
+        multimodal.MEDIA_SCHEMA)
+    got = multimodal.sample_frames(media, every_n=2).collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r["frame_no"])
+    assert sorted(by_media.get(1, [])) == [0, 2, 4]
+    assert 2 not in by_media  # truncated media dropped whole
