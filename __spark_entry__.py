@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import dedup, multimodal, sim, textfns, urlfns  # noqa: E402
+from lexor_spark import chunking, dedup, multimodal, sim, textfns, urlfns  # noqa: E402
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
@@ -88,6 +88,53 @@ select doc_id,
 from documents
 order by doc_id
 """
+
+
+_PII_LINE = (" Contact alice.smith+spam@example.org or +1 (555) 010-7788,"
+             " server 10.0.42.7. ")
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrub (emails / IPv4 / phone runs) — map-only
+    regexp_replace chain, no UDF.  The synthetic corpus carries no real
+    PII, so the query derives a deterministic PII-bearing variant (one
+    injected contact line) in BOTH engines to make the value oracle
+    meaningful; counts are pre-redaction, fp pins the redacted text."""
+    docs = dedup._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    c = F.concat(F.substring("text", 1, 120), F.lit(_PII_LINE),
+                 F.substring("text", 121, 1_000_000))
+    return docs.select(
+        "doc_id",
+        textfns.pii_count(c, "email").alias("n_emails"),
+        textfns.pii_count(c, "ipv4").alias("n_ips"),
+        textfns.pii_count(c, "phone").alias("n_phones"),
+        F.md5(textfns.redact_pii(c)).alias("fp_redacted"),
+    ).orderBy("doc_id")
+
+
+_PII_C = (f"(substr(text, 1, 120) || '{_PII_LINE}' || substr(text, 121))")
+
+SQL_PII = f"""
+select doc_id,
+       {textfns.SQL.pii_count(_PII_C, 'email')} as n_emails,
+       {textfns.SQL.pii_count(_PII_C, 'ipv4')} as n_ips,
+       {textfns.SQL.pii_count(_PII_C, 'phone')} as n_phones,
+       md5({textfns.SQL.redact_pii(_PII_C)}) as fp_redacted
+from documents
+order by doc_id
+"""
+
+
+def _q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 64-token windows (stride 48) over documents — the
+    corpus→context-window step of a tokenizer shard job.  Plan is scan →
+    generate(explode) → project: no shuffle, no UDF (the orderBy exists
+    only for the deterministic oracle compare)."""
+    docs = dedup._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return chunking.chunk_passages(docs).orderBy("doc_id", "chunk_id")
+
+
+SQL_CHUNKS = chunking.chunk_passages_sql() + " order by doc_id, chunk_id"
 
 
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _q_extract_metrics,
         # training-data operators (full value oracles)
         "text_features": _q_text_features,
+        "pii_redact": _q_pii_redact,
+        "chunk_passages": _q_chunk_passages,
         "repetition_stats": _q_repetition_stats,
         "dedup_exact": _q_exact_dedup,
         "minhash_signature": _q_minhash_sig,
@@ -496,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = {
         "text_features": SQL_TEXT_FEATURES,
+        "pii_redact": SQL_PII,
+        "chunk_passages": SQL_CHUNKS,
         "repetition_stats": SQL_REPETITION,
         "dedup_exact": dedup.exact_dedup_sql("documents") + " order by fp",
         "minhash_signature": SQL_MINHASH_SIG,

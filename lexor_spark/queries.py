@@ -556,6 +556,122 @@ order by lang
 """
 
 
+# --- Q4 shape: EXISTS with a correlated inequality (left-semi join) --------
+
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one lineitem shipped >60 days after the order
+    date, counted per priority — the TPC-H Q4 shape: a correlated EXISTS
+    that Catalyst decorrelates into a LEFT SEMI join carrying the extra
+    inequality predicate.  The semi join shuffles only the two key/date
+    columns; the count is map-side combinable."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_late"))
+            .orderBy("o_orderpriority"))
+
+
+SQL_LATE_PRIORITY = """
+select o_orderpriority, count(*) as n_late
+from orders o
+where exists (select 1 from lineitem l
+              where l.l_orderkey = o.o_orderkey
+                and l.l_shipdate > o.o_orderdate + interval 60 day)
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
+# --- Q18 shape: HAVING subquery joined back to the facts (top-k) ------------
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ten largest-value orders whose total quantity exceeds 250 —
+    the TPC-H Q18 shape: a grouped HAVING filter re-joined to orders and
+    customers, then a top-k.  The having side reduces lineitem to ~0.2%
+    of orders before the joins; Spark plans the final order+limit as
+    TakeOrderedAndProject (no full sort at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+           .filter(F.col("total_qty") > 250.0))
+    return (orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+SQL_BIG_ORDERS = """
+with qty as (
+  select l_orderkey, round(sum(l_quantity), 2) as total_qty
+  from lineitem group by l_orderkey
+  having round(sum(l_quantity), 2) > 250.0)
+select c_name, o_orderkey, o_totalprice, total_qty
+from orders
+join qty on o_orderkey = qty.l_orderkey
+join customer on o_custkey = c_custkey
+order by o_totalprice desc, o_orderkey
+limit 10
+"""
+
+
+# --- Q11 shape: scalar aggregate subquery as a selection threshold ----------
+
+def q_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts appearing in >1.5× the average number of lineitems — the
+    TPC-H Q11 shape: an aggregate compared against a scalar aggregate of
+    the same view.  The 1-row average broadcasts (a cross join with a
+    literal-sized side); counts are exact integers so the threshold
+    comparison is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("n_items"))
+    avg1 = cnt.agg(F.avg("n_items").alias("avg_items"))
+    return (cnt.join(F.broadcast(avg1),
+                     F.col("n_items") > 1.5 * F.col("avg_items"))
+            .select("l_partkey", "n_items")
+            .orderBy(F.col("n_items").desc(), F.col("l_partkey")))
+
+
+SQL_HOT_PARTS = """
+with cnt as (select l_partkey, count(*) as n_items
+             from lineitem group by l_partkey)
+select l_partkey, n_items
+from cnt
+where n_items > 1.5 * (select avg(n_items) from cnt)
+order by n_items desc, l_partkey
+"""
+
+
+# --- distinct aggregation (Expand-based count-distinct per group) -----------
+
+def q_priority_customer_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers and order count per priority — exercises the
+    count-DISTINCT plan (Spark's Expand + two-phase aggregate).  Both
+    metrics stay map-side partial-aggregable after the expand."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count("*").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+SQL_PRIORITY_BREADTH = """
+select o_orderpriority,
+       count(distinct o_custkey) as n_customers,
+       count(*) as n_orders
+from orders
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -574,6 +690,10 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_count_distribution": q_order_count_distribution,
     "top_supplier": q_top_supplier,
     "rich_idle_customers": q_rich_idle_customers,
+    "late_order_priority": q_late_order_priority,
+    "big_orders": q_big_orders,
+    "hot_parts": q_hot_parts,
+    "priority_customer_breadth": q_priority_customer_breadth,
     "corpus_stats": q_corpus_stats,
 }
 
@@ -595,5 +715,9 @@ RELATIONAL_SQL: dict[str, str] = {
     "order_count_distribution": SQL_ORDER_DIST,
     "top_supplier": SQL_TOP_SUPPLIER,
     "rich_idle_customers": SQL_RICH_IDLE,
+    "late_order_priority": SQL_LATE_PRIORITY,
+    "big_orders": SQL_BIG_ORDERS,
+    "hot_parts": SQL_HOT_PARTS,
+    "priority_customer_breadth": SQL_PRIORITY_BREADTH,
     "corpus_stats": SQL_CORPUS,
 }

@@ -21,6 +21,7 @@ __all__ = [
     "token_count", "word_count", "normalize_text", "fingerprint",
     "lang_id", "lang_id_ngram", "quality_score",
     "dup_line_fraction", "dup_line_char_fraction", "top_bigram_fraction",
+    "redact_pii", "pii_count",
     "SQL",
 ]
 
@@ -229,6 +230,36 @@ def top_bigram_fraction(col: Column) -> Column:
     return F.round(best.cast("double") / F.greatest(F.size(bg), F.lit(1)), 4)
 
 
+# --- PII redaction (the C4/RefinedWeb scrub stage) -------------------------
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB) parse
+# identically: no lookaround, no backreferences.  Applied email → IPv4 →
+# phone so the phone pattern never swallows an address's digit runs.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+_PII = (("email", PII_EMAIL, "<EMAIL>"),
+        ("ipv4", PII_IPV4, "<IP>"),
+        ("phone", PII_PHONE, "<PHONE>"))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses and phone-like digit runs with
+    typed placeholders.  Pure JVM ``regexp_replace`` chain — codegen'd,
+    no shuffle, no UDF; at 100 TB this is a map-only pass."""
+    out = col
+    for _, pat, token in _PII:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII kind ('email' | 'ipv4' | 'phone'),
+    counted BEFORE redaction."""
+    pat = {k: p for k, p, _ in _PII}[kind]
+    return F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+
+
 class SQL:
     """DuckDB mirrors of the expressions above.  Each is a format string
     taking the source column name."""
@@ -240,6 +271,20 @@ class SQL:
     BPE_COUNT = ("len(regexp_extract_all({c}, '"
                  + _BPE_PAT.replace("'", "''") + "'))")
     FINGERPRINT = "md5(" + NORMALIZE + ")"
+
+    @staticmethod
+    def redact_pii(c: str) -> str:
+        out = c
+        for _, pat, token in _PII:
+            out = (f"regexp_replace({out}, '{pat.replace(chr(39), chr(39)*2)}'"
+                   f", '{token}', 'g')")
+        return out
+
+    @staticmethod
+    def pii_count(c: str, kind: str) -> str:
+        pat = {k: p for k, p, _ in _PII}[kind]
+        return (f"len(regexp_extract_all({c}, "
+                f"'{pat.replace(chr(39), chr(39)*2)}'))")
 
     @staticmethod
     def marker_count(c: str, words: list[str]) -> str:
