@@ -41,16 +41,28 @@ def dispose(root: "Node") -> int:
     GC.  At Arrow-batch scale that GC pressure is the dominant scaling
     limiter (measured: ~+50% extraction throughput at 32 workers with the
     cyclic GC off), so the batch UDF disables it and the pipeline unlinks
-    trees explicitly instead."""
-    count = 0
+    trees explicitly instead.
+
+    Clearing each container's ``children`` list is sufficient to break
+    every cycle (the remaining ``parent`` refs point strictly upward, a
+    DAG), so the walk visits containers only — leaves are counted via
+    ``len`` without being touched.  Idempotent: a second call sees empty
+    children and returns 1."""
+    root.parent = None
+    kids = getattr(root, "children", None)
+    if not kids:
+        return 1
+    count = 1
+    containers = _CONTAINERS
     stack: list[Node] = [root]
     while stack:
         node = stack.pop()
-        node.parent = None
-        count += 1
-        kids = getattr(node, "children", None)
-        if kids:
-            stack.extend(kids)
+        kids = node.children
+        count += len(kids)
+        for ch in kids:
+            if ch.__class__ in containers and ch.children:
+                stack.append(ch)
+        node.children = []
     return count
 
 
@@ -611,3 +623,8 @@ class Document(Element):
             if isinstance(n, Element) and n.attrs.get("id") == idval:
                 return n
         return None
+
+
+# Container classes for dispose's children-clearing walk (defined here,
+# after the classes exist; dispose reads it at call time).
+_CONTAINERS = frozenset((Element, RawText, Void, Document))

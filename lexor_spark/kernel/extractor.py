@@ -64,6 +64,13 @@ BOILERPLATE_RE = re.compile(
 )
 
 
+# class/id-token verdict cache: crawl markup repeats the same class
+# strings millions of times, so one dict hit replaces a lowercase
+# allocation + regex search per element.  Bounded against hostile inputs.
+_BOILER_CACHE: dict[str, bool] = {}
+_BOILER_CACHE_MAX = 16384
+
+
 def _attr_drop(attrs: dict) -> bool:
     """Attribute-level boilerplate tests shared by :func:`extraction_decide`
     and the fused loop in :func:`convert` (single source of truth)."""
@@ -71,8 +78,14 @@ def _attr_drop(attrs: dict) -> bool:
     idv = attrs.get("id")
     if idv:
         token = token + " " + idv
-    if token and BOILERPLATE_RE.search(token.lower()):
-        return True
+    if token:
+        v = _BOILER_CACHE.get(token)
+        if v is None:
+            v = BOILERPLATE_RE.search(token.lower()) is not None
+            if len(_BOILER_CACHE) < _BOILER_CACHE_MAX:
+                _BOILER_CACHE[token] = v
+        if v:
+            return True
     role = attrs.get("role")
     if role in ("navigation", "banner", "complementary", "form",
                 "search", "contentinfo"):
@@ -149,13 +162,28 @@ def convert(doc: Document,
             i += 1
             cls = type(node)
             if fused:
-                # inlined extraction_decide, cheapest-first
+                # inlined extraction_decide, cheapest-first; text append
+                # merges into a trailing Text sibling and drops empties,
+                # which is exactly what per-element normalize would do —
+                # so the fused path skips normalize entirely
                 if cls is Text:
-                    dst.append_text(node.data, node.start, node.end)
+                    data = node.data
+                    if data:
+                        dkids = dst.children
+                        if dkids and type(dkids[-1]) is Text:
+                            last = dkids[-1]
+                            last.data += data
+                            if node.end >= 0:
+                                last.end = node.end
+                        else:
+                            t = Text(data, node.start, node.end)
+                            t.parent = dst
+                            dkids.append(t)
                     continue
                 if cls is Entity:
                     ent = Entity(node.data, node.start, node.end)
-                    dst.append_child(ent)
+                    ent.parent = dst
+                    dst.children.append(ent)
                     continue
                 if cls is Element or cls is Document:
                     name = node.name
@@ -202,22 +230,25 @@ def convert(doc: Document,
                 # mutates attrs, and the source tree is disposed right after
                 v = Void(node.name, node.attrs)
                 v.pos = node.pos
-                dst.append_child(v)
+                v.parent = dst
+                dst.children.append(v)
             else:  # Element / Document, COPY
                 el = Element(node.name, node.attrs)
                 el.pos = node.pos
-                dst.append_child(el)
+                el.parent = dst
+                dst.children.append(el)
                 ch = node.children
                 if ch:
                     frames.append((kids, i, dst, completing))
                     kids, i, dst = ch, 0, el
                     n = len(ch)
                     completing = (node, el)
-                else:
+                elif not fused:
                     el.normalize()
                     if end_hook is not None:
                         _apply_end_hook(end_hook, node, el, dst)
-        dst.normalize()
+        if not fused:
+            dst.normalize()
         if completing is not None and end_hook is not None:
             src_el, dst_el = completing
             parent = dst_el.parent

@@ -99,11 +99,38 @@ SILENT_CONTAINER: dict[str, frozenset] = {
 }
 
 _SPECIAL = re.compile(r"[<&]")
-# Tag-name lowercase cache: real-web corpora reuse a few dozen tag
-# spellings, so one dict hit replaces a str.lower() allocation per tag.
+# Fused markup scanner: ONE C-level search both finds the next markup
+# candidate and, when it is a well-formed start/end tag, captures the
+# whole construct — close flag, name, quote-aware attribute body — so the
+# hot loop pays one regex call per tag instead of search + name-match +
+# find('>') + quote checks.  The attribute body alternation is
+# unambiguous (every char is consumed by exactly one branch), so matching
+# and failure are linear, never catastrophic.  A '<' that does not begin
+# a complete tag (comment, doctype, PI, unterminated tag, stray text
+# '<') falls through to the second branch and takes the slow path.
+_MASTER = re.compile(
+    r"""<(/?)([a-zA-Z][a-zA-Z0-9:_\-]*)((?:"[^"]*"|'[^']*'|[^>"'])*)>|[<&]"""
+)
+# Per-spelling tag-info cache: real-web corpora reuse a few dozen tag
+# spellings, so one dict hit replaces lowercase allocation + void/rawtext
+# set membership + implied-end table lookup per tag.  Value is
+# (lowercase name, kind, closers): kind 0 = normal element, 1 = void,
+# 2 = rawtext; closers = frozenset of open-element names this tag
+# implicitly closes (None for the common no-implied-end case).
 # Bounded so hostile inputs (unbounded distinct tag names) can't grow it.
-_LC_CACHE: dict[str, str] = {}
-_LC_CACHE_MAX = 8192
+_TAG_INFO: dict[str, tuple] = {}
+_TAG_INFO_MAX = 8192
+
+
+def _tag_info(raw: str) -> tuple:
+    name = raw.lower()
+    kind = 1 if name in VOID_ELEMENTS else 2 if name in RAWTEXT_ELEMENTS else 0
+    closers = frozenset(
+        c for c, s in IMPLIED_END.items() if name in s) or None
+    info = (name, kind, closers)
+    if len(_TAG_INFO) < _TAG_INFO_MAX:
+        _TAG_INFO[raw] = info
+    return info
 # Parsed-attribute cache: boilerplate markup repeats the same attr strings
 # (class="nav", class="site-header", …) millions of times across a crawl;
 # one dict copy replaces the whole _ATTR.finditer parse on a hit.  Values
@@ -121,7 +148,6 @@ _ATTR = re.compile(
 )
 _ENTITY = re.compile(r"&(?:[a-zA-Z][a-zA-Z0-9]{0,31};|#[0-9]{1,7};|#[xX][0-9a-fA-F]{1,6};)")
 _WS_GT = re.compile(r"\s*>")
-_GT_OR_QUOTE = re.compile(r"[>\"']")
 
 
 class LogEntry:
@@ -187,11 +213,12 @@ class _Parser:
     # -- main loop (reference `parser.py:385-410`) -------------------------
     def run(self) -> None:
         text, n = self.text, self.end
-        search = _SPECIAL.search
+        search = _MASTER.search
         ent_match = _ENTITY.match
         tag_match = _TAG_NAME.match
         stack = self.stack
         caret = self.caret
+        tag_info = _TAG_INFO
         while caret < n:
             m = search(text, caret)
             if m is None:
@@ -219,7 +246,25 @@ class _Parser:
                     node = Text(text[caret:i], caret, i)
                     node.parent = stack[-1]
                     kids.append(node)
-            if text[i] == "&":
+            raw_name = m.group(2)
+            if raw_name is not None:
+                # complete start/end tag captured in one scan (~95% of
+                # markup events); bang/PI constructs take the slow path
+                info = tag_info.get(raw_name)
+                if info is None:
+                    info = _tag_info(raw_name)
+                end = m.end()
+                if m.group(1):
+                    if len(stack) > 1 and stack[-1].name == info[0]:
+                        stack.pop()  # balanced close: the common case
+                        caret = end
+                    else:
+                        self._close_tag(i, info[0], end)
+                        caret = self.caret
+                else:
+                    self._open_tag(i, info, m.group(3), end)
+                    caret = self.caret
+            elif text[i] == "&":
                 # entity path inlined (one markup event per '&')
                 em = ent_match(text, i)
                 if em is None:
@@ -234,40 +279,28 @@ class _Parser:
                     top.children.append(node)
                     caret = j
             else:
-                # tag dispatch inlined (start/end tags are ~95% of markup
-                # events; bang/PI constructs take the _markup slow path)
-                tm = tag_match(text, i)
-                if tm is not None:
+                nxt = text[i + 1: i + 2]
+                if nxt == "!" or nxt == "?":
                     self.caret = i
-                    if tm.group(1):
-                        self._close_tag(i, tm)
-                    else:
-                        self._open_tag(i, tm)
+                    self._markup(i)
                     caret = self.caret
                 else:
-                    nxt = text[i + 1: i + 2]
-                    if nxt == "!" or nxt == "?":
-                        self.caret = i
-                        self._markup(i)
-                        caret = self.caret
-                    else:
-                        stack[-1].append_text("<", i, i + 1)
-                        caret = i + 1
+                    # a '<' that opens nothing: tag-shaped but
+                    # unterminated → W102 (recovery); otherwise plain text
+                    if tag_match(text, i) is not None:
+                        self.msg("W102", i)
+                    stack[-1].append_text("<", i, i + 1)
+                    caret = i + 1
         self.caret = caret
         # EOF sweep: E100 per unclosed node, outermost first
         # (reference `parser.py:408-410`).
         for node in stack[1:]:
             self.msg("E100", node.pos, (node.name,))
 
-    # -- markup dispatch ----------------------------------------------------
+    # -- markup dispatch (bang/PI constructs only — complete tags are
+    # consumed by the fused _MASTER scan in run) --------------------------
     def _markup(self, i: int) -> None:
         text = self.text
-        # common case first: a start/end tag (no slice allocation)
-        m = _TAG_NAME.match(text, i)
-        if m is not None:
-            if m.group(1):
-                return self._close_tag(i, m)
-            return self._open_tag(i, m)
         nxt = text[i + 1: i + 2]
         if nxt == "!":
             if text.startswith("<!--", i):
@@ -358,63 +391,25 @@ class _Parser:
         self.stack[-1].append_child(node)
         self.caret = j + 2
 
-    def _find_tag_end(self, i: int) -> int:
-        """Index of the closing '>' of a start tag, honoring quoted
-        attribute values; -1 if unterminated."""
-        text = self.text
-        # quote-jump scan: each step is one C-level regex search for the
-        # next '>' / quote, then a C-level find for the matching quote —
-        # iterations = number of quoted values, never per-character
-        search = _GT_OR_QUOTE.search
-        while True:
-            mq = search(text, i)
-            if mq is None:
-                return -1
-            j = mq.start()
-            c = text[j]
-            if c == ">":
-                return j
-            k = text.find(c, j + 1)
-            if k == -1:
-                return -1
-            i = k + 1
-
-    def _open_tag(self, i: int, m: "re.Match[str]") -> None:
-        raw_name = m.group(2)
-        name = _LC_CACHE.get(raw_name)
-        if name is None:
-            name = raw_name.lower()
-            if len(_LC_CACHE) < _LC_CACHE_MAX:
-                _LC_CACHE[raw_name] = name
-        pos = i
-        e = m.end()
-        text = self.text
-        # fast tag-end inline: no quote before the next '>' (bounded
-        # C-level finds); quoted tags take the careful-scan method
-        gt = text.find(">", e)
-        if gt == -1 or text.find('"', e, gt) != -1 or text.find("'", e, gt) != -1:
-            gt = self._find_tag_end(e)
-        if gt == -1:
-            # Unterminated tag: consume '<' as text (recovery; W102).
-            self.msg("W102", pos)
-            self.stack[-1].append_text("<", i, i + 1)
-            self.caret = i + 1
-            return
+    def _open_tag(self, i: int, info: tuple, raw: str, end: int) -> None:
+        """Open a start tag whose full extent was captured by _MASTER:
+        ``info`` is the (name, kind, closers) tuple, ``raw`` the raw
+        attribute body (quote-aware, may end with the self-close '/'),
+        ``end`` the offset just past '>'."""
+        name, kind, closers = info
         attrs: dict[str, str] = {}
         self_close = False
-        if gt > e:  # the bare "<p>" case skips all attr work
-            end_attrs = gt
-            if text[gt - 1] == "/":
+        if raw:  # the bare "<p>" case skips all attr work
+            if raw[-1] == "/":
                 self_close = True
-                end_attrs = gt - 1
-            if end_attrs > e:
-                raw_attrs = text[e:end_attrs]
-                cached = _ATTRS_CACHE.get(raw_attrs)
+                raw = raw[:-1]
+            if raw:
+                cached = _ATTRS_CACHE.get(raw)
                 if cached is not None:
                     attrs = dict(cached)
                 else:
-                    if not raw_attrs.isspace():
-                        for am in _ATTR.finditer(raw_attrs):
+                    if not raw.isspace():
+                        for am in _ATTR.finditer(raw):
                             key = am.group(1).lower()
                             if key not in attrs:  # first occurrence wins
                                 g2, g3, g4 = am.group(2, 3, 4)
@@ -422,7 +417,7 @@ class _Parser:
                                               g3 if g3 is not None else
                                               g4 if g4 is not None else "")
                     if len(_ATTRS_CACHE) < _ATTRS_CACHE_MAX:
-                        _ATTRS_CACHE[raw_attrs] = dict(attrs)
+                        _ATTRS_CACHE[raw] = dict(attrs)
 
         # Implied end tags: silently close (Okay per ref doc example,
         # `parser.py:445-446`).  Popped elements need no normalize: the
@@ -430,27 +425,29 @@ class _Parser:
         # so parse-time normalize is a provable no-op (the converter
         # re-normalizes every element it rewrites anyway).
         stack = self.stack
-        while len(stack) > 1 and name in IMPLIED_END.get(stack[-1].name, ()):
-            stack.pop()
+        if closers is not None:
+            while len(stack) > 1 and stack[-1].name in closers:
+                stack.pop()
 
         top = stack[-1]
-        if name in VOID_ELEMENTS:
-            node = Void(name, attrs)
-            node.pos = pos
+        if kind == 0:
+            node = Element(name, attrs)
+            node.pos = i
             node.parent = top
             top.children.append(node)
-            self.caret = gt + 1
+            self.caret = end
+            if not self_close:  # empty-element protocol: ref `parser.py:328-329`
+                stack.append(node)
             return
-        if name in RAWTEXT_ELEMENTS:
-            self.caret = gt + 1
-            return self._rawtext(name, attrs, pos, gt + 1)
-        node = Element(name, attrs)
-        node.pos = pos
-        node.parent = top
-        top.children.append(node)
-        self.caret = gt + 1
-        if not self_close:  # empty-element protocol: ref `parser.py:328-329`
-            stack.append(node)
+        if kind == 1:
+            node = Void(name, attrs)
+            node.pos = i
+            node.parent = top
+            top.children.append(node)
+            self.caret = end
+            return
+        self.caret = end
+        return self._rawtext(name, attrs, i, end)
 
     def _rawtext(self, name: str, attrs: dict, pos: tuple[int, int],
                  body_start: int) -> None:
@@ -472,20 +469,10 @@ class _Parser:
         wm = _WS_GT.match(self.text, j + 2 + len(name))
         self.caret = wm.end() if wm else j + 2 + len(name)
 
-    def _close_tag(self, i: int, m: "re.Match[str]") -> None:
-        raw_name = m.group(2)
-        name = _LC_CACHE.get(raw_name)
-        if name is None:
-            name = raw_name.lower()
-            if len(_LC_CACHE) < _LC_CACHE_MAX:
-                _LC_CACHE[raw_name] = name
-        gt = self.text.find(">", m.end())
-        close_pos = i
-        if gt == -1:
-            self.msg("W102", close_pos)
-            self.stack[-1].append_text("<", i, i + 1)
-            self.caret = i + 1
-            return
+    def _close_tag(self, i: int, name: str, end: int) -> None:
+        """Unbalanced-close slow path (the balanced case pops inline in
+        run).  ``name`` is already lowercased; ``end`` is the offset just
+        past '>' (extent captured by _MASTER)."""
         stack = self.stack
         # Innermost-first match (reference `parser.py:357-383`): find the
         # nearest open node with this name; force-close anything deeper
@@ -496,18 +483,18 @@ class _Parser:
                 depth = k
                 break
         if depth == -1:
-            self.msg("W101", close_pos, (name,))
-            self.caret = gt + 1
+            self.msg("W101", i, (name,))
+            self.caret = end
             return
         silent = SILENT_CONTAINER.get(name, ())
         for k in range(len(stack) - 1, depth, -1):
             forced = stack[k]
             if forced.name not in silent:
-                cl, cc = self.linecol(close_pos)
+                cl, cc = self.linecol(i)
                 self.msg("W100", forced.pos, (forced.name, cl, cc))
             stack.pop()
         stack.pop()
-        self.caret = gt + 1
+        self.caret = end
 
 
 def parse_html(text: str, uri: str = "",
