@@ -363,6 +363,34 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "ok").orderBy("url")
 
 
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source surfaced in the gate (rows-only): serialize the pages
+    table into Common-Crawl-layout ``.warc.gz`` shards (fixture
+    generation — the only driver-side step), then run the distributed
+    path: binaryFile scan → mapInPandas record split → extraction.
+    Output must equal the parquet-sourced extraction per url."""
+    import tempfile
+
+    from lexor_spark.warc import build_warc, read_warc
+    d = tempfile.mkdtemp(prefix="sg_warc_")
+    rows = (pages_df(spark, sf_dir)
+            .select("url", F.date_format("warc_ts",
+                    "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"), "html")
+            .collect())
+    n_shards = max(1, len(rows) // 128)
+    for i in range(n_shards):
+        recs = [(r.url, r.ts, bytes(r.html)) for r in rows[i::n_shards]]
+        with open(f"{d}/shard{i:03d}.warc.gz", "wb") as fh:
+            fh.write(build_warc(recs, compress=True))
+    pages = (read_warc(spark, d)
+             .withColumn("lang", F.lit("en"))
+             .select("url", "warc_ts", "html", "lang"))
+    out = extract_pages(pages)
+    return (out.select("url", F.md5("text").alias("text_md5"),
+                       "n_nodes", "ok")
+            .orderBy("url"))
+
+
 def _q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion surfaced in the driver gate (rows-only):
     feed the pages table through the Structured-Streaming front-end and
@@ -531,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
         "frame_sample_real": _q_frame_sample_real,
+        # WARC shard source → extraction (rows-only; source surface)
+        "warc_extract": _q_warc_extract,
         # structured streaming (rows-only: streaming semantics are not
         # ANSI-SQL-expressible; batch-parity is pinned by pytest)
         "stream_extract": _q_stream_extract,

@@ -1,0 +1,190 @@
+"""WARC source: Common-Crawl shard files → the pages table.
+
+The north-rule input is an Iceberg table of Common-Crawl-style pages
+(url, warc_ts, html, …); this module covers the step *before* that
+table exists — reading raw WARC shards (ISO 28500, the format Common
+Crawl publishes) into exactly that schema, so the extraction job can run
+straight off a crawl drop.
+
+Spark-first shape
+-----------------
+``spark.read.format("binaryFile")`` gives one row per shard (Common
+Crawl shards are ~1 GB, a natural task granule at 100 TB — a 100k-shard
+crawl scans as 100k parallel tasks with no custom InputFormat), then a
+``mapInPandas`` batch UDF splits each shard into records.  The UDF is
+the only Python in the plan and is Arrow-batched; everything downstream
+(extraction, dedup, quality) is the existing pipeline.  For
+``.warc.gz`` shards the per-record gzip members concatenate into one
+stream that :class:`gzip.GzipFile` walks transparently.
+
+The record parser is pure stdlib (no warcio dependency — the sandbox
+has none, and the format is simple enough that a clean-room parser is
+~80 lines): records are ``WARC/1.x`` header blocks terminated by CRLF
+CRLF with a ``Content-Length`` payload, each followed by CRLF CRLF.
+``response`` records carry an HTTP response whose body is the page.
+Transfer/content decoding beyond gzip members (chunked, brotli) is out
+of scope and documented: Common Crawl stores payloads identity-coded.
+
+No reference counterpart (the reference converts single documents,
+SURVEY.md §2.3 scans/sources row); this is harness-side source surface.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, StringType, StructField,
+                               StructType, TimestampType)
+
+__all__ = ["parse_warc", "warc_records", "read_warc", "build_warc",
+           "WARC_SCHEMA"]
+
+WARC_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("warc_type", StringType()),
+    StructField("content_type", StringType()),
+    StructField("http_status", StringType()),
+    StructField("html", BinaryType()),
+])
+
+_MAX_HEADER = 64 * 1024  # defensive bound on one header block
+
+
+def _parse_headers(block: bytes) -> dict:
+    """Parse a CRLF-separated header block into a lower-cased dict
+    (first occurrence wins; continuation lines folded with a space)."""
+    out: dict[str, str] = {}
+    last: Optional[str] = None
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            out[last] += " " + line.strip().decode("latin-1")
+            continue
+        key, sep, val = line.partition(b":")
+        if not sep:
+            continue
+        k = key.strip().decode("latin-1").lower()
+        if k not in out:
+            out[k] = val.strip().decode("latin-1")
+        last = k
+    return out
+
+
+def parse_warc(payload: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record in ``payload`` (a whole shard,
+    plain or gzip).  Keys: url, warc_ts (ISO string or None), warc_type,
+    content_type, http_status, html (payload bytes after HTTP headers
+    for response records; raw block payload otherwise).
+
+    Malformed tails (truncated record, missing terminator) end the
+    iteration instead of raising — a crawl shard's trailing garbage must
+    not fail a 100 TB job's task."""
+    if payload[:2] == b"\x1f\x8b":
+        with gzip.GzipFile(fileobj=io.BytesIO(payload)) as fh:
+            try:
+                payload = fh.read()
+            except (OSError, EOFError):
+                return
+    pos, n = 0, len(payload)
+    while pos < n:
+        # resync on the magic — tolerates inter-record junk
+        start = payload.find(b"WARC/", pos)
+        if start == -1:
+            return
+        head_end = payload.find(b"\r\n\r\n", start, start + _MAX_HEADER)
+        if head_end == -1:
+            return
+        headers = _parse_headers(payload[start:head_end])
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = head_end + 4
+        body_end = body_start + clen
+        if clen < 0 or body_end > n:
+            return
+        body = payload[body_start:body_end]
+        wtype = headers.get("warc-type", "")
+        status = None
+        if wtype == "response" and body[:5] == b"HTTP/":
+            http_end = body.find(b"\r\n\r\n")
+            if http_end != -1:
+                status_line = body[:body.find(b"\r\n")].decode(
+                    "latin-1", "replace").split()
+                status = status_line[1] if len(status_line) > 1 else None
+                body = body[http_end + 4:]
+        yield {
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": headers.get("warc-date"),
+            "warc_type": wtype,
+            "content_type": headers.get("content-type"),
+            "http_status": status,
+            "html": body,
+        }
+        pos = body_end + 4  # skip the record's trailing CRLF CRLF
+
+
+def warc_records(shards: DataFrame, responses_only: bool = True) -> DataFrame:
+    """Split ``binaryFile`` rows (path, content, …) into WARC records.
+
+    One task per shard — exactly the parallelism a 100k-shard crawl
+    wants; no shuffle.  ``responses_only`` keeps the page-bearing
+    ``response`` records (the 200-status filter is left to the caller:
+    it is a plain pushed-down column predicate)."""
+    import pandas as pd  # local: executors import lazily
+
+    def _split(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc(bytes(content)):
+                    if responses_only and rec["warc_type"] != "response":
+                        continue
+                    rows.append(rec)
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in WARC_SCHEMA.fields])
+            if len(out):
+                out["warc_ts"] = pd.to_datetime(
+                    out["warc_ts"], errors="coerce", utc=True
+                ).dt.tz_localize(None)
+            else:
+                out["warc_ts"] = pd.Series([], dtype="datetime64[ns]")
+            yield out
+
+    return shards.select("path", "content").mapInPandas(_split, WARC_SCHEMA)
+
+
+def read_warc(spark, path: str, responses_only: bool = True) -> DataFrame:
+    """``spark.read.format('binaryFile')`` over ``path`` (dir or glob of
+    ``.warc`` / ``.warc.gz``) → record rows in the pages-table shape."""
+    shards = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", "*.warc*").load(path))
+    return warc_records(shards, responses_only=responses_only)
+
+
+def build_warc(records: list[tuple[str, str, bytes]],
+               compress: bool = False) -> bytes:
+    """Serialize (url, iso_ts, html_bytes) triples into a valid WARC
+    shard (response records wrapping an HTTP/1.1 200).  Test/benchmark
+    generator — deterministic bytes, per-record gzip members when
+    ``compress`` (the Common-Crawl layout)."""
+    out = []
+    for url, ts, html in records:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: " + str(len(html)).encode() +
+                b"\r\n\r\n" + html)
+        head = ("WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {ts}\r\n"
+                "Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n").encode("latin-1")
+        rec = head + http + b"\r\n\r\n"
+        out.append(gzip.compress(rec, mtime=0) if compress else rec)
+    return b"".join(out)

@@ -1,0 +1,126 @@
+"""WARC source: pure-stdlib record parser + binaryFile/mapInPandas scan.
+
+The builder (`build_warc`) and the parser (`parse_warc`) are inverse at
+the record level; the Spark path (`read_warc`) must reproduce the pages
+table exactly.  No reference counterpart (SURVEY.md §2.3 sources row).
+"""
+
+import gzip
+
+import pytest
+
+from lexor_spark.warc import build_warc, parse_warc, read_warc
+
+RECORDS = [
+    ("http://a.example/x", "2024-01-02T03:04:05Z", b"<html><p>alpha</p></html>"),
+    ("http://b.example/y", "2024-02-03T04:05:06Z", b"<html><p>beta</p></html>"),
+    ("http://c.example/z", "2024-03-04T05:06:07Z", "café ☃".encode()),
+]
+
+
+def test_round_trip_plain():
+    shard = build_warc(RECORDS)
+    out = list(parse_warc(shard))
+    assert len(out) == 3
+    for rec, (url, ts, html) in zip(out, RECORDS):
+        assert rec["url"] == url
+        assert rec["warc_ts"] == ts
+        assert rec["warc_type"] == "response"
+        assert rec["http_status"] == "200"
+        assert rec["html"] == html
+
+
+def test_round_trip_gzip_members():
+    # Common-Crawl layout: one gzip member per record, concatenated.
+    shard = build_warc(RECORDS, compress=True)
+    assert shard[:2] == b"\x1f\x8b"
+    out = list(parse_warc(shard))
+    assert [r["url"] for r in out] == [u for u, _, _ in RECORDS]
+    assert [r["html"] for r in out] == [h for _, _, h in RECORDS]
+
+
+def test_deterministic_bytes():
+    assert build_warc(RECORDS) == build_warc(RECORDS)
+    assert build_warc(RECORDS, compress=True) == build_warc(
+        RECORDS, compress=True)
+
+
+def test_truncated_tail_yields_prefix():
+    shard = build_warc(RECORDS)
+    # cut into the last record's payload: first two records must survive
+    cut = shard[: len(shard) - 10]
+    out = list(parse_warc(cut))
+    assert [r["url"] for r in out] == [u for u, _, _ in RECORDS[:2]]
+
+
+def test_inter_record_junk_resync():
+    a = build_warc(RECORDS[:1])
+    b = build_warc(RECORDS[1:2])
+    out = list(parse_warc(a + b"JUNKJUNKJUNK" + b))
+    assert [r["url"] for r in out] == [RECORDS[0][0], RECORDS[1][0]]
+
+
+def test_non_response_records_parsed():
+    head = ("WARC/1.0\r\n"
+            "WARC-Type: warcinfo\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            "Content-Type: application/warc-fields\r\n"
+            "Content-Length: 9\r\n\r\n").encode()
+    shard = head + b"robots: x" + b"\r\n\r\n" + build_warc(RECORDS[:1])
+    out = list(parse_warc(shard))
+    assert [r["warc_type"] for r in out] == ["warcinfo", "response"]
+    assert out[0]["html"] == b"robots: x"
+    assert out[0]["http_status"] is None
+
+
+def test_garbage_and_empty():
+    assert list(parse_warc(b"")) == []
+    assert list(parse_warc(b"not a warc at all")) == []
+    assert list(parse_warc(gzip.compress(b"plain gz, no records"))) == []
+    # corrupt gzip: magic bytes then trash
+    assert list(parse_warc(b"\x1f\x8b\x00\x00trash")) == []
+
+
+def test_header_folding_and_case():
+    head = ("WARC/1.0\r\n"
+            "warc-type: response\r\n"
+            "WARC-Target-URI: http://fold.example/\r\n"
+            " continued-path\r\n"
+            "Content-Length: 4\r\n\r\n").encode()
+    out = list(parse_warc(head + b"body" + b"\r\n\r\n"))
+    assert out[0]["url"] == "http://fold.example/ continued-path"
+    assert out[0]["html"] == b"body"  # no HTTP envelope → raw payload
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_spark_read_warc(spark, tmp_path, compress):
+    ext = "warc.gz" if compress else "warc"
+    (tmp_path / f"s0.{ext}").write_bytes(
+        build_warc(RECORDS[:2], compress=compress))
+    (tmp_path / f"s1.{ext}").write_bytes(
+        build_warc(RECORDS[2:], compress=compress))
+    (tmp_path / "ignore.txt").write_bytes(b"not scanned")
+    df = read_warc(spark, str(tmp_path))
+    rows = {r.url: r for r in df.collect()}
+    assert set(rows) == {u for u, _, _ in RECORDS}
+    for url, ts, html in RECORDS:
+        r = rows[url]
+        assert bytes(r.html) == html
+        assert r.http_status == "200"
+        assert r.warc_ts.isoformat().startswith(ts[:10])
+
+
+def test_spark_warc_to_extraction(spark, tmp_path):
+    """End-to-end: WARC shard → pages schema → the extraction job."""
+    from lexor_spark.job import extract_pages
+
+    from pyspark.sql import functions as F
+
+    (tmp_path / "s.warc.gz").write_bytes(build_warc(RECORDS, compress=True))
+    pages = (read_warc(spark, str(tmp_path))
+             .withColumn("lang", F.lit("en"))
+             .select("url", "warc_ts", "html", "lang"))
+    out = {r.url: r.text for r in extract_pages(pages).collect()}
+    assert out["http://a.example/x"].strip() == "alpha"
+    assert out["http://b.example/y"].strip() == "beta"
+    assert "café" in out["http://c.example/z"]
