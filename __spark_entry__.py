@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import chunking, dedup, multimodal, sim, textfns, urlfns  # noqa: E402
+from lexor_spark import chunking, dedup, lm, multimodal, sim, textfns, urlfns  # noqa: E402
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
@@ -363,6 +363,19 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "ok").orderBy("url")
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped quality scoring: bigram LM trained on the English
+    slice, every document scored against it (OOV floor for the rest)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm.lm_score(docs, train=docs.filter(F.col("lang") == "en")
+                       ).orderBy("doc_id")
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.span_dedup(docs).orderBy("doc_id")
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source surfaced in the gate (rows-only): serialize the pages
     table into Common-Crawl-layout ``.warc.gz`` shards (fixture
@@ -523,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_passages": _q_chunk_passages,
         "repetition_stats": _q_repetition_stats,
         "dedup_exact": _q_exact_dedup,
+        "span_dedup": _q_span_dedup,
+        "lm_score": _q_lm_score,
         "minhash_signature": _q_minhash_sig,
         "dedup_lsh_pairs": _q_lsh_pairs,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
@@ -579,6 +594,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_passages": SQL_CHUNKS,
         "repetition_stats": SQL_REPETITION,
         "dedup_exact": dedup.exact_dedup_sql("documents") + " order by fp",
+        "span_dedup": dedup.span_dedup_sql("documents") + " order by doc_id",
+        "lm_score": lm.lm_score_sql("documents", train_pred="lang = 'en'")
+                     + " order by doc_id",
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",

@@ -29,8 +29,8 @@ from lexor_spark.textfns import SQL, fingerprint, normalize_text
 
 __all__ = [
     "shingles", "exact_dedup", "minhash_signature", "lsh_pairs",
-    "jaccard_pairs", "simhash_df", "decontam_overlap",
-    "SHINGLE_N", "MINHASH_K", "LSH_BANDS",
+    "jaccard_pairs", "simhash_df", "decontam_overlap", "span_dedup",
+    "SHINGLE_N", "MINHASH_K", "LSH_BANDS", "SPAN_WORDS",
 ]
 
 SHINGLE_N = 3       # word 3-grams
@@ -345,6 +345,95 @@ select train_id, eval_id, count(*) as n_shared
 from t join e using (g)
 group by train_id, eval_id
 having count(*) >= {min_shared}
+"""
+
+
+SPAN_WORDS = 10     # block width for duplicated-span removal
+
+
+def span_dedup(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", w: int = SPAN_WORDS,
+               min_df: int = 2) -> DataFrame:
+    """Sub-document dedup: remove text *spans* that repeat across the
+    corpus, keeping the rest of each document — the block-hash form of
+    exact-substring deduplication (public method: Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes repeated 50-token substrings; CCNet does the same at
+    paragraph granularity).  Boilerplate sentences shared by thousands
+    of pages disappear while each page's unique content survives —
+    something whole-document dedup can never do.
+
+    Semantics: normalized text is chunked into non-overlapping ``w``-word
+    blocks; a block occurring in ≥ ``min_df`` distinct documents is
+    duplicated and dropped.  Output per doc: total blocks, duplicated
+    blocks, and the deduplicated (normalized) text.
+
+    Plan shape at scale: block arrays are per-row expressions (no
+    shuffle); one map-side-reducible agg on the block hash builds the
+    duplicate table; the explode-join back to blocks shuffles on the
+    SAME hash key (exchange reuse); one final groupBy on the doc id
+    reassembles.  No self-join, nothing quadratic — a hot boilerplate
+    block costs one agg row plus its own join fan-out, linear in its
+    occurrences."""
+    docs = _spread(docs)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_blocks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(w))).cast("int"), F.lit(1))
+    blocks_arr = F.transform(
+        F.sequence(F.lit(1), n_blocks),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * w + 1, w)))
+    blocks = (docs.select(F.col(id_col), blocks_arr.alias("bs"))
+              .select(id_col, F.posexplode("bs").alias("pos", "block"))
+              .withColumn("h", F.md5("block")))
+    dfc = (blocks.groupBy("h")
+           .agg(F.countDistinct(id_col).alias("n_docs")))
+    j = blocks.join(dfc, "h")
+    kept = F.when(F.col("n_docs") < min_df,
+                  F.struct("pos", "block")).otherwise(F.lit(None))
+    return (j.groupBy(id_col)
+            .agg(F.count("*").alias("n_blocks"),
+                 F.sum((F.col("n_docs") >= min_df).cast("long"))
+                  .alias("n_dup_blocks"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(kept)),
+                     lambda s: s.block)).alias("text_dedup")))
+
+
+def span_dedup_sql(table: str, text_col: str = "text",
+                   id_col: str = "doc_id", w: int = SPAN_WORDS,
+                   min_df: int = 2) -> str:
+    norm = SQL.NORMALIZE.format(c=text_col)
+    return f"""
+with base as (
+  select {id_col}, regexp_split_to_array({norm}, ' ') as toks from {table}
+),
+b0 as (
+  select {id_col}, toks,
+         unnest(generate_series(1,
+             greatest(ceil(len(toks) / {w}.0)::int, 1))) as pos
+  from base
+),
+blocks as (
+  select {id_col}, pos,
+         array_to_string(toks[(pos-1)*{w}+1 : pos*{w}], ' ') as block
+  from b0
+),
+dfc as (
+  select md5(block) as h, count(distinct {id_col}) as n_docs
+  from blocks group by 1
+),
+j as (
+  select {id_col}, pos, block, n_docs
+  from blocks join dfc on md5(block) = dfc.h
+)
+select {id_col},
+       count(*)::bigint as n_blocks,
+       sum(case when n_docs >= {min_df} then 1 else 0 end)::bigint
+         as n_dup_blocks,
+       coalesce(array_to_string(
+           list(block order by pos) filter (where n_docs < {min_df}), ' '),
+         '') as text_dedup
+from j group by {id_col}
 """
 
 

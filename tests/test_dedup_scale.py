@@ -129,3 +129,66 @@ def test_jaccard_stop_shingle_cap(spark):
     # capped jaccard is a lower bound of the exact one
     for r in capped.collect():
         assert r.jaccard <= exact_pairs[(r.a, r.b)] + 1e-9
+
+
+def test_span_dedup_strips_shared_boilerplate(spark):
+    """Three docs sharing a 10-word boilerplate block plus unique tails:
+    the shared block disappears from every doc, unique content stays."""
+    boiler = "subscribe to our newsletter for daily updates and special offers"
+    uniq = ["alpha beta gamma delta", "epsilon zeta eta theta",
+            "iota kappa lambda mu"]
+    docs = _docs(spark, [f"{boiler} {u}" for u in uniq])
+    out = {r.doc_id: r for r in dedup.span_dedup(docs, w=10).collect()}
+    assert len(out) == 3
+    for i, u in enumerate(uniq):
+        assert out[i].n_blocks == 2
+        assert out[i].n_dup_blocks == 1
+        assert out[i].text_dedup == u
+        assert boiler not in out[i].text_dedup
+
+
+def test_span_dedup_unique_corpus_untouched(spark):
+    """No cross-doc repetition → nothing removed, text round-trips
+    (normalized)."""
+    texts = ["one two three four five", "six seven eight nine ten"]
+    docs = _docs(spark, texts)
+    out = {r.doc_id: r for r in dedup.span_dedup(docs, w=3).collect()}
+    for i, t in enumerate(texts):
+        assert out[i].n_dup_blocks == 0
+        assert out[i].text_dedup == t
+
+
+def test_span_dedup_within_doc_repeat_not_removed(spark):
+    """A block repeated only WITHIN one document is not cross-doc
+    boilerplate: min_df counts distinct documents, so it survives."""
+    docs = _docs(spark, ["spam spam spam spam spam spam",
+                         "regular content here totally unique"])
+    out = {r.doc_id: r for r in dedup.span_dedup(docs, w=3).collect()}
+    assert out[0].n_dup_blocks == 0
+    assert "spam" in out[0].text_dedup
+
+
+def test_lm_score_ranks_inliers_above_gibberish(spark):
+    """Self-trained bigram LM: text built from the corpus's common
+    bigrams must outscore uniform-random junk."""
+    from lexor_spark.lm import lm_score
+    common = ["the cat sat on the mat and the dog ran off"] * 5
+    docs = _docs(spark, common + ["xq zj vk wp qx jz kv pw bzx"])
+    out = {r.doc_id: r.lm_score for r in lm_score(docs).collect()}
+    inlier = out[0]
+    junk = out[5]
+    assert inlier > junk
+
+
+def test_lm_score_oov_floor(spark):
+    """Scoring against a DISJOINT training corpus: every bigram is OOV,
+    so the score is exactly ln(1/(T+1)) for all scored bigrams."""
+    import math
+
+    from lexor_spark.lm import lm_score
+    train = _docs(spark, ["aaaa"])          # T = 3 bigrams
+    score_me = _docs(spark, ["zzzz"])        # all bigrams unseen
+    out = lm_score(score_me, train=train).collect()
+    assert len(out) == 1
+    assert out[0].n_bigrams == 3
+    assert out[0].lm_score == round(math.log(1.0 / 4), 4)
