@@ -76,7 +76,7 @@ def timed(make_df) -> float:
 def main() -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
-    from lexor_spark import dedup, sim, textfns  # noqa: F401
+    from lexor_spark import dedup, lm, sim, textfns  # noqa: F401
     from lexor_spark.job import extract_pages, partition_metrics
     from lexor_spark.pages import materialized_pages
     from lexor_spark.queries import RELATIONAL_QUERIES
@@ -117,6 +117,8 @@ def main() -> None:
         "dedup_exact": lambda: dedup.exact_dedup(docs),
         "minhash_signature": lambda: dedup.minhash_signature(docs).drop("sh"),
         "dedup_lsh_pairs": lambda: dedup.lsh_pairs(docs, threshold=0.2),
+        "span_dedup": lambda: dedup.span_dedup(docs),
+        "lm_score": lambda: lm.lm_score(docs),
         "simhash": lambda: dedup.simhash_df(docs),
         "cosine_topk": lambda: sim.cosine_topk(spark, SF_DIR, query_id=0, k=10),
         "ann_bucketed": lambda: sim.ann_bucketed(spark, SF_DIR, query_id=0, k=10),

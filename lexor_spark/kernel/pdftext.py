@@ -10,12 +10,16 @@ text-positioning operators (``Td``/``TD``/``T*`` start new lines; large
 negative TJ kerns become spaces).
 
 Scope (documented limitation, same contract style as
-`lexor_spark/multimodal.py`): simple fonts (1-byte codes) with a
-``/ToUnicode`` CMap are decoded through it (``bfchar``/``bfrange``,
-UTF-16BE targets — the most common real-PDF divergence from Latin-1);
-everything else falls back to PDFDocEncoding≈Latin-1.  Type0/CID
-2-byte subset fonts and encryption remain out of scope.  Files beyond
-the subset degrade to ``ok=False`` error rows, never task failures.
+`lexor_spark/multimodal.py`): fonts with a ``/ToUnicode`` CMap are
+decoded through it (``bfchar``/``bfrange``, UTF-16BE targets) — BOTH
+simple 1-byte fonts and Type0/CID composite fonts with 2-byte codes
+(Identity-H subset embeddings, the way every modern PDF producer embeds
+non-Latin text); the code width comes from the CMap's codespacerange.
+Fonts without a ToUnicode table fall back to PDFDocEncoding≈Latin-1
+(1-byte) or U+FFFD (2-byte CIDs are glyph ids with no public meaning).
+Encryption and non-Identity CID encodings remain out of scope.  Files
+beyond the subset degrade to ``ok=False`` error rows, never task
+failures.
 
 Like the HTML kernel, everything here is pure (same bytes → same text on
 any executor, any retry) and allocation-light (operates on one
@@ -29,7 +33,7 @@ import zlib
 from typing import Optional
 
 __all__ = ["PdfResult", "extract_pdf_text", "build_simple_pdf",
-           "build_cmap_pdf"]
+           "build_cmap_pdf", "build_cid_pdf"]
 
 _STREAM = re.compile(rb"stream\r?\n")
 _FLATE = re.compile(rb"/(?:FlateDecode|Fl)\b")
@@ -47,6 +51,7 @@ _OBJ = re.compile(rb"(\d+)\s+0\s+obj\b")
 _TOUNICODE_REF = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 _BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
 _CMAP_TOK = re.compile(rb"<([0-9A-Fa-f]+)>|\[|\]")
 _FONT_REF = re.compile(rb"/([^\s<>\[\]()/%]+)\s+(\d+)\s+0\s+R")
 _ESCAPES = {
@@ -110,22 +115,49 @@ def _hex_bytes(tok: bytes) -> bytes:
         return b""
 
 
-def _to_text(raw: bytes, cmap: Optional[dict]) -> str:
-    """String bytes → text: through the active simple-font ToUnicode
-    CMap when one exists, Latin-1≈PDFDocEncoding otherwise (unmapped
-    codes fall back per-byte, matching common-viewer behavior)."""
+class CMap:
+    """Parsed ToUnicode table: {code int: unicode str} plus the code
+    width in bytes (1 = simple font, 2 = Type0/CID Identity-H)."""
+    __slots__ = ("width", "map")
+
+    def __init__(self, width: int = 1) -> None:
+        self.width = width
+        self.map: dict[int, str] = {}
+
+
+def _to_text(raw: bytes, cmap: Optional["CMap"]) -> str:
+    """String bytes → text: through the active font's ToUnicode CMap
+    when one exists, Latin-1≈PDFDocEncoding otherwise.  For 1-byte
+    fonts, unmapped codes fall back per-byte (common-viewer behavior);
+    for 2-byte CID fonts unmapped codes are glyph ids with no public
+    meaning, so they become U+FFFD.  A trailing odd byte in a 2-byte
+    string is ignored (malformed producer output)."""
     if cmap is None:
         return raw.decode("latin-1")
-    get = cmap.get
+    get = cmap.map.get
+    if cmap.width == 2:
+        n = len(raw) & ~1
+        return "".join(get((raw[i] << 8) | raw[i + 1], "�")
+                       for i in range(0, n, 2))
     return "".join(get(b) or chr(b) for b in raw)
 
 
-# -- ToUnicode CMap parsing (simple 1-byte fonts) ---------------------------
+# -- ToUnicode CMap parsing (1-byte simple fonts, 2-byte CID fonts) ---------
 
-def _parse_cmap(stream: bytes) -> dict[int, str]:
-    """bfchar/bfrange sections → {byte code: unicode str} (targets are
-    UTF-16BE per the CMap spec).  Codes wider than one byte (CID fonts)
-    are skipped — out of the documented subset."""
+_MAX_BFRANGE = 1 << 16  # defensive cap on one range's expansion
+
+
+def _parse_cmap(stream: bytes) -> CMap:
+    """codespacerange + bfchar/bfrange sections → :class:`CMap`
+    (targets are UTF-16BE per the CMap spec).  The code width comes from
+    the codespacerange bound length, falling back to the first bfchar
+    src length (some producers omit the codespacerange)."""
+    width = 0
+    cs = _CODESPACE.search(stream)
+    if cs is not None:
+        bounds = [t for t in _CMAP_TOK.findall(cs.group(1)) if t]
+        if bounds:
+            width = max(1, min(2, len(bounds[0]) // 2))
     out: dict[int, str] = {}
 
     def _uni(hx: bytes) -> str:
@@ -139,7 +171,9 @@ def _parse_cmap(stream: bytes) -> dict[int, str]:
         toks = [t for t in _CMAP_TOK.findall(m.group(1)) if t]
         for k in range(0, len(toks) - 1, 2):
             src, dst = toks[k], toks[k + 1]
-            if len(src) == 2:  # one byte
+            if not width:  # producer omitted the codespacerange
+                width = max(1, min(2, len(src) // 2))
+            if len(src) == 2 * width:
                 out[int(src, 16)] = _uni(dst)
     for m in _BFRANGE.finditer(stream):
         body = m.group(1)
@@ -155,9 +189,11 @@ def _parse_cmap(stream: bytes) -> dict[int, str]:
                     or not isinstance(hi_t, bytes) or hi_t in (b"[", b"]"):
                 k += 1
                 continue
+            if not width:
+                width = max(1, min(2, len(lo_t) // 2))
             if toks[k + 2] == b"[":  # list form: <lo> <hi> [<d1> <d2> ...]
                 j = k + 3
-                code = int(lo_t, 16) if len(lo_t) == 2 else None
+                code = int(lo_t, 16) if len(lo_t) == 2 * width else None
                 while j < len(toks) and toks[j] != b"]":
                     if code is not None and code <= int(hi_t, 16):
                         out[code] = _uni(toks[j])
@@ -166,22 +202,25 @@ def _parse_cmap(stream: bytes) -> dict[int, str]:
                 k = j + 1
                 continue
             dst_t = toks[k + 2]
-            if len(lo_t) == 2 and len(hi_t) == 2:
+            if len(lo_t) == 2 * width and len(hi_t) == 2 * width:
                 lo, hi = int(lo_t, 16), int(hi_t, 16)
                 base = int(dst_t, 16)
-                width = len(dst_t) // 2  # bytes in the target
-                for code in range(lo, min(hi, 0xFF) + 1):
+                tgt_w = len(dst_t) // 2  # bytes in the target
+                cap = min(hi, lo + _MAX_BFRANGE, (1 << (8 * width)) - 1)
+                for code in range(lo, cap + 1):
                     try:
                         out[code] = _uni(
-                            (base + code - lo).to_bytes(width, "big").hex()
+                            (base + code - lo).to_bytes(tgt_w, "big").hex()
                             .encode("ascii"))
                     except OverflowError:
                         break  # malformed range target: stop, don't fail
             k += 3
-    return out
+    cmap = CMap(width or 1)
+    cmap.map = out
+    return cmap
 
 
-def _font_cmaps(data: bytes) -> dict[bytes, dict[int, str]]:
+def _font_cmaps(data: bytes) -> dict[bytes, CMap]:
     """Map content-stream font resource names (``/F1`` → ``F1``) to
     parsed ToUnicode CMaps.  Resource-name binding is taken document-
     wide (last Resources wins) — the simple-font subset this module
@@ -211,8 +250,9 @@ def _font_cmaps(data: bytes) -> dict[bytes, dict[int, str]]:
                 return b""
         return raw
 
-    # font obj -> cmap (via /ToUnicode N 0 R in the font dict)
-    font_cmap: dict[int, dict[int, str]] = {}
+    # font obj -> cmap (via /ToUnicode N 0 R in the font dict; for a
+    # Type0 font the ref sits on the composite font object itself)
+    font_cmap: dict[int, CMap] = {}
     for num, obj in objects.items():
         if b"/Font" not in obj and b"/ToUnicode" not in obj:
             continue
@@ -225,13 +265,13 @@ def _font_cmaps(data: bytes) -> dict[bytes, dict[int, str]]:
         stream = _stream_of(cm_obj)
         if stream:
             cmap = _parse_cmap(stream)
-            if cmap:
+            if cmap.map:
                 font_cmap[num] = cmap
 
     if not font_cmap:
         return {}
     # resource name -> font obj, from every /Font << /Fx N 0 R ... >> dict
-    out: dict[bytes, dict[int, str]] = {}
+    out: dict[bytes, CMap] = {}
     pos = 0
     while True:
         f = data.find(b"/Font", pos)
@@ -254,7 +294,7 @@ def _extract_stream_text(data: bytes, parts: list[str],
     in_text = False
     in_array = False
     pending_num: Optional[float] = None
-    cur_cmap: Optional[dict] = None
+    cur_cmap: Optional[CMap] = None
     last_name: Optional[bytes] = None
     for m in _TOKEN.finditer(data):
         tok = m.group(0)
@@ -388,6 +428,74 @@ def build_cmap_pdf(lines: list[str], mapping: dict[int, str],
         b"/ToUnicode 6 0 R >>",
         b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
         + cmap + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obj in enumerate(objects, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def build_cid_pdf(lines: list[str], compress: bool = True) -> bytes:
+    """A single-page PDF using a Type0/CID composite font (Identity-H):
+    every distinct character of ``lines`` gets a sequential 2-byte code,
+    text is shown as 2-byte hex strings, and a ToUnicode CMap with a
+    ``<0000> <FFFF>`` codespacerange maps codes back — the layout every
+    modern producer emits for non-Latin text.  Deterministic fixture
+    builder (pure function of its inputs)."""
+    codes: dict[str, int] = {}
+    for ln in lines:
+        for ch in ln:
+            if ch not in codes:
+                codes[ch] = len(codes) + 1
+    body = ["BT", "/F1 11 Tf", "1 0 0 1 72 720 Tm"]
+    for ln in lines:
+        hexstr = "".join(f"{codes[ch]:04X}" for ch in ln)
+        body.append(f"<{hexstr}> Tj")
+        body.append("0 -14 Td")
+    body.append("ET")
+    content = "\n".join(body).encode("latin-1")
+    filt = b""
+    if compress:
+        content = zlib.compress(content, 6)
+        filt = b" /Filter /FlateDecode"
+
+    def _utf16(ch: str) -> str:
+        return ch.encode("utf-16-be").hex().upper()
+
+    bfchars = "\n".join(f"<{code:04X}> <{_utf16(ch)}>"
+                        for ch, code in sorted(codes.items(),
+                                               key=lambda kv: kv[1]))
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(codes)} beginbfchar\n{bfchars}\nendbfchar\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    ).encode("latin-1")
+
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + filt + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity-H "
+        b"/Encoding /Identity-H /DescendantFonts [7 0 R] "
+        b"/ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + cmap + b"\nendstream",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>",
     ]
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

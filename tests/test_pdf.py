@@ -98,8 +98,10 @@ def test_cmap_bfrange_parsing():
               b"<61> <62> [<00E9> <00E8>]\n"  # a,b -> e-acute, e-grave
               b"endbfrange\nendcmap")
     cmap = _parse_cmap(stream)
-    assert cmap[0x41] == "Α" and cmap[0x42] == "Β" and cmap[0x43] == "Γ"
-    assert cmap[0x61] == "é" and cmap[0x62] == "è"
+    assert cmap.width == 1
+    m = cmap.map
+    assert m[0x41] == "Α" and m[0x42] == "Β" and m[0x43] == "Γ"
+    assert m[0x61] == "é" and m[0x62] == "è"
 
 
 def test_cmap_absent_is_latin1_identical():
@@ -107,6 +109,66 @@ def test_cmap_absent_is_latin1_identical():
     pdf = build_simple_pdf(["plain latin-1 café"])
     r = extract_pdf_text(pdf)
     assert r.ok and r.text == "plain latin-1 café\n"
+
+
+# ---------------------------------------------------------------------------
+# Type0/CID 2-byte fonts (Identity-H + 2-byte ToUnicode CMap)
+# ---------------------------------------------------------------------------
+
+def test_cid_font_roundtrip():
+    """Non-Latin text through a 2-byte Identity-H subset font — the
+    layout every modern PDF producer emits."""
+    from lexor_spark.kernel.pdftext import build_cid_pdf
+    lines = ["Привет мир", "日本語テキスト", "mixed lätin + ελληνικά"]
+    r = extract_pdf_text(build_cid_pdf(lines))
+    assert r.ok and r.text.splitlines() == lines
+    r2 = extract_pdf_text(build_cid_pdf(lines, compress=False))
+    assert r2.ok and r2.text.splitlines() == lines
+
+
+def test_cid_cmap_width_detection():
+    from lexor_spark.kernel.pdftext import _parse_cmap
+    stream = (b"begincmap\n"
+              b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+              b"2 beginbfchar\n<0001> <0416>\n<0002> <0436>\nendbfchar\n"
+              b"1 beginbfrange\n<0010> <0012> <0391>\nendbfrange\n"
+              b"endcmap")
+    cmap = _parse_cmap(stream)
+    assert cmap.width == 2
+    assert cmap.map[0x0001] == "Ж" and cmap.map[0x0002] == "ж"
+    assert cmap.map[0x0010] == "Α" and cmap.map[0x0012] == "Γ"
+
+
+def test_cid_width_inferred_without_codespacerange():
+    """Some producers omit codespacerange — width falls back to the
+    first bfchar source length."""
+    from lexor_spark.kernel.pdftext import _parse_cmap
+    stream = (b"begincmap\n"
+              b"1 beginbfchar\n<0003> <042F>\nendbfchar\nendcmap")
+    cmap = _parse_cmap(stream)
+    assert cmap.width == 2 and cmap.map[0x0003] == "Я"
+
+
+def test_cid_unmapped_and_odd_trailing_byte():
+    """Unmapped 2-byte CIDs are U+FFFD (glyph ids have no public
+    meaning); a trailing odd byte is ignored, never a crash."""
+    from lexor_spark.kernel.pdftext import CMap, _to_text
+    cm = CMap(2)
+    cm.map = {1: "A"}
+    assert _to_text(b"\x00\x01\x00\x02", cm) == "A�"
+    assert _to_text(b"\x00\x01\x7f", cm) == "A"
+
+
+def test_cid_bfrange_expansion_capped():
+    """A malformed giant bfrange must not OOM the executor: expansion
+    is capped, parse still succeeds."""
+    from lexor_spark.kernel.pdftext import _MAX_BFRANGE, _parse_cmap
+    stream = (b"begincmap\n"
+              b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+              b"1 beginbfrange\n<0000> <FFFF> <0041>\nendbfrange\nendcmap")
+    cmap = _parse_cmap(stream)
+    assert len(cmap.map) <= _MAX_BFRANGE + 1
+    assert cmap.map[0x0000] == "A"
 
 
 def test_cli_pdf_routing(tmp_path, capsys):
