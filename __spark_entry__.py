@@ -376,6 +376,11 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dedup(docs).orderBy("doc_id")
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dup_clusters(docs, threshold=0.2).orderBy("doc_id")
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source surfaced in the gate (rows-only): serialize the pages
     table into Common-Crawl-layout ``.warc.gz`` shards (fixture
@@ -540,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "minhash_signature": _q_minhash_sig,
         "dedup_lsh_pairs": _q_lsh_pairs,
+        "dup_clusters": _q_dup_clusters,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "decontam_overlap": _q_decontam,
         "simhash": _q_simhash,
@@ -600,6 +606,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",
+        "dup_clusters": dedup.dup_clusters_sql("documents", threshold=0.2)
+                         + " order by doc_id",
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql("documents", threshold=0.2)
                                 + " order by a, b",
         "decontam_overlap": SQL_DECONTAM,

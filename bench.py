@@ -118,6 +118,7 @@ def main() -> None:
         "minhash_signature": lambda: dedup.minhash_signature(docs).drop("sh"),
         "dedup_lsh_pairs": lambda: dedup.lsh_pairs(docs, threshold=0.2),
         "span_dedup": lambda: dedup.span_dedup(docs),
+        "dup_clusters": lambda: dedup.dup_clusters(docs, threshold=0.2),
         "lm_score": lambda: lm.lm_score(docs),
         "simhash": lambda: dedup.simhash_df(docs),
         "cosine_topk": lambda: sim.cosine_topk(spark, SF_DIR, query_id=0, k=10),

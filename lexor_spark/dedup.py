@@ -30,7 +30,7 @@ from lexor_spark.textfns import SQL, fingerprint, normalize_text
 __all__ = [
     "shingles", "exact_dedup", "minhash_signature", "lsh_pairs",
     "jaccard_pairs", "simhash_df", "decontam_overlap", "span_dedup",
-    "SHINGLE_N", "MINHASH_K", "LSH_BANDS", "SPAN_WORDS",
+    "dup_clusters", "SHINGLE_N", "MINHASH_K", "LSH_BANDS", "SPAN_WORDS",
 ]
 
 SHINGLE_N = 3       # word 3-grams
@@ -434,6 +434,108 @@ select {id_col},
            list(block order by pos) filter (where n_docs < {min_df}), ' '),
          '') as text_dedup
 from j group by {id_col}
+"""
+
+
+def dup_clusters(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", threshold: float = 0.5,
+                 pairs: DataFrame = None, max_iter: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    LSH pair graph — the canonical-document selection step every real
+    dedup pipeline runs after pair finding (keep one page per duplicate
+    cluster; RefinedWeb/Dolma/CCNet all do this).  Pair finding alone
+    cannot dedup: with docs A~B and B~C, dropping "the b of every pair"
+    removes too much or too little depending on pair order; the cluster
+    id makes the keep-set well defined.
+
+    Output: one row per input document —
+    ``(doc_id, cluster_id, cluster_size, is_canonical)`` where
+    ``cluster_id`` is the minimum doc id reachable through near-dup
+    pairs, ``cluster_size`` counts members, and ``is_canonical`` marks
+    the kept representative (the min id).  Singletons are their own
+    cluster of size 1.
+
+    Algorithm: min-label propagation to a fixpoint — exactly GraphX's
+    ``connectedComponents`` Pregel semantics, expressed in DataFrame ops
+    (join labels to the symmetrized edge list, take the min over
+    neighbor labels and own label, repeat until no label changes).
+    Rounds = graph diameter; LSH dup graphs are unions of near-cliques
+    (every member shares a band key with most others), so the diameter
+    is small — 2-3 rounds in practice, ``max_iter`` bounds hostile
+    chains.  Each round is one shuffle on the id key plus a broadcast-
+    able changed-count check; ``localCheckpoint`` truncates the plan so
+    the lineage doesn't grow with iterations.  (For graphs with large
+    diameters the published O(log n)-round alternative is the
+    large-star/small-star alternating algorithm, Kiveris et al. 2014;
+    unnecessary for dup graphs.)
+
+    The edge table (``pairs``) defaults to ``lsh_pairs`` at the given
+    threshold; pass a precomputed pair DataFrame with columns (a, b) to
+    reuse a materialized pair table — at 100 TB the pairs job runs once
+    and this operator is a cheap postfix (the edge side is tiny relative
+    to the corpus: only duplicated docs appear in it)."""
+    if pairs is None:
+        pairs = lsh_pairs(docs, text_col, id_col, threshold=threshold)
+    edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+             .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+             .distinct())
+    # only docs that appear in a pair can change labels: iterate over the
+    # (small) duplicated-node set, and union the untouched singleton
+    # corpus back in at the end — the 10^12-row side is never in the loop
+    labels = (edges.select(F.col("u").alias("id"))
+              .distinct()
+              .withColumn("lbl", F.col("id")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("id", "v"), "v")
+               .groupBy("u").agg(F.min("lbl").alias("nlbl")))
+        new = (labels.join(nbr.withColumnRenamed("u", "id"), "id", "left")
+               .select("id", F.least("lbl", "nlbl").alias("lbl")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.join(labels.withColumnRenamed("lbl", "old"), "id")
+                   .filter(F.col("lbl") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    allv = docs.select(F.col(id_col).alias("id"))
+    labels = (allv.join(labels, "id", "left")
+              .select("id", F.coalesce("lbl", "id").alias("lbl")))
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "lbl")
+            .select(F.col("id").alias(id_col),
+                    F.col("lbl").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("id") == F.col("lbl")).alias("is_canonical")))
+
+
+def dup_clusters_sql(table: str, text_col: str = "text",
+                     id_col: str = "doc_id", threshold: float = 0.5) -> str:
+    """DuckDB mirror: recursive-CTE reachability, cluster id = min
+    reachable node.  Small-scale oracle only — the recursive transitive
+    closure is O(component²); Spark runs the propagation loop instead."""
+    pairs = lsh_pairs_sql(table, text_col, id_col, threshold=threshold)
+    return f"""
+with recursive pairs as ({pairs}),
+edges as (
+  select a as u, b as v from pairs
+  union
+  select b as u, a as v from pairs
+),
+nodes as (select distinct u as id from edges),
+reach(id, r) as (
+  select id, id from nodes
+  union
+  select e.u, reach.r from edges e join reach on e.v = reach.id
+),
+lbl as (select id, min(r) as lbl from reach group by id),
+alln as (
+  select {id_col} as id, coalesce(l.lbl, {id_col}) as lbl
+  from {table} left join lbl l on {table}.{id_col} = l.id
+),
+sizes as (select lbl, count(*) as n from alln group by lbl)
+select a.id as {id_col}, a.lbl::bigint as cluster_id,
+       s.n::bigint as cluster_size, (a.id = a.lbl) as is_canonical
+from alln a join sizes s on a.lbl = s.lbl
 """
 
 

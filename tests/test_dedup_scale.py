@@ -192,3 +192,53 @@ def test_lm_score_oov_floor(spark):
     assert len(out) == 1
     assert out[0].n_bigrams == 3
     assert out[0].lm_score == round(math.log(1.0 / 4), 4)
+
+
+# ---------------------------------------------------------------------------
+# dup_clusters — connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+def test_dup_clusters_transitive_chain(spark):
+    """A~B and B~C but never A~C directly: cluster assignment must merge
+    the chain into ONE cluster (this is exactly what pair output alone
+    cannot express) — requires >1 propagation round."""
+    docs = _docs(spark, [f"doc {i}" for i in range(6)])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], ["a", "b"])
+    out = dedup.dup_clusters(docs, pairs=pairs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert [rows[i].cluster_id for i in range(4)] == [0, 0, 0, 0]
+    assert rows[4].cluster_id == 4 and rows[5].cluster_id == 4
+    assert rows[0].is_canonical and not rows[1].is_canonical
+    assert rows[0].cluster_size == 4 and rows[5].cluster_size == 2
+
+
+def test_dup_clusters_singletons_survive(spark):
+    """Docs in no pair are their own cluster of size 1 — and the
+    singleton side is unioned back outside the iteration loop."""
+    texts = ["alpha unique text one", "beta unique text two",
+             "gamma unique text three"]
+    docs = _docs(spark, texts)
+    pairs = spark.createDataFrame([], "a long, b long")
+    out = dedup.dup_clusters(docs, pairs=pairs).collect()
+    assert len(out) == 3
+    assert all(r.cluster_id == r.doc_id and r.cluster_size == 1
+               and r.is_canonical for r in out)
+
+
+def test_dup_clusters_end_to_end_lsh(spark):
+    """Through the default lsh_pairs edge source: two near-identical
+    page families collapse to two clusters; keep-set = canonical rows."""
+    fam_a = ["spark engine makes distributed dataframes easy to use " + x
+             for x in ("at scale", "at any scale", "at web scale")]
+    fam_b = ["completely different content about cooking pasta at home " + x
+             for x in ("tonight", "this evening", "for dinner tonight")]
+    uniq = ["nothing like the others entirely standalone document here"]
+    docs = _docs(spark, fam_a + fam_b + uniq)
+    out = dedup.dup_clusters(docs, threshold=0.2)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].cluster_id == rows[1].cluster_id == rows[2].cluster_id == 0
+    assert rows[3].cluster_id == rows[4].cluster_id == rows[5].cluster_id == 3
+    assert rows[6].cluster_size == 1
+    keep = sorted(r.doc_id for r in rows.values() if r.is_canonical)
+    assert keep == [0, 3, 6]
