@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import chunking, dedup, lm, multimodal, sim, textfns, urlfns  # noqa: E402
+from lexor_spark import (chunking, dedup, lm, multimodal, sampling,  # noqa: E402
+                         sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
@@ -381,6 +382,22 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(docs, threshold=0.2).orderBy("doc_id")
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SAMPLE_FRACS = {"en": 0.5, "de": 0.25}
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (sampling.hash_split(docs, _SPLIT_WEIGHTS)
+            .select("doc_id", "lang", "split").orderBy("doc_id"))
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (sampling.sample_by(docs, _SAMPLE_FRACS)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source surfaced in the gate (rows-only): serialize the pages
     table into Common-Crawl-layout ``.warc.gz`` shards (fixture
@@ -546,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": _q_minhash_sig,
         "dedup_lsh_pairs": _q_lsh_pairs,
         "dup_clusters": _q_dup_clusters,
+        "hash_split": _q_hash_split,
+        "sample_stratified": _q_sample_stratified,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "decontam_overlap": _q_decontam,
         "simhash": _q_simhash,
@@ -608,6 +627,13 @@ def oracle_sql() -> dict[str, str]:
                             + " order by a, b",
         "dup_clusters": dedup.dup_clusters_sql("documents", threshold=0.2)
                          + " order by doc_id",
+        "hash_split": ("select doc_id, lang, split from ("
+                       + sampling.hash_split_sql("documents", _SPLIT_WEIGHTS)
+                       + ") order by doc_id"),
+        "sample_stratified": ("select doc_id, lang from ("
+                              + sampling.sample_by_sql("documents",
+                                                       _SAMPLE_FRACS)
+                              + ") order by doc_id"),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql("documents", threshold=0.2)
                                 + " order by a, b",
         "decontam_overlap": SQL_DECONTAM,

@@ -1,0 +1,116 @@
+"""Deterministic sampling & split operators for training-data pipelines.
+
+Every public LLM data pipeline needs (a) a reproducible train/val/test
+split and (b) reproducible per-stratum downsampling (e.g. cap English at
+30%, upweight low-resource languages — the CCNet/ROOTS-style language
+rebalancing step).  Spark's built-ins (``randomSplit``, ``sampleBy``)
+are seed-based but NOT portable: the draw depends on partitioning and
+the engine's RNG, so a resume or an engine change reshuffles the split.
+These operators instead derive the draw from a salted md5 of the row id
+— the same bytes land in the same split on any engine, any partitioning,
+any retry (md5 is bit-identical across Spark and DuckDB, which is also
+what makes the value oracle possible; cf. `lexor_spark/textfns.py`).
+
+Scale notes (100 TB): both operators are pure per-row Catalyst
+expressions — NO shuffle, NO window, nothing per-group beyond a
+broadcastable fraction map.  They compose with any scan and keep
+predicate pushdown intact (the filter is a deterministic expression on
+the id column).  This is deliberately NOT a "exactly n rows per group"
+sampler: exact-n needs a per-group top-k by hash (a skewed window at
+web scale, since strata are few and huge); the Bernoulli form gives
+binomial counts around the target with zero coordination, which is what
+published pipelines actually ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_fraction", "hash_split", "sample_by"]
+
+_SCALE = float(1 << 32)
+
+
+def hash_fraction(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform draw in [0, 1): the first 32 bits of
+    ``md5(id || salt)`` as a fraction.  Distinct salts give independent
+    draws, so a split and a downsample of the same table don't
+    correlate."""
+    h = F.conv(F.substring(F.md5(F.concat(id_col.cast("string"),
+                                          F.lit(salt))), 1, 8), 16, 10)
+    return h.cast("long") / F.lit(_SCALE)
+
+
+def _hash_fraction_sql(id_expr: str, salt: str) -> str:
+    return (f"(('0x' || substr(md5({id_expr}::varchar || '{salt}'), 1, 8))"
+            f"::bigint / {_SCALE})")
+
+
+_SPLIT_SALT = "#split"
+_SAMPLE_SALT = "#sample"
+
+
+def hash_split(docs: DataFrame, weights: dict[str, float],
+               id_col: str = "doc_id") -> DataFrame:
+    """Assign every row to a named split by cumulative weight intervals
+    over the hash fraction: ``{"train": .98, "val": .01, "test": .01}``
+    puts u∈[0,.98) in train, [.98,.99) in val, [.99,1) in test.
+    Output: input columns + ``split``.  Weights must sum to 1 (a
+    trailing epsilon is absorbed by the last split)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_fraction(F.col(id_col), _SPLIT_SALT)
+    names = list(weights)
+    expr = F.lit(names[-1])  # last split absorbs the [cum_last, 1) tail
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        conds.append((name, cum))
+    for name, bound in reversed(conds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def hash_split_sql(table: str, weights: dict[str, float],
+                   id_col: str = "doc_id") -> str:
+    u = _hash_fraction_sql(id_col, _SPLIT_SALT)
+    names = list(weights)
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += weights[name]
+        cases.append(f"when {u} < {cum!r} then '{name}'")
+    case = "case " + " ".join(cases) + f" else '{names[-1]}' end"
+    return f"select *, {case} as split from {table}"
+
+
+def sample_by(docs: DataFrame, fractions: dict[str, float],
+              group_col: str = "lang", id_col: str = "doc_id",
+              default: float = 1.0) -> DataFrame:
+    """Deterministic stratified downsample: keep a row iff its hash
+    fraction is below its group's quota.  ``fractions`` maps group value
+    → keep probability; unlisted groups keep ``default``.  Reproducible
+    ``DataFrame.sampleBy``: same rows survive on any engine/partitioning.
+
+    At 100 TB the fraction map is driver-side constants folded into one
+    CASE expression — the scan side never shuffles, and a fraction of
+    0 for a group prunes like an ordinary filter."""
+    u = hash_fraction(F.col(id_col), _SAMPLE_SALT)
+    quota = F.lit(float(default))
+    for val, frac in reversed(list(fractions.items())):
+        quota = (F.when(F.col(group_col) == F.lit(val), F.lit(float(frac)))
+                 .otherwise(quota))
+    return docs.filter(u < quota)
+
+
+def sample_by_sql(table: str, fractions: dict[str, float],
+                  group_col: str = "lang", id_col: str = "doc_id",
+                  default: float = 1.0) -> str:
+    u = _hash_fraction_sql(id_col, _SAMPLE_SALT)
+    cases = " ".join(f"when {group_col} = '{v}' then {float(f)!r}"
+                     for v, f in fractions.items())
+    quota = f"case {cases} else {float(default)!r} end"
+    return f"select * from {table} where {u} < {quota}"
