@@ -2,7 +2,8 @@
 module exists for.
 
     pages ──extract──▶ text ──quality──▶ ──repetition──▶ ──domain-cap──▶
-          ──exact-dedup──▶ ──near-dup (minhash/LSH)──▶
+          ──exact-dedup──▶ ──near-dup (minhash/LSH pairs → connected-
+          component clusters, one canonical url kept per cluster)──▶
           ──decontaminate (vs eval n-grams)──▶ canonical corpus
           + reject ledger
 
@@ -114,18 +115,21 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
             .filter(F.col("url") == F.col("keep_url"))
             .select("url").join(kept, "url"))
 
-    # near-dup: LSH pairs above threshold; drop the greater url of each
-    # pair (stable: url order is deterministic)
-    pairs = dedup.lsh_pairs(uniq.withColumnRenamed("url", "doc_id"),
-                            text_col="text", id_col="doc_id",
-                            threshold=jaccard_threshold)
-    near = (pairs.select(F.col("b").alias("url"),
-                         F.lit("near_dup").alias("stage"),
-                         F.concat(F.lit("jaccard="),
-                                  F.col("jaccard").cast("string"),
-                                  F.lit(" with="), F.col("a"))
-                         .alias("reason"))
-            .dropDuplicates(["url"]))
+    # near-dup: CLUSTER the LSH pair graph and keep one canonical url
+    # per cluster.  Pair-based rejection ("drop the b of every pair")
+    # over-keeps on transitive chains — urls 1~3 and 2~3 with no direct
+    # 1~2 pair would both survive although they are one duplicate
+    # cluster; connected components make the keep-set well defined.
+    clusters = dedup.dup_clusters(uniq.withColumnRenamed("url", "doc_id"),
+                                  text_col="text", id_col="doc_id",
+                                  threshold=jaccard_threshold)
+    near = (clusters.filter(~F.col("is_canonical"))
+            .select(F.col("doc_id").alias("url"),
+                    F.lit("near_dup").alias("stage"),
+                    F.concat(F.lit("dup_of="), F.col("cluster_id"),
+                             F.lit(" cluster_size="),
+                             F.col("cluster_size").cast("string"))
+                    .alias("reason")))
 
     corpus = uniq.join(near.select("url"), "url", "left_anti").select(
         "url", "text", "title", "lang_attr", "n_tokens", "quality")

@@ -479,6 +479,11 @@ def dup_clusters(docs: DataFrame, text_col: str = "text",
     edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
              .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
              .distinct())
+    # materialize the edge table once: every propagation round re-reads
+    # it, and without this the whole upstream plan (LSH pair finding, or
+    # an extraction pipeline when composed in corpus.build_corpus) would
+    # recompute per round
+    edges = edges.localCheckpoint(eager=True)
     # only docs that appear in a pair can change labels: iterate over the
     # (small) duplicated-node set, and union the untouched singleton
     # corpus back in at the end — the 10^12-row side is never in the loop

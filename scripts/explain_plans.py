@@ -80,6 +80,14 @@ NOTES = {
         "explode → BroadcastHashJoins → one map-side-combinable per-doc "
         "agg — the 10^12-row side never shuffles until the final doc "
         "groupBy."),
+    "hash_split": (
+        "Split assignment is one CASE expression over a salted md5 of the "
+        "id — scan → project, ZERO exchanges (the sort below is the gate "
+        "query's display orderBy, not part of the operator)."),
+    "sample_stratified": (
+        "Stratified downsample is a deterministic Filter directly over "
+        "the scan — fraction quotas fold into one CASE predicate, no "
+        "shuffle, and column pruning reaches the parquet reader."),
 }
 
 
@@ -102,7 +110,8 @@ def main() -> None:
                  "region_volume", "dedup_lsh_pairs", "cosine_topk",
                  "cosine_dup_pairs", "repetition_stats", "domain_cap",
                  "decontam_overlap", "ann_ivf", "css_select",
-                 "span_dedup", "lm_score"):
+                 "span_dedup", "lm_score", "hash_split",
+                 "sample_stratified"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
