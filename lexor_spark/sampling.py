@@ -110,7 +110,9 @@ def sample_by_sql(table: str, fractions: dict[str, float],
                   group_col: str = "lang", id_col: str = "doc_id",
                   default: float = 1.0) -> str:
     u = _hash_fraction_sql(id_col, _SAMPLE_SALT)
-    cases = " ".join(f"when {group_col} = '{v}' then {float(f)!r}"
-                     for v, f in fractions.items())
+    cases = " ".join(
+        "when {} = '{}' then {!r}".format(group_col, v.replace("'", "''"),
+                                          float(f))
+        for v, f in fractions.items())
     quota = f"case {cases} else {float(default)!r} end"
     return f"select * from {table} where {u} < {quota}"
