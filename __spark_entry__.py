@@ -229,6 +229,10 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ivf(spark, sf_dir, query_id=0, k=10)
 
 
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.kmeans_clusters(spark, sf_dir, k=8, iters=3)
+
+
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_dup_pairs(spark, sf_dir, threshold=0.25).orderBy("a", "b")
 
@@ -571,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
         "ann_ivf": _q_ann_ivf,
+        "kmeans_clusters": _q_kmeans_clusters,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # URL/domain hygiene layer (full value oracles)
         "url_stats": _q_url_stats,
@@ -641,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": sim.cosine_topk_sql(query_id=0, k=10),
         "ann_bucketed": sim.ann_bucketed_sql(query_id=0, k=10),
         "ann_ivf": sim.ann_ivf_sql(query_id=0, k=10),
+        "kmeans_clusters": sim.kmeans_clusters_sql(k=8, iters=3),
         "cosine_dup_pairs": sim.cosine_dup_pairs_sql(threshold=0.25)
                              + " order by a, b",
         "url_stats": SQL_URL_STATS,

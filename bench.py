@@ -123,6 +123,7 @@ def main() -> None:
         "simhash": lambda: dedup.simhash_df(docs),
         "cosine_topk": lambda: sim.cosine_topk(spark, SF_DIR, query_id=0, k=10),
         "ann_bucketed": lambda: sim.ann_bucketed(spark, SF_DIR, query_id=0, k=10),
+        "kmeans_clusters": lambda: sim.kmeans_clusters(spark, SF_DIR, k=8, iters=3),
         "ann_ivf": lambda: sim.ann_ivf(spark, SF_DIR, query_id=0, k=10),
     }
     for name, fn in ops.items():

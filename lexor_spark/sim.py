@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 __all__ = ["cosine", "cosine_topk", "ann_bucketed", "bucket_of",
            "cosine_topk_sql", "ann_bucketed_sql",
            "ann_ivf", "ann_ivf_sql", "assign_cells_matmul",
-           "cosine_dup_pairs", "cosine_dup_pairs_sql"]
+           "cosine_dup_pairs", "cosine_dup_pairs_sql",
+           "kmeans_clusters", "kmeans_assign", "kmeans_clusters_sql"]
 
 _SIGN_BITS = 8
 
@@ -237,6 +238,115 @@ from assigned a join probes p on a.cid = p.cid
 order by sim desc, a.vec_id
 limit {k}
 """
+
+
+def _assign_nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cid): nearest centroid by cosine, the same
+    deterministic argmax as `ann_ivf` (round-6 sims, cid tie-break)."""
+    csim = F.round(cosine(F.col("embedding"), F.col("cv")), 6)
+    ranked = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "embedding", "cid", csim.alias("csim")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    return (ranked.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cid", "csim"))
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str, k: int = 8,
+                    iters: int = 3) -> DataFrame:
+    """Spherical k-means over the embedding corpus: ``iters`` Lloyd
+    rounds (assign to nearest centroid by cosine, recompute centroids
+    as per-dimension means), then a final assignment.  This is the
+    clustering step of embedding-based SEMANTIC dedup (SemDeDup, Abbas
+    et al. 2023: cluster, then keep few docs per cluster) and of
+    diversity-stratified corpus curation.
+
+    Deterministic end to end, which is what makes the DuckDB value
+    oracle possible: seedless init (centroid c = vec ``vec_id < k``,
+    same convention as `ann_ivf`), round-6 sims with cid tie-break on
+    the argmax, and centroid components rounded to 6 decimals each
+    round so engine summation-order ulps cannot leak into the next
+    assignment.  A centroid that loses all members simply drops out
+    (identically on both engines).  The iteration count is FIXED — not
+    run-to-convergence — so the SQL mirror unrolls it as CTEs.
+
+    Plan shape at scale: per round, assignment is one broadcast of the
+    k-row centroid table (at production k use `assign_cells_matmul` —
+    one Arrow-batched GEMM per partition, same cells) and the centroid
+    update is one map-side-combinable avg on (cid, dim) — k·d rows out
+    of the agg regardless of corpus size.  ``iters`` driver-side rounds
+    = the classic MapReduce Lloyd loop; the corpus is scanned per
+    round but never shuffled (the (cid,dim) agg moves only partial
+    sums).
+
+    Output: (vec_id, cluster, sim) — cluster is the final centroid id,
+    sim the round-6 cosine to it."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    return kmeans_assign(emb, k, iters)
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+    """Core of :func:`kmeans_clusters` over any (vec_id, embedding)
+    DataFrame."""
+    cents = (emb.filter(F.col("vec_id") < k)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cv")))
+    for _ in range(iters):
+        assigned = _assign_nearest(emb, cents)
+        ex = assigned.select(
+            "cid", F.posexplode("embedding").alias("pos", "val"))
+        means = (ex.groupBy("cid", "pos")
+                 .agg(F.round(F.avg("val"), 6).alias("m")))
+        cents = (means.groupBy("cid")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s.m).alias("cv")))
+    final = _assign_nearest(emb, cents)
+    # sim stays at the assignment's round-6 precision: re-rounding to 4
+    # would put every ...50e-6 value exactly on a half-boundary, where
+    # engine ulps flip the digit (double-rounding hazard)
+    return (final.select("vec_id", F.col("cid").alias("cluster"),
+                         F.col("csim").alias("sim"))
+            .orderBy("vec_id"))
+
+
+def kmeans_clusters_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`kmeans_clusters`."""
+    cos = ("list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b})))")
+
+    def assign(src_c: str, out: str) -> str:
+        c_ec = cos.format(a="e.v", b="c.cv")
+        return (f"{out} as (\n"
+                f"  select vec_id, v, cid, csim from (\n"
+                f"    select e.vec_id, e.v, c.cid, round({c_ec}, 6) as csim,\n"
+                f"           row_number() over (partition by e.vec_id\n"
+                f"                              order by round({c_ec}, 6) "
+                f"desc, c.cid) as rn\n"
+                f"    from e cross join {src_c} c)\n"
+                f"  where rn = 1\n)")
+
+    parts = [f"e as (select vec_id, embedding::DOUBLE[] as v "
+             f"from embeddings)",
+             f"c0 as (select vec_id as cid, v as cv from e "
+             f"where vec_id < {k})"]
+    for t in range(iters):
+        parts.append(assign(f"c{t}", f"a{t}"))
+        parts.append(
+            f"m{t} as (\n"
+            f"  select cid, i, round(avg(val), 6) as m from (\n"
+            f"    select cid, generate_subscripts(v, 1) as i, "
+            f"unnest(v) as val from a{t})\n"
+            f"  group by cid, i\n)")
+        parts.append(
+            f"c{t + 1} as (select cid, list(m order by i) as cv "
+            f"from m{t} group by cid)")
+    parts.append(assign(f"c{iters}", "afinal"))
+    return ("with " + ",\n".join(parts) +
+            "\nselect vec_id, cid as cluster, csim as sim "
+            "from afinal order by vec_id")
 
 
 # --- banded sign blocking for the pair join ---------------------------------

@@ -242,3 +242,39 @@ def test_dup_clusters_end_to_end_lsh(spark):
     assert rows[6].cluster_size == 1
     keep = sorted(r.doc_id for r in rows.values() if r.is_canonical)
     assert keep == [0, 3, 6]
+
+
+def test_dup_clusters_matches_union_find_oracle(spark):
+    """Property check against a serial union-find oracle: for random
+    edge sets, the distributed min-label propagation must produce
+    exactly the connected components (cluster id = component min)."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(2, 14)
+        m = rng.randint(0, n * 2)
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(m)})
+        # serial oracle: union-find with min-root labels
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {i: find(i) for i in range(n)}
+
+        docs = spark.createDataFrame([(i, f"t{i}") for i in range(n)],
+                                     ["doc_id", "text"])
+        pairs = (spark.createDataFrame(edges, "a long, b long") if edges
+                 else spark.createDataFrame([], "a long, b long"))
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.dup_clusters(docs, pairs=pairs).collect()}
+        assert got == expect, f"seed={seed} edges={edges}"

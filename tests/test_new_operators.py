@@ -395,3 +395,42 @@ def test_sample_frames_truncated_payload_drops_whole_media(spark):
         by_media.setdefault(r["media_id"], []).append(r["frame_no"])
     assert sorted(by_media.get(1, [])) == [0, 2, 4]
     assert 2 not in by_media  # truncated media dropped whole
+
+
+# ---------------------------------------------------------------------------
+# spherical k-means (SemDeDup-style semantic clustering)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two clearly separated direction families must land in two
+    clusters with every member assigned to its family's centroid."""
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 0.0, 1.0]
+        vec = [v + rng.uniform(-0.05, 0.05) for v in base]
+        rows.append((i, vec))
+    from lexor_spark.sim import kmeans_assign
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in kmeans_assign(emb, k=2, iters=4).collect()}
+    assert len(out) == 40
+    evens = {out[i].cluster for i in range(0, 40, 2)}
+    odds = {out[i].cluster for i in range(1, 40, 2)}
+    assert evens == {0} and odds == {1}
+    assert all(r.sim > 0.99 for r in out.values())
+
+
+def test_kmeans_partitioning_invariant(spark):
+    """Same assignment under any input partitioning (round-6 projection
+    each iteration keeps summation-order ulps out of the next round)."""
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    from lexor_spark.sim import kmeans_assign
+    schema = "vec_id long, embedding array<float>"
+    a = {r.vec_id: (r.cluster, r.sim) for r in kmeans_assign(
+        spark.createDataFrame(rows, schema).repartition(1), k=4).collect()}
+    b = {r.vec_id: (r.cluster, r.sim) for r in kmeans_assign(
+        spark.createDataFrame(rows, schema).repartition(13), k=4).collect()}
+    assert a == b
