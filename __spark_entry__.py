@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import (chunking, dedup, lm, multimodal, sampling,  # noqa: E402
-                         sim, textfns, urlfns)
+from lexor_spark import (bpe, chunking, dedup, lm, multimodal,  # noqa: E402
+                         sampling, sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
@@ -390,6 +390,20 @@ _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _SAMPLE_FRACS = {"en": 0.5, "de": 0.25}
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe.bpe_train(docs, n_merges=12)
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: encode the corpus with the merges just learned from
+    it (the encode loop is sequential per word — no SQL mirror)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [(r.lhs, r.rhs)
+              for r in bpe.bpe_train(docs, n_merges=12).collect()]
+    return bpe.bpe_encode(docs, merges).orderBy("doc_id")
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (sampling.hash_split(docs, _SPLIT_WEIGHTS)
@@ -569,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "hash_split": _q_hash_split,
         "sample_stratified": _q_sample_stratified,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_tokens": _q_bpe_tokens,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "decontam_overlap": _q_decontam,
         "simhash": _q_simhash,
@@ -639,6 +655,7 @@ def oracle_sql() -> dict[str, str]:
                               + sampling.sample_by_sql("documents",
                                                        _SAMPLE_FRACS)
                               + ") order by doc_id"),
+        "bpe_merges": bpe.bpe_train_sql("documents", n_merges=12),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql("documents", threshold=0.2)
                                 + " order by a, b",
         "decontam_overlap": SQL_DECONTAM,

@@ -76,7 +76,7 @@ def timed(make_df) -> float:
 def main() -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
-    from lexor_spark import dedup, lm, sim, textfns  # noqa: F401
+    from lexor_spark import bpe, dedup, lm, sim, textfns  # noqa: F401
     from lexor_spark.job import extract_pages, partition_metrics
     from lexor_spark.pages import materialized_pages
     from lexor_spark.queries import RELATIONAL_QUERIES
@@ -120,6 +120,7 @@ def main() -> None:
         "span_dedup": lambda: dedup.span_dedup(docs),
         "dup_clusters": lambda: dedup.dup_clusters(docs, threshold=0.2),
         "lm_score": lambda: lm.lm_score(docs),
+        "bpe_merges": lambda: bpe.bpe_train(docs, n_merges=12),
         "simhash": lambda: dedup.simhash_df(docs),
         "cosine_topk": lambda: sim.cosine_topk(spark, SF_DIR, query_id=0, k=10),
         "ann_bucketed": lambda: sim.ann_bucketed(spark, SF_DIR, query_id=0, k=10),

@@ -1,0 +1,201 @@
+"""Distributed BPE tokenizer training + encoding.
+
+Byte-pair-encoding merges learned over the corpus — the tokenizer-
+training step of every public LLM pipeline (algorithm: Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units").
+The published algorithm's key property carries the 100 TB design: after
+ONE corpus pass builds the word-frequency table, training operates on
+that table alone (distinct words × counts — ~10^8 rows for web text, a
+rounding error next to the corpus), so each merge round scans the small
+table, never the corpus.
+
+Per round (exactly the reference algorithm, expressed in Catalyst):
+
+* adjacent symbol pairs per word: ``arrays_zip(syms[:-1], syms[1:])`` —
+  a per-row expression, no shuffle;
+* pair frequencies: one map-side-combinable groupBy-sum weighted by the
+  word count;
+* best pair: deterministic argmax (count desc, then lexicographic pair
+  — ties cannot depend on partitioning);
+* merge application: a left-to-right fold (``F.aggregate``) over each
+  word's symbol string — the same greedy non-overlapping semantics as
+  the serial algorithm ("aaa" + merge(a,a) → [aa, a]).
+
+The driver collects ONE row per round (the argmax) — the classic
+iterative-MapReduce shape, like `dedup.dup_clusters` and
+`sim.kmeans_clusters`; the per-round word table is checkpointed so plans
+stay flat.  Everything is exact integer counting on deterministic
+strings, so the DuckDB oracle can verify the learned merge table
+value-for-value: :func:`bpe_train_sql` unrolls the fixed ``n_merges``
+rounds as CTEs (``list_reduce`` string-fold mirrors the Spark
+``aggregate`` fold bit-for-bit).
+
+Encoding (:func:`bpe_encode`) applies the learned merges to documents —
+an inherently sequential per-word loop, so it runs as an Arrow-batched
+``mapInPandas`` with the merge list broadcast and a per-batch word
+cache (Zipf makes the hit rate ~99%); the corpus side never shuffles.
+
+Symbols are separated by ``\\x1f`` in the fold's string accumulator;
+the normalized text (lower + collapsed whitespace) cannot contain it.
+``n_merges`` must be well below the number of distinct pairs (always
+true on real corpora); if pairs run dry the Spark loop stops early
+while the unrolled SQL would keep degenerate rounds — callers wanting
+tiny-corpus training should lower ``n_merges``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lexor_spark.textfns import SQL, normalize_text
+
+__all__ = ["bpe_train", "bpe_train_sql", "bpe_encode", "apply_merges"]
+
+_SEP = "\x1f"
+
+
+def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, cnt, syms): distinct normalized words, corpus frequency, and
+    the initial character-symbol array."""
+    w = (docs.select(F.explode(F.split(normalize_text(F.col(text_col)),
+                                       " ")).alias("w"))
+         .filter(F.length("w") > 0)
+         .groupBy("w").agg(F.count("*").alias("cnt")))
+    return w.withColumn("syms", F.split(F.col("w"), ""))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    s = F.col("syms")
+    zipped = F.arrays_zip(F.slice(s, 1, F.size(s) - 1),
+                          F.slice(s, 2, F.size(s) - 1))
+    return (words.select("cnt", F.explode(zipped).alias("pr"))
+            .groupBy(F.col("pr.0").alias("lhs"), F.col("pr.1").alias("rhs"))
+            .agg(F.sum("cnt").alias("n")))
+
+
+def _apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Fold the merge (a, b) left-to-right over each word's symbols:
+    the accumulator is the sep-joined symbol string; when its last
+    symbol is exactly ``a`` and the next symbol is ``b``, appending
+    ``b`` WITHOUT a separator fuses them into one symbol."""
+    s = F.col("syms")
+    la, lb, sep = F.lit(a), F.lit(b), F.lit(_SEP)
+    folded = F.aggregate(
+        F.slice(s, 2, F.size(s) - 1),
+        F.element_at(s, 1),
+        lambda acc, x: F.when(
+            ((acc == la) | acc.endswith(F.concat(sep, la))) & (x == lb),
+            F.concat(acc, lb)).otherwise(F.concat(acc, sep, x)),
+    )
+    return words.withColumn("syms", F.split(folded, _SEP))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 12,
+              text_col: str = "text") -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    ``(rank, lhs, rhs, n)`` ordered by rank (n = the pair's frequency
+    when it was chosen)."""
+    spark = docs.sparkSession
+    words = word_table(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (_pair_counts(words)
+                .orderBy(F.col("n").desc(), "lhs", "rhs").limit(1).collect())
+        if not best:
+            break
+        a, b, n = best[0].lhs, best[0].rhs, best[0].n
+        merges.append((rank, a, b, n))
+        words = _apply_merge(words, a, b).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, "rank int, lhs string, rhs string,"
+                                 " n bigint").orderBy("rank")
+
+
+def bpe_train_sql(table: str, n_merges: int = 12,
+                  text_col: str = "text") -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`bpe_train`."""
+    norm = SQL.NORMALIZE.format(c=text_col)
+    parts = [
+        f"w0 as (\n"
+        f"  select w, count(*) as cnt,\n"
+        f"         list_transform(generate_series(1, length(w)), i -> w[i])"
+        f" as syms\n"
+        f"  from (select unnest(string_split({norm}, ' ')) as w"
+        f" from {table})\n"
+        f"  where length(w) > 0 group by w\n)"
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f"p{t} as (\n"
+            f"  select pr[1] as lhs, pr[2] as rhs, sum(cnt)::bigint as n\n"
+            f"  from (select cnt, unnest(list_zip(syms[1:length(syms)-1],"
+            f" syms[2:length(syms)])) as pr from w{t})\n"
+            f"  group by 1, 2\n)")
+        parts.append(
+            f"b{t} as (select lhs, rhs, n from p{t}"
+            f" order by n desc, lhs, rhs limit 1)")
+        parts.append(
+            f"w{t + 1} as (\n"
+            f"  select w, cnt, string_split(list_reduce(syms,\n"
+            f"    (acc, x) -> case when (acc = b.lhs or"
+            f" ends_with(acc, chr(31) || b.lhs)) and x = b.rhs\n"
+            f"                then acc || b.rhs"
+            f" else acc || chr(31) || x end), chr(31)) as syms\n"
+            f"  from w{t}, b{t} b\n)")
+    ranked = " union all ".join(
+        f"select {t + 1} as rank, lhs, rhs, n from b{t}"
+        for t in range(n_merges))
+    return "with " + ",\n".join(parts) + f"\n{ranked} order by rank"
+
+
+def apply_merges(word: str, merges: list[tuple[str, str]],
+                 cache: dict | None = None) -> list[str]:
+    """Serial BPE encode of one word: apply each merge in rank order,
+    left-to-right non-overlapping — the same fold the trainer runs."""
+    if cache is not None and word in cache:
+        return cache[word]
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    if cache is not None:
+        cache[word] = syms
+    return syms
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): tokenize each document with the
+    learned merges.  Arrow-batched ``mapInPandas`` (the per-word merge
+    loop is inherently sequential Python) with a per-batch word cache;
+    the merge list ships inside the serialized closure (broadcast by
+    Spark) and the corpus side never shuffles."""
+    import pandas as pd
+
+    norm = docs.select(F.col(id_col),
+                       normalize_text(F.col(text_col)).alias("t"))
+    mlist = [(a, b) for a, b in merges]
+    schema = f"{id_col} long, n_words long, n_bpe_tokens long"
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            nw, nt = [], []
+            for t in pdf["t"]:
+                words = [w for w in (t or "").split(" ") if w]
+                nw.append(len(words))
+                nt.append(sum(len(apply_merges(w, mlist, cache))
+                              for w in words))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "n_words": nw, "n_bpe_tokens": nt})
+
+    return norm.mapInPandas(run, schema=schema)

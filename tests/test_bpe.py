@@ -1,0 +1,95 @@
+"""Distributed BPE training + encoding."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from lexor_spark import bpe
+
+
+def _serial_train(texts, n_merges):
+    """Reference implementation: Sennrich-style training on the
+    word-count dict, greedy left-to-right merge application."""
+    words = Counter()
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, n))
+        vocab = {w: _apply(syms, a, b) for w, syms in vocab.items()}
+    return merges, vocab
+
+
+def _apply(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_train_matches_serial_reference(spark):
+    texts = ["low lower lowest low low newest",
+             "new newer newest wide wider widest new new",
+             "low low lower newest widest wide"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 ["doc_id", "text"])
+    got = [(r.rank, r.lhs, r.rhs, r.n)
+           for r in bpe.bpe_train(docs, n_merges=8).collect()]
+    expect, _ = _serial_train(texts, 8)
+    assert got == expect
+
+
+def test_fold_nonoverlapping_merge(spark):
+    """'aaaa' + merge (a,a) must become [aa, aa], never [aa, aaa...]."""
+    docs = spark.createDataFrame([(0, "aaaa aaa")], ["doc_id", "text"])
+    m = bpe.bpe_train(docs, n_merges=1).collect()
+    assert (m[0].lhs, m[0].rhs) == ("a", "a")
+    assert bpe.apply_merges("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert bpe.apply_merges("aaa", [("a", "a")]) == ["aa", "a"]
+
+
+def test_encode_consistent_with_training(spark):
+    """Encoding the training corpus with the learned merges reproduces
+    the trainer's final segmentation (same fold, rank order)."""
+    texts = ["the cat sat on the mat", "the cats sat on the mats",
+             "a cat and a mat and a hat"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 ["doc_id", "text"])
+    merges_rows = bpe.bpe_train(docs, n_merges=6).collect()
+    merges = [(r.lhs, r.rhs) for r in merges_rows]
+    _, vocab = _serial_train(texts, 6)
+    for w, syms in vocab.items():
+        assert bpe.apply_merges(w, merges) == syms, w
+    out = {r.doc_id: r for r in bpe.bpe_encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        words = t.split()
+        assert out[i].n_words == len(words)
+        expect_tokens = sum(len(bpe.apply_merges(w, merges)) for w in words)
+        assert out[i].n_bpe_tokens == expect_tokens
+
+
+def test_encode_zero_merges_is_char_count(spark):
+    docs = spark.createDataFrame([(0, "ab abc")], ["doc_id", "text"])
+    r = bpe.bpe_encode(docs, []).collect()[0]
+    assert r.n_words == 2 and r.n_bpe_tokens == 5
+
+
+def test_merge_exhaustion_stops_early(spark):
+    docs = spark.createDataFrame([(0, "ab ab ab")], ["doc_id", "text"])
+    m = bpe.bpe_train(docs, n_merges=10).collect()
+    assert len(m) == 1 and (m[0].lhs, m[0].rhs, m[0].n) == ("a", "b", 3)
