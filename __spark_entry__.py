@@ -233,6 +233,10 @@ def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_clusters(spark, sf_dir, k=8, iters=3)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.semantic_dedup(spark, sf_dir, k=8, iters=2, threshold=0.25)
+
+
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_dup_pairs(spark, sf_dir, threshold=0.25).orderBy("a", "b")
 
@@ -592,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed": _q_ann_bucketed,
         "ann_ivf": _q_ann_ivf,
         "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # URL/domain hygiene layer (full value oracles)
         "url_stats": _q_url_stats,
@@ -664,6 +669,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_bucketed": sim.ann_bucketed_sql(query_id=0, k=10),
         "ann_ivf": sim.ann_ivf_sql(query_id=0, k=10),
         "kmeans_clusters": sim.kmeans_clusters_sql(k=8, iters=3),
+        "semantic_dedup": sim.semantic_dedup_sql(k=8, iters=2,
+                                                 threshold=0.25),
         "cosine_dup_pairs": sim.cosine_dup_pairs_sql(threshold=0.25)
                              + " order by a, b",
         "url_stats": SQL_URL_STATS,

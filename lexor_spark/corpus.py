@@ -38,17 +38,22 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
                  domain_cap: int = None,
                  eval_docs: DataFrame = None,
                  decontam_n: int = 4,
-                 decontam_min_shared: int = 1) -> tuple[DataFrame, DataFrame]:
+                 decontam_min_shared: int = 1,
+                 split_weights: dict = None) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, rejects).
 
     corpus:  url, text, title, lang_attr, n_tokens, quality
+             (+ ``split`` when ``split_weights`` is given)
     rejects: url, stage, reason
 
     Stages beyond round 1: the Gopher repetition filter
     (duplicate-line / top-bigram fractions), the per-domain cap
-    (``domain_cap`` pages per registrable domain, off when None), and
+    (``domain_cap`` pages per registrable domain, off when None),
     n-gram decontamination against ``eval_docs`` (a DataFrame with a
-    ``text`` column; off when None)."""
+    ``text`` column; off when None), and a final deterministic
+    train/val/test assignment (``split_weights`` e.g.
+    ``{"train": .98, "val": .01, "test": .01}`` — `sampling.hash_split`
+    on the url, so the split survives resumes and engine changes)."""
     extracted = extract_pages(pages, salt_buckets=salt_buckets).select(
         "url", "text", "title", "lang_attr", "ok", "err", "n_chars_out")
 
@@ -152,6 +157,10 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
         corpus = corpus.join(contaminated.select("url"), "url", "left_anti")
     else:
         contaminated = None
+
+    if split_weights is not None:
+        from lexor_spark.sampling import hash_split
+        corpus = hash_split(corpus, split_weights, id_col="url")
 
     rejects = err.unionByName(low).unionByName(repetitive) \
         .unionByName(exact_dups).unionByName(near)

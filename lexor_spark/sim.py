@@ -28,7 +28,8 @@ __all__ = ["cosine", "cosine_topk", "ann_bucketed", "bucket_of",
            "cosine_topk_sql", "ann_bucketed_sql",
            "ann_ivf", "ann_ivf_sql", "assign_cells_matmul",
            "cosine_dup_pairs", "cosine_dup_pairs_sql",
-           "kmeans_clusters", "kmeans_assign", "kmeans_clusters_sql"]
+           "kmeans_clusters", "kmeans_assign", "kmeans_clusters_sql",
+           "semantic_dedup", "semantic_dedup_sql"]
 
 _SIGN_BITS = 8
 
@@ -286,9 +287,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str, k: int = 8,
     return kmeans_assign(emb, k, iters)
 
 
-def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
-    """Core of :func:`kmeans_clusters` over any (vec_id, embedding)
-    DataFrame."""
+def _kmeans_final(emb: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd loop; returns the final assignment WITH the embedding:
+    (vec_id, embedding, cid, csim)."""
     cents = (emb.filter(F.col("vec_id") < k)
              .select(F.col("vec_id").alias("cid"),
                      F.col("embedding").alias("cv")))
@@ -302,7 +303,13 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "m"))),
                      lambda s: s.m).alias("cv")))
-    final = _assign_nearest(emb, cents)
+    return _assign_nearest(emb, cents)
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+    """Core of :func:`kmeans_clusters` over any (vec_id, embedding)
+    DataFrame."""
+    final = _kmeans_final(emb, k, iters)
     # sim stays at the assignment's round-6 precision: re-rounding to 4
     # would put every ...50e-6 value exactly on a half-boundary, where
     # engine ulps flip the digit (double-rounding hazard)
@@ -311,14 +318,16 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
             .orderBy("vec_id"))
 
 
-def kmeans_clusters_sql(k: int = 8, iters: int = 3) -> str:
-    """Unrolled-CTE DuckDB mirror of :func:`kmeans_clusters`."""
-    cos = ("list_dot_product({a}, {b}) / "
-           "(sqrt(list_dot_product({a}, {a})) * "
-           "sqrt(list_dot_product({b}, {b})))")
+_SQL_COS = ("list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * "
+            "sqrt(list_dot_product({b}, {b})))")
 
+
+def _kmeans_sql_parts(k: int, iters: int) -> list[str]:
+    """CTE list computing ``afinal(vec_id, v, cid, csim)`` — shared by
+    :func:`kmeans_clusters_sql` and :func:`semantic_dedup_sql`."""
     def assign(src_c: str, out: str) -> str:
-        c_ec = cos.format(a="e.v", b="c.cv")
+        c_ec = _SQL_COS.format(a="e.v", b="c.cv")
         return (f"{out} as (\n"
                 f"  select vec_id, v, cid, csim from (\n"
                 f"    select e.vec_id, e.v, c.cid, round({c_ec}, 6) as csim,\n"
@@ -344,9 +353,90 @@ def kmeans_clusters_sql(k: int = 8, iters: int = 3) -> str:
             f"c{t + 1} as (select cid, list(m order by i) as cv "
             f"from m{t} group by cid)")
     parts.append(assign(f"c{iters}", "afinal"))
-    return ("with " + ",\n".join(parts) +
+    return parts
+
+
+def kmeans_clusters_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`kmeans_clusters`."""
+    return ("with " + ",\n".join(_kmeans_sql_parts(k, iters)) +
             "\nselect vec_id, cid as cluster, csim as sim "
             "from afinal order by vec_id")
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str, k: int = 8,
+                   iters: int = 2, threshold: float = 0.25) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end: k-means-cluster the
+    embedding corpus, find near-duplicate pairs WITHIN each cluster
+    (cosine ≥ threshold), connect them into duplicate groups, and keep
+    one canonical vector per group.
+
+    Output per vector: ``(vec_id, cluster, group_id, group_size,
+    is_canonical)`` — ``cluster`` the k-means cell, ``group_id`` the
+    min vec_id of its semantic-duplicate component (own id for
+    singletons), ``is_canonical`` the keep flag.
+
+    Scale shape: the expensive step is the within-cluster pair join —
+    O(Σ cluster²).  SemDeDup's published remedy is built in: ``k``
+    scales with corpus size (n/1k–n/10k cells) so clusters stay small
+    and the join is linear-ish; pair finding never crosses cluster
+    boundaries, and the component step reuses
+    `dedup.dup_clusters`' propagation loop (only paired vectors
+    iterate).  For corpora where k-means blocking is unavailable, the
+    SRP-banded `cosine_dup_pairs` is the alternative pair source."""
+    from lexor_spark.dedup import dup_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    assigned = _kmeans_final(emb, k, iters).localCheckpoint(eager=True)
+    a1 = assigned.select(F.col("vec_id").alias("a"),
+                         F.col("embedding").alias("va"), "cid")
+    a2 = assigned.select(F.col("vec_id").alias("b"),
+                         F.col("embedding").alias("vb"), "cid")
+    psim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    pairs = (a1.join(a2, "cid")
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", psim.alias("psim"))
+             .filter(F.col("psim") >= threshold)
+             .select("a", "b"))
+    comps = dup_clusters(emb.select("vec_id"), id_col="vec_id", pairs=pairs)
+    return (assigned.select("vec_id", F.col("cid").alias("cluster"))
+            .join(comps, "vec_id")
+            .select("vec_id", "cluster",
+                    F.col("cluster_id").alias("group_id"),
+                    F.col("cluster_size").alias("group_size"),
+                    "is_canonical")
+            .orderBy("vec_id"))
+
+
+def semantic_dedup_sql(k: int = 8, iters: int = 2,
+                       threshold: float = 0.25) -> str:
+    """DuckDB mirror: the unrolled k-means CTEs + a within-cluster pair
+    join + recursive-CTE components (small-scale transitive closure)."""
+    psim = _SQL_COS.format(a="a1.v", b="a2.v")
+    parts = _kmeans_sql_parts(k, iters)
+    parts.append(
+        f"pairs as (\n"
+        f"  select a1.vec_id as a, a2.vec_id as b\n"
+        f"  from afinal a1 join afinal a2\n"
+        f"    on a1.cid = a2.cid and a1.vec_id < a2.vec_id\n"
+        f"  where round({psim}, 6) >= {threshold}\n)")
+    parts.append("edges as (select a as s, b as d from pairs"
+                 " union select b as s, a as d from pairs)")
+    parts.append("reach(id, r) as (\n"
+                 "  select s, s from (select distinct s from edges)\n"
+                 "  union\n"
+                 "  select e.s, reach.r from edges e"
+                 " join reach on e.d = reach.id\n)")
+    parts.append("lbl as (select id, min(r) as g from reach group by id)")
+    parts.append("alln as (\n"
+                 "  select a.vec_id, a.cid,"
+                 " coalesce(l.g, a.vec_id) as g\n"
+                 "  from afinal a left join lbl l on a.vec_id = l.id\n)")
+    parts.append("sizes as (select g, count(*) as n from alln group by g)")
+    return ("with recursive " + ",\n".join(parts) +
+            "\nselect a.vec_id, a.cid as cluster, a.g::bigint as group_id,"
+            " s.n::bigint as group_size, (a.vec_id = a.g) as is_canonical\n"
+            "from alln a join sizes s on a.g = s.g order by a.vec_id")
 
 
 # --- banded sign blocking for the pair join ---------------------------------

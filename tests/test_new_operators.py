@@ -434,3 +434,37 @@ def test_kmeans_partitioning_invariant(spark):
     b = {r.vec_id: (r.cluster, r.sim) for r in kmeans_assign(
         spark.createDataFrame(rows, schema).repartition(13), k=4).collect()}
     assert a == b
+
+
+def test_build_corpus_split_stage(spark):
+    from lexor_spark.corpus import build_corpus
+
+    pages = pages_df(spark, SF)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    corpus, _ = build_corpus(pages, min_quality=0.0, min_chars=10,
+                             jaccard_threshold=0.95, split_weights=w)
+    rows = corpus.collect()
+    assert all(r.split in w for r in rows)
+    # deterministic: same url -> same split on a re-run
+    again = {r.url: r.split
+             for r in build_corpus(pages, min_quality=0.0, min_chars=10,
+                                   jaccard_threshold=0.95,
+                                   split_weights=w)[0].collect()}
+    assert all(again[r.url] == r.split for r in rows)
+
+
+def test_semantic_dedup_keep_set(spark):
+    from lexor_spark.sim import semantic_dedup
+    rows = semantic_dedup(spark, SF, k=8, iters=2, threshold=0.25).collect()
+    assert len(rows) == 500                       # every vector accounted for
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    for gid, members in by_group.items():
+        assert gid == min(m.vec_id for m in members)
+        assert sum(m.is_canonical for m in members) == 1
+        assert all(m.group_size == len(members) for m in members)
+    # duplicates exist in the synthetic embeddings at this threshold,
+    # and the keep-set is strictly smaller than the corpus
+    kept = sum(r.is_canonical for r in rows)
+    assert 0 < kept < 500
