@@ -448,6 +448,19 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def _q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET writer surfaced in the gate (rows-only): extract the pages
+    table, pack the texts into deterministic Common-Crawl-layout WET
+    shard blobs (one shuffle on the url-hash shard key, one packing
+    task per shard), and report per-shard record counts + a blob
+    digest so a hash change in any shard is visible."""
+    from lexor_spark.warc import wet_shards
+    out = extract_pages(pages_df(spark, sf_dir)).select("url", "text")
+    return (wet_shards(out, shards=8)
+            .select("shard", "n_records", F.md5("wet").alias("wet_md5"))
+            .orderBy("shard"))
+
+
 def _q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion surfaced in the driver gate (rows-only):
     feed the pages table through the Structured-Streaming front-end and
@@ -627,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_real": _q_frame_sample_real,
         # WARC shard source → extraction (rows-only; source surface)
         "warc_extract": _q_warc_extract,
+        "wet_export": _q_wet_export,
         # structured streaming (rows-only: streaming semantics are not
         # ANSI-SQL-expressible; batch-parity is pinned by pytest)
         "stream_extract": _q_stream_extract,

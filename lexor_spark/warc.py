@@ -41,7 +41,7 @@ from pyspark.sql.types import (BinaryType, StringType, StructField,
                                StructType, TimestampType)
 
 __all__ = ["parse_warc", "warc_records", "read_warc", "build_warc",
-           "WARC_SCHEMA"]
+           "build_wet", "wet_shards", "write_wet", "WARC_SCHEMA"]
 
 WARC_SCHEMA = StructType([
     StructField("url", StringType()),
@@ -188,3 +188,85 @@ def build_warc(records: list[tuple[str, str, bytes]],
         rec = head + http + b"\r\n\r\n"
         out.append(gzip.compress(rec, mtime=0) if compress else rec)
     return b"".join(out)
+
+
+# --- WET output (the Common-Crawl round-trip's write side) -----------------
+
+def build_wet(records: list[tuple[str, str, str]],
+              compress: bool = True) -> bytes:
+    """Serialize (url, iso_ts, text) triples as a WET shard — WARC
+    ``conversion`` records with a ``text/plain`` payload, the layout
+    Common Crawl publishes extracted text in.  Deterministic bytes
+    (gzip mtime pinned to 0); per-record gzip members when
+    ``compress``."""
+    out = []
+    for url, ts, text in records:
+        body = text.encode("utf-8")
+        head = ("WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {ts}\r\n"
+                "Content-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode("latin-1")
+        rec = head + body + b"\r\n\r\n"
+        out.append(gzip.compress(rec, mtime=0) if compress else rec)
+    return b"".join(out)
+
+
+def wet_shards(extracted: DataFrame, url_col: str = "url",
+               text_col: str = "text", ts_col: str = None,
+               shards: int = None, compress: bool = True) -> DataFrame:
+    """Pack extracted text into WET shard blobs: one row per shard,
+    ``(shard, n_records, wet binary)``.
+
+    Spark-first shape: rows are bucketed by ``pmod(xxhash64(url),
+    shards)`` (deterministic shard membership — a re-run or resume
+    produces byte-identical shards regardless of task placement, because
+    each shard's records are sorted by url before packing), shuffled
+    once on that key, and each shard is assembled by one task inside an
+    Arrow-batched ``applyInPandas``.  The blobs-as-rows form is the
+    portable one at 100 TB: any sink (parquet/Iceberg/object-store
+    uploader) can write it without executors needing filesystem access;
+    `write_wet` is the local-FS convenience that materializes real
+    ``.warc.wet.gz`` files from it."""
+    import pandas as pd
+
+    spark = extracted.sparkSession
+    if shards is None:
+        shards = spark.sparkContext.defaultParallelism
+    ts = (F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          if ts_col else F.lit("1970-01-01T00:00:00Z"))
+    rows = extracted.select(
+        F.col(url_col).alias("url"), F.col(text_col).alias("text"),
+        ts.alias("ts"),
+        F.pmod(F.xxhash64(url_col), F.lit(shards)).alias("shard"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        blob = build_wet(list(zip(pdf["url"], pdf["ts"], pdf["text"])),
+                         compress=compress)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "n_records": [len(pdf)],
+                             "wet": [blob]})
+
+    return rows.groupBy("shard").applyInPandas(
+        _pack, schema="shard long, n_records long, wet binary")
+
+
+def write_wet(extracted: DataFrame, output_dir: str,
+              **kwargs) -> int:
+    """Materialize `wet_shards` as real ``.warc.wet.gz`` files under
+    ``output_dir`` (local-FS helper; named by shard id so a re-run
+    overwrites identically).  Returns the number of shards written."""
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    n = 0
+    for row in wet_shards(extracted, **kwargs).collect():
+        name = f"part-{row.shard:05d}.warc.wet"
+        if kwargs.get("compress", True):
+            name += ".gz"
+        with open(os.path.join(output_dir, name), "wb") as fh:
+            fh.write(bytes(row.wet))
+        n += 1
+    return n
