@@ -61,6 +61,10 @@ def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     w = (docs.select(F.explode(F.split(normalize_text(F.col(text_col)),
                                        " ")).alias("w"))
          .filter(F.length("w") > 0)
+         # \x1f is the fold's symbol separator and is NOT \s (normalize
+         # keeps it): a hostile word containing it would corrupt the
+         # accumulator, so such words are excluded from training
+         .filter(~F.col("w").contains(_SEP))
          .groupBy("w").agg(F.count("*").alias("cnt")))
     return w.withColumn("syms", F.split(F.col("w"), ""))
 
@@ -122,7 +126,7 @@ def bpe_train_sql(table: str, n_merges: int = 12,
         f" as syms\n"
         f"  from (select unnest(string_split({norm}, ' ')) as w"
         f" from {table})\n"
-        f"  where length(w) > 0 group by w\n)"
+        f"  where length(w) > 0 and not contains(w, chr(31)) group by w\n)"
     ]
     for t in range(n_merges):
         parts.append(

@@ -93,3 +93,13 @@ def test_merge_exhaustion_stops_early(spark):
     docs = spark.createDataFrame([(0, "ab ab ab")], ["doc_id", "text"])
     m = bpe.bpe_train(docs, n_merges=10).collect()
     assert len(m) == 1 and (m[0].lhs, m[0].rhs, m[0].n) == ("a", "b", 3)
+
+
+def test_hostile_separator_char_excluded(spark):
+    """A word containing \\x1f (the fold's symbol separator, NOT \\s so
+    normalization keeps it) must not corrupt training — it is excluded
+    on both engines."""
+    docs = spark.createDataFrame(
+        [(0, "ab ab a\x1fb ab")], ["doc_id", "text"])
+    m = bpe.bpe_train(docs, n_merges=2).collect()
+    assert (m[0].lhs, m[0].rhs, m[0].n) == ("a", "b", 3)
