@@ -188,7 +188,9 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
     norm = docs.select(F.col(id_col),
                        normalize_text(F.col(text_col)).alias("t"))
     mlist = [(a, b) for a, b in merges]
-    schema = f"{id_col} long, n_words long, n_bpe_tokens long"
+    # id type follows the input (url-keyed corpora have string ids)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_words long, n_bpe_tokens long"
 
     def run(batches):
         cache: dict[str, list[str]] = {}

@@ -439,7 +439,8 @@ from j group by {id_col}
 
 def dup_clusters(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", threshold: float = 0.5,
-                 pairs: DataFrame = None, max_iter: int = 20) -> DataFrame:
+                 pairs: DataFrame = None,
+                 max_iter: int = None) -> DataFrame:
     """Near-duplicate CLUSTER assignment: connected components over the
     LSH pair graph — the canonical-document selection step every real
     dedup pipeline runs after pair finding (keep one page per duplicate
@@ -455,19 +456,20 @@ def dup_clusters(docs: DataFrame, text_col: str = "text",
     the kept representative (the min id).  Singletons are their own
     cluster of size 1.
 
-    Algorithm: min-label propagation to a fixpoint — exactly GraphX's
-    ``connectedComponents`` Pregel semantics, expressed in DataFrame ops
-    (join labels to the symmetrized edge list, take the min over
-    neighbor labels and own label, repeat until no label changes).
-    Rounds = graph diameter; LSH dup graphs are unions of near-cliques
-    (every member shares a band key with most others), so the diameter
-    is small — 2-3 rounds in practice, ``max_iter`` bounds hostile
-    chains.  Each round is one shuffle on the id key plus a broadcast-
-    able changed-count check; ``localCheckpoint`` truncates the plan so
-    the lineage doesn't grow with iterations.  (For graphs with large
-    diameters the published O(log n)-round alternative is the
-    large-star/small-star alternating algorithm, Kiveris et al. 2014;
-    unnecessary for dup graphs.)
+    Algorithm: min-label propagation WITH pointer jumping, run to a
+    fixpoint — GraphX's ``connectedComponents`` Pregel semantics plus
+    the label-shortcut step: each round a node takes the min of its own
+    label, its neighbors' labels, and its label's label (path halving),
+    so rounds are O(log diameter), not O(diameter) — a 10^6-hop chain
+    (gradual-drift near-dup thresholds produce long chains) converges
+    in ~20 rounds instead of 10^6.  The loop ALWAYS runs to
+    convergence (label propagation is monotone and bounded, so it
+    terminates); ``max_iter`` is a safety valve that raises rather
+    than silently returning fragmented clusters — a non-converged
+    result would reject documents with no kept canonical.  Each round
+    is two joins on the id key plus a changed-count check;
+    ``localCheckpoint`` truncates the plan so lineage doesn't grow
+    with iterations.
 
     The edge table (``pairs``) defaults to ``lsh_pairs`` at the given
     threshold; pass a precomputed pair DataFrame with columns (a, b) to
@@ -491,11 +493,22 @@ def dup_clusters(docs: DataFrame, text_col: str = "text",
               .distinct()
               .withColumn("lbl", F.col("id")))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
+        if max_iter is not None and rounds >= max_iter:
+            raise RuntimeError(
+                f"dup_clusters: not converged after {max_iter} rounds "
+                f"(pointer-jumping needs ~log2(diameter) rounds; raise "
+                f"max_iter or pass max_iter=None)")
+        rounds += 1
         nbr = (edges.join(labels.withColumnRenamed("id", "v"), "v")
                .groupBy("u").agg(F.min("lbl").alias("nlbl")))
+        # pointer jumping: follow the current label to ITS label
+        jump = labels.select(F.col("id").alias("_jid"),
+                             F.col("lbl").alias("jlbl"))
         new = (labels.join(nbr.withColumnRenamed("u", "id"), "id", "left")
-               .select("id", F.least("lbl", "nlbl").alias("lbl")))
+               .join(jump, F.col("lbl") == F.col("_jid"), "left")
+               .select("id", F.least("lbl", "nlbl", "jlbl").alias("lbl")))
         new = new.localCheckpoint(eager=True)
         changed = (new.join(labels.withColumnRenamed("lbl", "old"), "id")
                    .filter(F.col("lbl") != F.col("old")).count())
@@ -513,26 +526,37 @@ def dup_clusters(docs: DataFrame, text_col: str = "text",
                     (F.col("id") == F.col("lbl")).alias("is_canonical")))
 
 
+def components_sql_parts(pairs_cte: str = "pairs") -> list[str]:
+    """Shared recursive-CTE connected components: CTE list computing
+    ``lbl(id, lbl)`` — component min label for every node appearing in
+    ``pairs_cte`` (columns a, b).  Small-scale oracle machinery only
+    (transitive closure is O(component²)); used by both
+    :func:`dup_clusters_sql` and `sim.semantic_dedup_sql` so the
+    subtle recursion lives in exactly one place."""
+    return [
+        f"edges as (\n"
+        f"  select a as u, b as v from {pairs_cte}\n"
+        f"  union\n"
+        f"  select b as u, a as v from {pairs_cte}\n)",
+        "nodes as (select distinct u as id from edges)",
+        "reach(id, r) as (\n"
+        "  select id, id from nodes\n"
+        "  union\n"
+        "  select e.u, reach.r from edges e join reach on e.v = reach.id\n)",
+        "lbl as (select id, min(r) as lbl from reach group by id)",
+    ]
+
+
 def dup_clusters_sql(table: str, text_col: str = "text",
                      id_col: str = "doc_id", threshold: float = 0.5) -> str:
     """DuckDB mirror: recursive-CTE reachability, cluster id = min
     reachable node.  Small-scale oracle only — the recursive transitive
     closure is O(component²); Spark runs the propagation loop instead."""
     pairs = lsh_pairs_sql(table, text_col, id_col, threshold=threshold)
+    comp = ",\n".join(components_sql_parts())
     return f"""
 with recursive pairs as ({pairs}),
-edges as (
-  select a as u, b as v from pairs
-  union
-  select b as u, a as v from pairs
-),
-nodes as (select distinct u as id from edges),
-reach(id, r) as (
-  select id, id from nodes
-  union
-  select e.u, reach.r from edges e join reach on e.v = reach.id
-),
-lbl as (select id, min(r) as lbl from reach group by id),
+{comp},
 alln as (
   select {id_col} as id, coalesce(l.lbl, {id_col}) as lbl
   from {table} left join lbl l on {table}.{id_col} = l.id

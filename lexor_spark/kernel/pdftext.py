@@ -389,6 +389,24 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _assemble_pdf(objects: list[bytes]) -> bytes:
+    """Shared fixture-builder tail: serialize numbered objects with a
+    correct xref table and trailer (object 1 is the Catalog)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obj in enumerate(objects, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 def build_cmap_pdf(lines: list[str], mapping: dict[int, str],
                    compress: bool = True) -> bytes:
     """A single-page PDF whose font carries a ToUnicode CMap: byte code
@@ -429,19 +447,7 @@ def build_cmap_pdf(lines: list[str], mapping: dict[int, str],
         b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
         + cmap + b"\nendstream",
     ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, obj in enumerate(objects, 1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objects) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n").encode()
-    return bytes(out)
+    return _assemble_pdf(objects)
 
 
 def build_cid_pdf(lines: list[str], compress: bool = True) -> bytes:
@@ -497,19 +503,7 @@ def build_cid_pdf(lines: list[str], compress: bool = True) -> bytes:
         b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
         b"/Supplement 0 >> >>",
     ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, obj in enumerate(objects, 1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objects) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n").encode()
-    return bytes(out)
+    return _assemble_pdf(objects)
 
 
 def build_simple_pdf(lines: list[str], compress: bool = True) -> bytes:
@@ -538,16 +532,4 @@ def build_simple_pdf(lines: list[str], compress: bool = True) -> bytes:
         + content + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, obj in enumerate(objects, 1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objects) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n").encode()
-    return bytes(out)
+    return _assemble_pdf(objects)

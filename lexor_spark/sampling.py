@@ -83,7 +83,11 @@ def hash_split_sql(table: str, weights: dict[str, float],
     for name in names[:-1]:
         cum += weights[name]
         cases.append(f"when {u} < {cum!r} then '{name}'")
-    case = "case " + " ".join(cases) + f" else '{names[-1]}' end"
+    if cases:  # a single-split config has no WHEN arms — CASE would
+        case = ("case " + " ".join(cases)  # not parse, emit the literal
+                + f" else '{names[-1]}' end")
+    else:
+        case = f"'{names[-1]}'"
     return f"select *, {case} as split from {table}"
 
 
@@ -114,5 +118,6 @@ def sample_by_sql(table: str, fractions: dict[str, float],
         "when {} = '{}' then {!r}".format(group_col, v.replace("'", "''"),
                                           float(f))
         for v, f in fractions.items())
-    quota = f"case {cases} else {float(default)!r} end"
+    quota = (f"case {cases} else {float(default)!r} end" if cases
+             else repr(float(default)))
     return f"select * from {table} where {u} < {quota}"

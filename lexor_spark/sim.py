@@ -412,6 +412,8 @@ def semantic_dedup_sql(k: int = 8, iters: int = 2,
                        threshold: float = 0.25) -> str:
     """DuckDB mirror: the unrolled k-means CTEs + a within-cluster pair
     join + recursive-CTE components (small-scale transitive closure)."""
+    from lexor_spark.dedup import components_sql_parts
+
     psim = _SQL_COS.format(a="a1.v", b="a2.v")
     parts = _kmeans_sql_parts(k, iters)
     parts.append(
@@ -420,17 +422,10 @@ def semantic_dedup_sql(k: int = 8, iters: int = 2,
         f"  from afinal a1 join afinal a2\n"
         f"    on a1.cid = a2.cid and a1.vec_id < a2.vec_id\n"
         f"  where round({psim}, 6) >= {threshold}\n)")
-    parts.append("edges as (select a as s, b as d from pairs"
-                 " union select b as s, a as d from pairs)")
-    parts.append("reach(id, r) as (\n"
-                 "  select s, s from (select distinct s from edges)\n"
-                 "  union\n"
-                 "  select e.s, reach.r from edges e"
-                 " join reach on e.d = reach.id\n)")
-    parts.append("lbl as (select id, min(r) as g from reach group by id)")
+    parts.extend(components_sql_parts())
     parts.append("alln as (\n"
                  "  select a.vec_id, a.cid,"
-                 " coalesce(l.g, a.vec_id) as g\n"
+                 " coalesce(l.lbl, a.vec_id) as g\n"
                  "  from afinal a left join lbl l on a.vec_id = l.id\n)")
     parts.append("sizes as (select g, count(*) as n from alln group by g)")
     return ("with recursive " + ",\n".join(parts) +

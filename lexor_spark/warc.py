@@ -57,21 +57,30 @@ _MAX_HEADER = 64 * 1024  # defensive bound on one header block
 
 def _parse_headers(block: bytes) -> dict:
     """Parse a CRLF-separated header block into a lower-cased dict
-    (first occurrence wins; continuation lines folded with a space)."""
+    (first occurrence wins; continuation lines folded with a space).
+    Values decode as UTF-8 with a Latin-1 fallback — ISO 28500 permits
+    UTF-8 header values (IRI Target-URIs), while legacy shards may
+    carry raw Latin-1 bytes."""
+    def _dec(b: bytes) -> str:
+        try:
+            return b.decode("utf-8")
+        except UnicodeDecodeError:
+            return b.decode("latin-1")
+
     out: dict[str, str] = {}
     last: Optional[str] = None
     for line in block.split(b"\r\n"):
         if not line:
             continue
         if line[:1] in (b" ", b"\t") and last is not None:
-            out[last] += " " + line.strip().decode("latin-1")
+            out[last] += " " + _dec(line.strip())
             continue
         key, sep, val = line.partition(b":")
         if not sep:
             continue
         k = key.strip().decode("latin-1").lower()
         if k not in out:
-            out[k] = val.strip().decode("latin-1")
+            out[k] = _dec(val.strip())
         last = k
     return out
 
@@ -184,7 +193,7 @@ def build_warc(records: list[tuple[str, str, bytes]],
                 f"WARC-Target-URI: {url}\r\n"
                 f"WARC-Date: {ts}\r\n"
                 "Content-Type: application/http; msgtype=response\r\n"
-                f"Content-Length: {len(http)}\r\n\r\n").encode("latin-1")
+                f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
         rec = head + http + b"\r\n\r\n"
         out.append(gzip.compress(rec, mtime=0) if compress else rec)
     return b"".join(out)
@@ -201,13 +210,16 @@ def build_wet(records: list[tuple[str, str, str]],
     ``compress``."""
     out = []
     for url, ts, text in records:
-        body = text.encode("utf-8")
+        body = (text or "").encode("utf-8")
+        # headers are UTF-8 (ISO 28500 permits it): IRI urls with
+        # non-Latin characters are common in crawl data and must not
+        # fail the packing task
         head = ("WARC/1.0\r\n"
                 "WARC-Type: conversion\r\n"
                 f"WARC-Target-URI: {url}\r\n"
                 f"WARC-Date: {ts}\r\n"
                 "Content-Type: text/plain\r\n"
-                f"Content-Length: {len(body)}\r\n\r\n").encode("latin-1")
+                f"Content-Length: {len(body)}\r\n\r\n").encode("utf-8")
         rec = head + body + b"\r\n\r\n"
         out.append(gzip.compress(rec, mtime=0) if compress else rec)
     return b"".join(out)
@@ -236,13 +248,22 @@ def wet_shards(extracted: DataFrame, url_col: str = "url",
         shards = spark.sparkContext.defaultParallelism
     ts = (F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
           if ts_col else F.lit("1970-01-01T00:00:00Z"))
-    rows = extracted.select(
-        F.col(url_col).alias("url"), F.col(text_col).alias("text"),
-        ts.alias("ts"),
-        F.pmod(F.xxhash64(url_col), F.lit(shards)).alias("shard"))
+    rows = (extracted
+            # degrade-don't-fail: a record without a URI cannot be
+            # addressed in WARC (dropped); null text becomes empty
+            .filter(F.col(url_col).isNotNull())
+            .select(F.col(url_col).alias("url"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+                    F.coalesce(ts, F.lit("1970-01-01T00:00:00Z"))
+                    .alias("ts"),
+                    F.pmod(F.xxhash64(url_col), F.lit(shards))
+                    .alias("shard")))
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("url")
+        # total sort key + stable sort: duplicate urls (re-fetches) must
+        # not leave record order to shuffle arrival, or re-runs produce
+        # different shard bytes
+        pdf = pdf.sort_values(["url", "ts", "text"], kind="mergesort")
         blob = build_wet(list(zip(pdf["url"], pdf["ts"], pdf["text"])),
                          compress=compress)
         return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],

@@ -103,3 +103,13 @@ def test_hostile_separator_char_excluded(spark):
         [(0, "ab ab a\x1fb ab")], ["doc_id", "text"])
     m = bpe.bpe_train(docs, n_merges=2).collect()
     assert (m[0].lhs, m[0].rhs, m[0].n) == ("a", "b", 3)
+
+
+def test_encode_string_ids(spark):
+    """bpe_encode must follow the id column's type (url-keyed corpora)."""
+    docs = spark.createDataFrame(
+        [("http://a", "ab ab"), ("http://b", "abc")], ["url", "text"])
+    out = {r.url: r.n_bpe_tokens
+           for r in bpe.bpe_encode(docs, [("a", "b")],
+                                   id_col="url").collect()}
+    assert out == {"http://a": 2, "http://b": 2}

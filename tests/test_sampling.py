@@ -64,3 +64,14 @@ def test_sample_and_split_draws_independent(spark):
               out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     total = sum(counts.values())
     assert abs(counts["train"] / total - 0.5) < 0.08
+
+
+def test_single_split_sql_parses():
+    import duckdb
+    sql = sampling.hash_split_sql("t", {"train": 1.0})
+    out = duckdb.sql(
+        "with t as (select 1 as doc_id) " + sql).fetchall()
+    assert out[0][-1] == "train"
+    sql2 = sampling.sample_by_sql("t", {}, default=1.0)
+    assert duckdb.sql("with t as (select 1 as doc_id, 'en' as lang) "
+                      + sql2).fetchall()

@@ -176,3 +176,32 @@ def test_write_wet_files(spark, tmp_path):
     assert len(files) == n == 3
     total = sum(1 for f in files for _ in parse_warc(f.read_bytes()))
     assert total == 12
+
+
+def test_wet_iri_urls_and_nulls_degrade(spark):
+    """IRI (non-Latin) urls must round-trip; null text packs as empty;
+    null urls are dropped, never task failures."""
+    from lexor_spark.warc import parse_warc, wet_shards
+
+    docs = spark.createDataFrame(
+        [("http://пример.рф/x", "кириллица"),
+         ("http://例え.jp/y", None),
+         (None, "orphan")],
+        "url string, text string")
+    shards = wet_shards(docs, shards=2).collect()
+    recs = {r["url"]: r["html"].decode("utf-8")
+            for row in shards for r in parse_warc(bytes(row.wet))}
+    assert recs == {"http://пример.рф/x": "кириллица", "http://例え.jp/y": ""}
+
+
+def test_wet_duplicate_urls_stable_bytes(spark):
+    """Re-fetched pages (same url, different text): shard bytes must
+    still be partitioning-invariant (total sort key, stable sort)."""
+    from lexor_spark.warc import wet_shards
+
+    rows = [("http://dup/a", f"version {i}") for i in range(6)] + \
+           [("http://other/b", "x")]
+    mk = lambda parts: {r.shard: bytes(r.wet) for r in wet_shards(
+        spark.createDataFrame(rows, ["url", "text"]).repartition(parts),
+        shards=2).collect()}
+    assert mk(1) == mk(7)
