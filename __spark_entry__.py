@@ -263,6 +263,17 @@ def _q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfns.url_stats(_urls_df(spark, sf_dir))
 
 
+_URL_BLOCK = ["site13.example", "site42.example"]
+_URL_KW = {"/web/p1": 0.6, "/news/": 0.6, "p33": 0.5}
+
+
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (urlfns.url_filter(_urls_df(spark, sf_dir),
+                              blocked_domains=_URL_BLOCK,
+                              keyword_weights=_URL_KW, threshold=1.1)
+            .orderBy("url"))
+
+
 SQL_URL_STATS = f"""
 with u as (select {_URL_SQL} as url from documents),
 f as (select {urlfns.SQL_URL.DOMAIN.format(u='url')} as domain,
@@ -613,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # URL/domain hygiene layer (full value oracles)
         "url_stats": _q_url_stats,
+        "url_filter": _q_url_filter,
         "domain_cap": _q_domain_cap,
         # DOM flatten-export + corpus DOM analytics (kernel; rows-only)
         "dom_export": _q_dom_export,
@@ -688,6 +700,12 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dup_pairs": sim.cosine_dup_pairs_sql(threshold=0.25)
                              + " order by a, b",
         "url_stats": SQL_URL_STATS,
+        "url_filter": ("select * from ("
+                       + urlfns.url_filter_sql(
+                           f"(select {_URL_SQL} as url from documents)",
+                           blocked_domains=_URL_BLOCK,
+                           keyword_weights=_URL_KW, threshold=1.1)
+                       + ") order by url"),
         "domain_cap": SQL_DOMAIN_CAP,
     }
     out.update(RELATIONAL_SQL)

@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["host_of", "domain_of", "path_of", "path_depth", "is_https",
-           "url_stats", "domain_cap", "SQL_URL"]
+           "url_stats", "domain_cap", "url_filter", "url_filter_sql",
+           "SQL_URL"]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
@@ -82,6 +83,53 @@ def domain_cap(pages: DataFrame, k: int, url_col: str = "url") -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("domain", url_col, "rn")
     )
+
+
+def url_filter(pages: DataFrame, blocked_domains: list[str] = (),
+               keyword_weights: dict[str, float] = None,
+               threshold: float = 1.0,
+               url_col: str = "url") -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §G.1): drop
+    pages whose registrable domain is on a blocklist OR whose url
+    accumulates too much soft-keyword weight (the public method scores
+    substrings like "casino"/"download" and rejects above a threshold).
+
+    Returns the surviving rows with ``url_score`` attached (audit
+    column).  Both tests fold to scan-side expressions: the blocklist
+    becomes a literal IN-set for small lists (broadcast a blocklist
+    TABLE and left-anti-join for the million-entry case — same
+    semantics, noted here rather than auto-switched so callers choose
+    the plan), and the keyword score is a sum of ``contains`` flags ×
+    weights — no shuffle, predicate reaches the scan."""
+    u = F.col(url_col)
+    lu = F.lower(u)
+    score = F.lit(0.0)
+    for kw, wgt in (keyword_weights or {}).items():
+        score = score + F.when(lu.contains(kw.lower()),
+                               F.lit(float(wgt))).otherwise(F.lit(0.0))
+    out = pages.withColumn("url_score", F.round(score, 4))
+    if blocked_domains:
+        out = out.filter(~domain_of(u).isin([d.lower()
+                                             for d in blocked_domains]))
+    return out.filter(F.col("url_score") < threshold)
+
+
+def url_filter_sql(table: str, blocked_domains: list[str] = (),
+                   keyword_weights: dict[str, float] = None,
+                   threshold: float = 1.0, url_col: str = "url") -> str:
+    dom = SQL_URL.DOMAIN.format(u=url_col)
+    terms = " + ".join(
+        "case when contains(lower({u}), '{kw}') then {w!r} else 0.0 end"
+        .format(u=url_col, kw=kw.lower().replace("'", "''"), w=float(wgt))
+        for kw, wgt in (keyword_weights or {}).items()) or "0.0"
+    block = ""
+    if blocked_domains:
+        lst = ", ".join("'" + d.lower().replace("'", "''") + "'"
+                        for d in blocked_domains)
+        block = f" and {dom} not in ({lst})"
+    return (f"select * from (select *, round({terms}, 4)::double "
+            f"as url_score "
+            f"from {table}) where url_score < {threshold}{block}")
 
 
 class SQL_URL:

@@ -98,3 +98,20 @@ def test_decontam_overlap(spark):
     got = {(r.train_id, r.eval_id): r.n_shared for r in out}
     assert (10, 0) in got and got[(10, 0)] >= 2  # shares 4-gram windows
     assert (11, 0) not in got
+
+
+def test_url_filter_blocklist_and_keywords(spark):
+    from lexor_spark import urlfns
+
+    urls = ["https://good.example/a",
+            "https://casino.example/win",          # keyword 1.0
+            "https://bad.example/x",               # blocked domain
+            "https://ok.example/download/free"]    # 0.5+0.5 = 1.0
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = urlfns.url_filter(
+        df, blocked_domains=["bad.example"],
+        keyword_weights={"casino": 1.0, "download": 0.5, "free": 0.5},
+        threshold=1.0)
+    rows = {r.url: r.url_score for r in out.collect()}
+    assert set(rows) == {"https://good.example/a"}
+    assert rows["https://good.example/a"] == 0.0
