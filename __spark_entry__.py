@@ -594,10 +594,10 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-backed entries FIRST (the driver's correctness file records
+    the first 50 entries; all 47 value-oracled queries must land inside
+    that window — VERDICT r2 'Next round' #1), rows-only entries after."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
-        "extract_pages": _q_extract_pages,
-        "extract_metrics": _q_extract_metrics,
         # training-data operators (full value oracles)
         "text_features": _q_text_features,
         "pii_redact": _q_pii_redact,
@@ -612,7 +612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "sample_stratified": _q_sample_stratified,
         "bpe_merges": _q_bpe_merges,
-        "bpe_tokens": _q_bpe_tokens,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "decontam_overlap": _q_decontam,
         "simhash": _q_simhash,
@@ -626,6 +625,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": _q_url_stats,
         "url_filter": _q_url_filter,
         "domain_cap": _q_domain_cap,
+    }
+    # relational harness (SURVEY §2.3) — all 22 value-oracled; keep them
+    # inside the driver's 50-entry window
+    out.update(RELATIONAL_QUERIES)
+    out.update({
+        # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
+        "extract_pages": _q_extract_pages,
+        "extract_metrics": _q_extract_metrics,
+        # html→markdown conversion (the reference's flagship; rows-only)
+        "to_markdown": _q_to_markdown,
         # DOM flatten-export + corpus DOM analytics (kernel; rows-only)
         "dom_export": _q_dom_export,
         "dom_tag_stats": _q_dom_tag_stats,
@@ -634,8 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "css_rewrite": _q_css_rewrite,
         # full training-corpus pipeline composition (rows-only)
         "corpus_summary": _q_corpus_summary,
-        # html→markdown conversion (the reference's flagship; rows-only)
-        "to_markdown": _q_to_markdown,
+        # BPE encode with corpus-learned merges (rows-only by nature)
+        "bpe_tokens": _q_bpe_tokens,
         # parse→serialize normal form (writer path; rows-only)
         "html_normalize": _q_html_normalize,
         # W5 wrap/indent writer at corpus scale (rows-only)
@@ -659,8 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_crawl_metrics": _q_stream_crawl_metrics,
         "stream_dedup": _q_stream_dedup,
         "stream_sessions": _q_stream_sessions,
-    }
-    out.update(RELATIONAL_QUERIES)
+    })
     return out
 
 
