@@ -37,19 +37,30 @@ def chunk_passages(docs: DataFrame, width: int = WIDTH,
                    text_col: str = "text") -> DataFrame:
     """Explode ``docs`` into (doc_id, chunk_id, n_tokens, passage) rows.
 
-    Every token lands in at least one chunk (starts are 0, S, 2S, …
-    while < n_tokens); the final chunk may be short.  Blank documents
-    produce no rows.  chunk_id is start/stride, so consecutive ids mean
-    consecutive (overlapping) windows.
+    Every token lands in at least one chunk (starts are 0, S, 2S, …);
+    the final chunk may be short.  A trailing start whose window would
+    be fully contained in the previous window (s > 0 and the previous
+    window already reached the last token, i.e. s >= n - W + S) is
+    skipped — it would duplicate content into passages without covering
+    anything new.  Blank documents produce no rows.  chunk_id is
+    start/stride, so consecutive ids mean consecutive (overlapping)
+    windows.
     """
     if not 0 < stride <= width:
         raise ValueError("need 0 < stride <= width")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # last useful start: the largest s with s < n - W + S (clamped to
+    # [0, n-1]) — beyond it the window [s, min(s+W, n)) is a subset of
+    # the previous window's coverage.
+    last_start = F.greatest(
+        F.lit(0),
+        F.least(F.size("t") - 1,
+                F.size("t") - width + stride - 1))
     out = (
         docs.filter(F.trim(F.col(text_col)) != "")
         .select(F.col(id_col).alias("doc_id"), toks.alias("t"))
         .select("doc_id", "t",
-                F.explode(F.sequence(F.lit(0), F.size("t") - 1,
+                F.explode(F.sequence(F.lit(0), last_start,
                                      F.lit(stride))).alias("s"))
         .select(
             "doc_id",
@@ -75,7 +86,11 @@ with toks as (
   where trim({text_col}) <> ''),
 starts as (
   select doc_id, t,
-         unnest(generate_series(0, len(t) - 1, {stride})) as s
+         unnest(generate_series(
+             0,
+             greatest(0, least(len(t) - 1,
+                               len(t) - {width} + {stride} - 1)),
+             {stride})) as s
   from toks)
 select doc_id,
        (s // {stride})::int as chunk_id,

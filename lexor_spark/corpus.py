@@ -1,11 +1,16 @@
 """End-to-end training-corpus pipeline: the composition every other
 module exists for.
 
-    pages ──extract──▶ text ──quality──▶ ──repetition──▶ ──domain-cap──▶
-          ──exact-dedup──▶ ──near-dup (minhash/LSH pairs → connected-
-          component clusters, one canonical url kept per cluster)──▶
-          ──decontaminate (vs eval n-grams)──▶ canonical corpus
-          + reject ledger
+    pages ──extract──▶ text ──quality──▶ ──repetition──▶
+          ──exact-dedup──▶ ──domain-cap──▶ ──near-dup (minhash/LSH
+          pairs → connected-component clusters, one canonical url kept
+          per cluster)──▶ ──decontaminate (vs eval n-grams)──▶
+          canonical corpus + reject ledger
+
+The domain cap runs AFTER exact dedup so duplicate pages can't consume
+a domain's cap budget and crowd out unique pages; the cap itself is
+two-phase ((domain, salt) then domain — identical result, no hot-domain
+single-task window, see ``urlfns.domain_cap``).
 
 Every stage is one of this engine's first-class operators; this module
 only composes them.  At 100 TB each arrow (``──▶``) is a materialization
@@ -91,22 +96,6 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
         (F.col("_dlf") <= max_dup_line_frac)
         & (F.col("_tbf") <= max_top_bigram_frac)).drop("_dlf", "_tbf")
 
-    # per-domain cap (anti-monoculture sampling; one window on domain)
-    if domain_cap is not None:
-        from pyspark.sql import Window
-
-        from lexor_spark import urlfns
-        w = Window.partitionBy("_dom").orderBy("url")
-        ranked = (kept.withColumn("_dom", urlfns.domain_of(F.col("url")))
-                  .withColumn("_rn", F.row_number().over(w)))
-        capped = ranked.filter(F.col("_rn") > domain_cap).select(
-            "url", F.lit("domain_cap").alias("stage"),
-            F.concat(F.lit("rank="), F.col("_rn").cast("string"),
-                     F.lit(" domain="), F.col("_dom")).alias("reason"))
-        kept = ranked.filter(F.col("_rn") <= domain_cap).drop("_dom", "_rn")
-    else:
-        capped = None
-
     # exact dedup: keep the lexicographically-first url per fingerprint
     # (deterministic keeper — min() is order-insensitive)
     fp = kept.select("url", textfns.fingerprint(F.col("text")).alias("fp"))
@@ -119,6 +108,39 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
     uniq = (fp.join(keepers, "fp")
             .filter(F.col("url") == F.col("keep_url"))
             .select("url").join(kept, "url"))
+
+    # per-domain cap (anti-monoculture sampling) — AFTER exact dedup so
+    # the K kept pages per domain are distinct documents (duplicates
+    # must not consume a domain's budget).  Two-phase against hot-domain
+    # skew: rank within (domain, url-hash salt) first, then re-rank the
+    # <= K*S survivors within domain; identical keep-set to the single
+    # window (see urlfns.domain_cap), but rejects surface from either
+    # phase (phase-1 rejects report their bucket rank — the global rank
+    # is deliberately never computed for them).
+    if domain_cap is not None:
+        from pyspark.sql import Window
+
+        from lexor_spark import urlfns
+        salted = (uniq.withColumn("_dom", urlfns.domain_of(F.col("url")))
+                  .withColumn("_salt", F.pmod(F.xxhash64("url"),
+                                              F.lit(64))))
+        w1 = Window.partitionBy("_dom", "_salt").orderBy("url")
+        r1 = salted.withColumn("_rn1", F.row_number().over(w1))
+        cap1 = r1.filter(F.col("_rn1") > domain_cap).select(
+            "url", F.lit("domain_cap").alias("stage"),
+            F.concat(F.lit("bucket_rank="), F.col("_rn1").cast("string"),
+                     F.lit(" domain="), F.col("_dom")).alias("reason"))
+        w2 = Window.partitionBy("_dom").orderBy("url")
+        r2 = (r1.filter(F.col("_rn1") <= domain_cap).drop("_salt", "_rn1")
+              .withColumn("_rn", F.row_number().over(w2)))
+        cap2 = r2.filter(F.col("_rn") > domain_cap).select(
+            "url", F.lit("domain_cap").alias("stage"),
+            F.concat(F.lit("rank="), F.col("_rn").cast("string"),
+                     F.lit(" domain="), F.col("_dom")).alias("reason"))
+        capped = cap1.unionByName(cap2)
+        uniq = r2.filter(F.col("_rn") <= domain_cap).drop("_dom", "_rn")
+    else:
+        capped = None
 
     # near-dup: CLUSTER the LSH pair graph and keep one canonical url
     # per cluster.  Pair-based rejection ("drop the b of every pair")

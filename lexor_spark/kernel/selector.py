@@ -303,24 +303,35 @@ def matches(node: Node, selector: str) -> bool:
 
 def _group_match_ids(context: Element,
                      tokens: list[Union[str, Compound]]) -> set[int]:
-    """``id()`` set of descendants of ``context`` matching one comma
-    group, by level-wise set propagation: one DFS pass per chain step,
-    O(chain_length × nodes) total — no backtracking, so sibling-heavy
-    pages (long ``<li>``/``<tr>`` runs) stay linear where a per-node
-    backtracking matcher degrades to O(n²)+ (css_select runs arbitrary
-    probes corpus-wide; worst-case time per page is a task-stall risk,
-    not just a latency one)."""
+    """``id()`` set of elements matching one comma group, by level-wise
+    set propagation: one DFS pass per chain step, O(chain_length ×
+    nodes) total — no backtracking, so sibling-heavy pages (long
+    ``<li>``/``<tr>`` runs) stay linear where a per-node backtracking
+    matcher degrades to O(n²)+ (css_select runs arbitrary probes
+    corpus-wide; worst-case time per page is a task-stall risk, not
+    just a latency one).
+
+    Left-hand compounds (ancestors / preceding siblings) are seeded and
+    walked over the WHOLE owner tree, not just the ``context`` subtree —
+    querySelectorAll semantics, and the same unbounded walk
+    :func:`matches` does, so the two agree on non-root contexts.  The
+    caller (:func:`query`) restricts the FINAL set to ``context``
+    descendants."""
+    root: Element = context
+    while isinstance(root.parent, Element):
+        root = root.parent
     comps = tokens[0::2]
     combs = tokens[1::2]
-    cur: set[int] = {id(n) for n in _descendant_elements(context)
-                     if comps[0].matches(n)}  # type: ignore[arg-type]
+    cur: set[int] = {id(n) for n in root.iter()
+                     if isinstance(n, Element)
+                     and comps[0].matches(n)}  # type: ignore[arg-type]
     for comb, compound in zip(combs, comps[1:]):
         assert isinstance(comb, str) and isinstance(compound, Compound)
         if not cur:
             return cur
         nxt: set[int] = set()
-        # DFS frames: (element-or-context, any-strict-ancestor-in-`cur`)
-        stack: list[tuple[Element, bool]] = [(context, False)]
+        # DFS frames: (element-or-root, any-strict-ancestor-in-`cur`)
+        stack: list[tuple[Element, bool]] = [(root, False)]
         while stack:
             node, anc = stack.pop()
             parent_in = id(node) in cur

@@ -8,9 +8,10 @@ exact DuckDB mirrors, so every operator is value-oracle-checked.
 
 Scale notes (100 TB): host/domain/path are scan-side regexes (no
 shuffle); per-domain stats are one map-side-combinable aggregate; the
-domain cap is a single window on the domain key — the same shuffle a
-domain-partitioned output write needs anyway, so in a real pipeline the
-cap rides an exchange that was already planned.
+domain cap is two-phase (cap within ``(domain, url-hash salt)``, then
+re-cap the ≤ k·S survivors within ``domain``) so a mega-domain never
+lands in a single window task — the result is provably identical to
+the one-window cap (see :func:`domain_cap`).
 
 The registrable domain is the last two dot-labels — the documented
 approximation without a public-suffix list (a PSL join is data, not
@@ -71,15 +72,34 @@ def url_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def domain_cap(pages: DataFrame, k: int, url_col: str = "url") -> DataFrame:
+def domain_cap(pages: DataFrame, k: int, url_col: str = "url",
+               salt_buckets: int = 64) -> DataFrame:
     """Keep at most ``k`` pages per registrable domain, deterministic
-    (ordered by url).  One window over the domain key; rows beyond the
-    cap are dropped — the anti-monoculture sampling primitive."""
+    (ordered by url) — the anti-monoculture sampling primitive.
+
+    Two-phase for skew: a raw ``Window.partitionBy(domain)`` puts a
+    mega-domain's every page into ONE task.  Phase 1 ranks within
+    ``(domain, salt)`` where ``salt = xxhash64(url) % S`` and keeps the
+    k smallest urls per bucket (hot domains spread over S tasks); phase
+    2 re-ranks the ≤ k·S survivors per domain and keeps k.  The result
+    is IDENTICAL to the single-window cap: each of the global k
+    smallest urls of a domain is among the k smallest of its own salt
+    bucket, so it survives phase 1, and since every url smaller than a
+    global top-k url is itself global top-k, the phase-2 row_number of
+    the kept rows equals the single-window rank — which is why the
+    DuckDB oracle can stay the plain one-window composition."""
     u = F.col(url_col)
+    d = pages.withColumn("domain", domain_of(u))
+    if salt_buckets and salt_buckets > 1:
+        w1 = Window.partitionBy("domain", "_salt").orderBy(url_col)
+        d = (d.withColumn("_salt", F.pmod(F.xxhash64(u),
+                                          F.lit(salt_buckets)))
+             .withColumn("_rn1", F.row_number().over(w1))
+             .filter(F.col("_rn1") <= k)
+             .drop("_salt", "_rn1"))
     w = Window.partitionBy("domain").orderBy(url_col)
     return (
-        pages.withColumn("domain", domain_of(u))
-        .withColumn("rn", F.row_number().over(w))
+        d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("domain", url_col, "rn")
     )

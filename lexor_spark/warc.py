@@ -81,7 +81,12 @@ def _parse_headers(block: bytes) -> dict:
         k = key.strip().decode("latin-1").lower()
         if k not in out:
             out[k] = _dec(val.strip())
-        last = k
+            last = k
+        else:
+            # duplicate header: value discarded (first occurrence wins),
+            # so its continuation lines must be dropped too — folding
+            # them into the FIRST occurrence would corrupt it.
+            last = None
     return out
 
 
@@ -145,8 +150,17 @@ def warc_records(shards: DataFrame, responses_only: bool = True) -> DataFrame:
     One task per shard — exactly the parallelism a 100k-shard crawl
     wants; no shuffle.  ``responses_only`` keeps the page-bearing
     ``response`` records (the 200-status filter is left to the caller:
-    it is a plain pushed-down column predicate)."""
+    it is a plain pushed-down column predicate).
+
+    WARC-Date values are UTC instants; Spark interprets tz-naive Arrow
+    timestamps in the SESSION timezone, so the parsed datetimes are
+    converted to the session timezone (captured at plan-build time)
+    before being stripped naive — the stored instants are correct on
+    any host/session offset, not just UTC sessions."""
     import pandas as pd  # local: executors import lazily
+
+    session_tz = shards.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC") or "UTC"
 
     def _split(batches):
         for pdf in batches:
@@ -161,7 +175,7 @@ def warc_records(shards: DataFrame, responses_only: bool = True) -> DataFrame:
             if len(out):
                 out["warc_ts"] = pd.to_datetime(
                     out["warc_ts"], errors="coerce", utc=True
-                ).dt.tz_localize(None)
+                ).dt.tz_convert(session_tz).dt.tz_localize(None)
             else:
                 out["warc_ts"] = pd.Series([], dtype="datetime64[ns]")
             yield out

@@ -29,9 +29,10 @@ def test_chunk_invariants_small(spark):
     assert [r.n_tokens for r in by_doc[4]] == [1]
     assert [r.n_tokens for r in by_doc[2]] == [4]
 
-    # doc 1: starts 0,48,96,144 -> widths 64,64,54,6
-    assert [r.chunk_id for r in by_doc[1]] == [0, 1, 2, 3]
-    assert [r.n_tokens for r in by_doc[1]] == [64, 64, 54, 6]
+    # doc 1: starts 0,48,96 -> widths 64,64,54 (start 144 is skipped:
+    # its window [144,150) is fully inside chunk 2's coverage [96,150))
+    assert [r.chunk_id for r in by_doc[1]] == [0, 1, 2]
+    assert [r.n_tokens for r in by_doc[1]] == [64, 64, 54]
     # stride-aligned reconstruction: first `stride` tokens of each chunk,
     # then the tail of the last chunk, is exactly the original stream
     toks: list[str] = []
@@ -63,3 +64,20 @@ def test_chunk_duckdb_mirror(spark):
     assert len(got) == len(want) > 0
     for g, w in zip(got, want):
         assert (g.doc_id, g.chunk_id, g.n_tokens, g.passage) == tuple(w)
+
+def test_chunk_no_contained_trailing_window(spark):
+    """A doc of exactly `width` tokens yields ONE chunk: the would-be
+    second start (s=stride) is fully covered by chunk 0 and must be
+    skipped (it would duplicate content into passages)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(64))),    # n == width
+         (2, " ".join(f"t{i}" for i in range(70)))],   # tail extends
+        ["doc_id", "text"])
+    rows = chunk_passages(docs, width=64, stride=48) \
+        .orderBy("doc_id", "chunk_id").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.n_tokens for r in by_doc[1]] == [64]
+    # doc 2: start 48 covers [48,70) — new tokens 64..69, so it stays
+    assert [r.n_tokens for r in by_doc[2]] == [64, 22]

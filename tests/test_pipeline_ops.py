@@ -115,3 +115,22 @@ def test_url_filter_blocklist_and_keywords(spark):
     rows = {r.url: r.url_score for r in out.collect()}
     assert set(rows) == {"https://good.example/a"}
     assert rows["https://good.example/a"] == 0.0
+
+
+def test_domain_cap_two_phase_equals_single_window(spark):
+    """Skewed input (one mega-domain): the two-phase salted cap must
+    return exactly the single-window result — the k lexicographically
+    smallest urls per domain with their global ranks."""
+    urls = ([f"https://mega.com/p{i:05d}" for i in range(2000)]
+            + [f"https://tiny{i}.org/x" for i in range(5)])
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = sorted((r.domain, r.url, r.rn)
+                 for r in urlfns.domain_cap(df, k=4).collect())
+    naive = sorted((r.domain, r.url, r.rn)
+                   for r in urlfns.domain_cap(df, k=4,
+                                              salt_buckets=1).collect())
+    assert got == naive
+    mega = [t for t in got if t[0] == "mega.com"]
+    assert [t[1] for t in mega] == sorted(
+        f"https://mega.com/p{i:05d}" for i in range(4))
+    assert [t[2] for t in mega] == [1, 2, 3, 4]

@@ -316,3 +316,26 @@ def test_rewrite_batches_arrow():
     assert "<footer" not in rows["u1"]["html_out"]
     assert "<p>keep</p>" in rows["u1"]["html_out"]
     assert rows["u2"]["n_removed"] == 0 and rows["u2"]["html_out"] == ""
+
+
+def test_query_left_hand_outside_context():
+    """querySelectorAll semantics: a combinator's LEFT-hand side may
+    match ancestors/preceding siblings OUTSIDE the context subtree —
+    query() and matches() must agree on non-root contexts."""
+    doc, _ = parse_html(
+        '<html><body><div id="side"><p>s</p></div>'
+        '<div id="main"><p>m1</p><section><p>m2</p></section></div>'
+        "</body></html>")
+    main = query(doc, "#main")[0]
+    # ancestor (body, html) lies outside the #main subtree
+    hits = query(main, "body p")
+    assert [n.children[0].data for n in hits] == ["m1", "m2"]
+    for n in hits:
+        assert matches(n, "body p")
+    # preceding sibling of the context itself is outside the subtree:
+    # "div + div p" matches #main's descendants because #side precedes it
+    hits2 = query(main, "div + div p")
+    assert [n.children[0].data for n in hits2] == ["m1", "m2"]
+    assert all(matches(n, "div + div p") for n in hits2)
+    # but results never escape the context subtree
+    assert query(main, "p") == [n for n in hits]

@@ -205,3 +205,17 @@ def test_wet_duplicate_urls_stable_bytes(spark):
         spark.createDataFrame(rows, ["url", "text"]).repartition(parts),
         shards=2).collect()}
     assert mk(1) == mk(7)
+
+
+def test_duplicate_header_continuation_dropped():
+    """A continuation line following a DUPLICATE header must be dropped
+    with the duplicate (first occurrence wins), not folded into the
+    first occurrence's value."""
+    head = ("WARC/1.0\r\n"
+            "warc-type: response\r\n"
+            "WARC-Target-URI: http://first.example/\r\n"
+            "WARC-Target-URI: http://second.example/\r\n"
+            " evil-continuation\r\n"
+            "Content-Length: 4\r\n\r\n").encode()
+    out = list(parse_warc(head + b"body" + b"\r\n\r\n"))
+    assert out[0]["url"] == "http://first.example/"
