@@ -114,12 +114,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str, query_id: int = 0,
 
     Centroids are a deterministic subset (``vec_id < m``) rather than
     k-means iterates — seedless, so the DuckDB oracle runs the identical
-    algorithm and the value hash is meaningful.  Assignment is a
-    broadcast of the tiny centroid table against the corpus with a
-    window argmax; at production ``m`` (4096+) the per-row m-way cross
-    join should become one Arrow-batched pandas UDF doing a numpy
-    matmul against the broadcast centroid matrix — same cells, one
-    pass.  The cell id is the natural partition column for the stored
+    algorithm and the value hash is meaningful.  Assignment routes by
+    ``m`` (see `_assign_nearest`): a broadcast of the tiny centroid
+    table with a window argmax at small ``m`` (gate path — oracle
+    compares the exact plan), or one Arrow-batched numpy GEMM per batch
+    above ``MATMUL_M_THRESHOLD`` (production ``m`` 4096+: same cells,
+    one pass, no m-way row blow-up).  The cell id is the natural
+    partition column for the stored
     index: probing then prunes ``(m - nprobe)/m`` of the data before
     any vector arithmetic (like `ann_bucketed`'s 255/256, but with a
     tunable cell count and data-adaptive cells).
@@ -133,13 +134,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str, query_id: int = 0,
     cents = (emb.filter(F.col("vec_id") < m)
              .select(F.col("vec_id").alias("cid"),
                      F.col("embedding").alias("cv")))
-    csim = F.round(cosine(F.col("embedding"), F.col("cv")), 6)
-    ranked = (emb.crossJoin(F.broadcast(cents))
-              .select("vec_id", "embedding", "cid", csim.alias("csim")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
-    assigned = (ranked.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "embedding", "cid"))
+    assigned = _assign_nearest(emb, cents, m=m).select(
+        "vec_id", "embedding", "cid")
     probes = (assigned.filter(F.col("vec_id") == query_id)
               .select(F.col("embedding").alias("qv"))
               .crossJoin(F.broadcast(cents))
@@ -157,7 +153,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str, query_id: int = 0,
 
 def assign_cells_matmul(emb: DataFrame, cents: DataFrame,
                         vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
+                        id_col: str = "vec_id",
+                        with_sim: bool = False,
+                        carry_vec: bool = False) -> DataFrame:
     """Production-``m`` IVF cell assignment: one Arrow-batched pandas
     UDF doing a numpy matmul against the collected centroid matrix,
     instead of the m-way broadcast cross join `ann_ivf` uses (which
@@ -175,7 +173,14 @@ def assign_cells_matmul(emb: DataFrame, cents: DataFrame,
     boundary — agreement on the driver corpus is pinned exactly by
     ``tests/test_new_operators.py``.  Per-batch work is one
     (batch × dim)·(dim × m) GEMM: the compute shape that scales to
-    10^12 rows × 4096 cells."""
+    10^12 rows × 4096 cells.
+
+    ``with_sim`` adds the winning round-6 cosine as ``csim`` (null for
+    non-finite scores, matching the expression path's null cosine on
+    zero-norm vectors); ``carry_vec`` echoes the input vector column
+    through the UDF so callers that need (id, vec, cid) — the k-means
+    Lloyd loop, IVF probing — avoid a re-join shuffle against the
+    corpus."""
     import numpy as np
     import pandas as pd
 
@@ -186,12 +191,15 @@ def assign_cells_matmul(emb: DataFrame, cents: DataFrame,
     cids, cmat = cids[order], cmat[order]
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
 
+    out_cols = [id_col] + (["_vec"] if carry_vec else []) + ["cid"] \
+        + (["csim"] if with_sim else [])
+
     def _assign(batches):
         for pdf in batches:
             vecs = np.array([list(v) for v in pdf[vec_col]],
                             dtype=np.float64)
             if len(vecs) == 0:
-                yield pd.DataFrame({id_col: [], "cid": []})
+                yield pd.DataFrame({c: [] for c in out_cols})
                 continue
             vnorm = np.sqrt((vecs * vecs).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -203,11 +211,30 @@ def assign_cells_matmul(emb: DataFrame, cents: DataFrame,
             # argmax with (score desc, cid asc) tie-break: cids are
             # sorted ascending and np.argmax takes the FIRST maximum
             best = sims.argmax(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].values,
-                                "cid": cids[best]})
+            data = {id_col: pdf[id_col].values}
+            if carry_vec:
+                data["_vec"] = pdf[vec_col]
+            data["cid"] = cids[best]
+            if with_sim:
+                bs = sims[np.arange(len(best)), best]
+                data["csim"] = pd.array(
+                    np.where(np.isfinite(bs), bs, np.nan),
+                    dtype="Float64")  # masked: -inf/NaN → SQL null
+            yield pd.DataFrame(data)[out_cols]
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        _assign, f"{id_col} long, cid long")
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    fields = [StructField(id_col, LongType())]
+    if carry_vec:
+        fields.append(StructField("_vec", emb.schema[vec_col].dataType))
+    fields.append(StructField("cid", LongType()))
+    if with_sim:
+        fields.append(StructField("csim", DoubleType()))
+    out = emb.select(id_col, vec_col).mapInPandas(
+        _assign, StructType(fields))
+    if carry_vec:
+        out = out.withColumnRenamed("_vec", vec_col)
+    return out
 
 
 def ann_ivf_sql(query_id: int = 0, k: int = 10, m: int = 16,
@@ -241,9 +268,27 @@ limit {k}
 """
 
 
-def _assign_nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cid): nearest centroid by cosine, the same
-    deterministic argmax as `ann_ivf` (round-6 sims, cid tie-break)."""
+# Above this centroid count the m-way broadcast cross join (which
+# amplifies every corpus row m× before the argmax) is replaced by the
+# Arrow-batched GEMM path.  The gate's m=16/k=8 stays on the expression
+# path, so the DuckDB value oracles compare the exact same plan; the
+# GEMM path's agreement with the expression path is pinned by
+# tests/test_new_operators.py at both small and above-threshold m.
+MATMUL_M_THRESHOLD = 64
+
+
+def _assign_nearest(emb: DataFrame, cents: DataFrame,
+                    m: int = None) -> DataFrame:
+    """(vec_id, embedding, cid, csim): nearest centroid by cosine, the
+    same deterministic argmax as `ann_ivf` (round-6 sims, cid
+    tie-break).  When the caller-declared centroid count ``m`` exceeds
+    ``MATMUL_M_THRESHOLD``, assignment routes through
+    :func:`assign_cells_matmul` — one GEMM per Arrow batch instead of
+    an m-way row blow-up."""
+    if m is not None and m > MATMUL_M_THRESHOLD:
+        return assign_cells_matmul(emb, cents, with_sim=True,
+                                   carry_vec=True).select(
+            "vec_id", "embedding", "cid", "csim")
     csim = F.round(cosine(F.col("embedding"), F.col("cv")), 6)
     ranked = (emb.crossJoin(F.broadcast(cents))
               .select("vec_id", "embedding", "cid", csim.alias("csim")))
@@ -294,7 +339,7 @@ def _kmeans_final(emb: DataFrame, k: int, iters: int) -> DataFrame:
              .select(F.col("vec_id").alias("cid"),
                      F.col("embedding").alias("cv")))
     for _ in range(iters):
-        assigned = _assign_nearest(emb, cents)
+        assigned = _assign_nearest(emb, cents, m=k)
         ex = assigned.select(
             "cid", F.posexplode("embedding").alias("pos", "val"))
         means = (ex.groupBy("cid", "pos")
@@ -303,7 +348,7 @@ def _kmeans_final(emb: DataFrame, k: int, iters: int) -> DataFrame:
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "m"))),
                      lambda s: s.m).alias("cv")))
-    return _assign_nearest(emb, cents)
+    return _assign_nearest(emb, cents, m=k)
 
 
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
@@ -363,8 +408,17 @@ def kmeans_clusters_sql(k: int = 8, iters: int = 3) -> str:
             "from afinal order by vec_id")
 
 
+# Bound on the within-cluster pair join: clusters larger than this are
+# skipped by the pair finder (their members stay singletons).  The same
+# shape as LSH_BUCKET_CAP / PAIR_BUCKET_CAP — a boilerplate-heavy
+# cluster is exactly the skew key that makes an uncapped O(Σ cluster²)
+# self-join a task-killer at 10^12 rows.
+CLUSTER_PAIR_CAP = 2000
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str, k: int = 8,
-                   iters: int = 2, threshold: float = 0.25) -> DataFrame:
+                   iters: int = 2, threshold: float = 0.25,
+                   cluster_cap: int = CLUSTER_PAIR_CAP) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end to end: k-means-cluster the
     embedding corpus, find near-duplicate pairs WITHIN each cluster
     (cosine ≥ threshold), connect them into duplicate groups, and keep
@@ -376,25 +430,39 @@ def semantic_dedup(spark: SparkSession, sf_dir: str, k: int = 8,
     singletons), ``is_canonical`` the keep flag.
 
     Scale shape: the expensive step is the within-cluster pair join —
-    O(Σ cluster²).  SemDeDup's published remedy is built in: ``k``
-    scales with corpus size (n/1k–n/10k cells) so clusters stay small
-    and the join is linear-ish; pair finding never crosses cluster
-    boundaries, and the component step reuses
-    `dedup.dup_clusters`' propagation loop (only paired vectors
-    iterate).  For corpora where k-means blocking is unavailable, the
-    SRP-banded `cosine_dup_pairs` is the alternative pair source."""
+    O(Σ cluster²).  Two defenses compose: SemDeDup's published remedy
+    (``k`` scales with corpus size, n/1k–n/10k cells, so clusters stay
+    small) and an ENFORCED ``cluster_cap`` — a window count on the
+    cluster id drops any cluster larger than the cap from the pair
+    finder before the self-join, so candidate count is bounded
+    O(n_clusters · cap²) no matter how degenerate the clustering.  The
+    capped self-join moves (id, cid) only; embeddings re-attach to the
+    surviving candidates by two id-equi-joins (the `cosine_dup_pairs`
+    shape).  Pair finding never crosses cluster boundaries, and the
+    component step reuses `dedup.dup_clusters`' propagation loop (only
+    paired vectors iterate).  For corpora where k-means blocking is
+    unavailable, the SRP-banded `cosine_dup_pairs` is the alternative
+    pair source."""
     from lexor_spark.dedup import dup_clusters
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding")
     assigned = _kmeans_final(emb, k, iters).localCheckpoint(eager=True)
-    a1 = assigned.select(F.col("vec_id").alias("a"),
-                         F.col("embedding").alias("va"), "cid")
-    a2 = assigned.select(F.col("vec_id").alias("b"),
-                         F.col("embedding").alias("vb"), "cid")
+    cn = F.count("*").over(Window.partitionBy("cid"))
+    ids = (assigned.select("vec_id", "cid")
+           .withColumn("_cn", cn)
+           .filter(F.col("_cn") <= cluster_cap).drop("_cn"))
+    i1 = ids.select(F.col("vec_id").alias("a"), "cid")
+    i2 = ids.select(F.col("vec_id").alias("b"), "cid")
+    cand = (i1.join(i2, "cid")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b"))
+    va = emb.select(F.col("vec_id").alias("a"),
+                    F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b"),
+                    F.col("embedding").alias("vb"))
     psim = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    pairs = (a1.join(a2, "cid")
-             .filter(F.col("a") < F.col("b"))
+    pairs = (cand.join(va, "a").join(vb, "b")
              .select("a", "b", psim.alias("psim"))
              .filter(F.col("psim") >= threshold)
              .select("a", "b"))
@@ -409,18 +477,23 @@ def semantic_dedup(spark: SparkSession, sf_dir: str, k: int = 8,
 
 
 def semantic_dedup_sql(k: int = 8, iters: int = 2,
-                       threshold: float = 0.25) -> str:
-    """DuckDB mirror: the unrolled k-means CTEs + a within-cluster pair
-    join + recursive-CTE components (small-scale transitive closure)."""
+                       threshold: float = 0.25,
+                       cluster_cap: int = CLUSTER_PAIR_CAP) -> str:
+    """DuckDB mirror: the unrolled k-means CTEs + a CAPPED within-cluster
+    pair join (same ``cluster_cap`` semantics as the Spark side) +
+    recursive-CTE components (small-scale transitive closure)."""
     from lexor_spark.dedup import components_sql_parts
 
     psim = _SQL_COS.format(a="a1.v", b="a2.v")
     parts = _kmeans_sql_parts(k, iters)
     parts.append(
+        f"csizes as (select cid, count(*) as cn from afinal group by cid)")
+    parts.append(
         f"pairs as (\n"
         f"  select a1.vec_id as a, a2.vec_id as b\n"
         f"  from afinal a1 join afinal a2\n"
         f"    on a1.cid = a2.cid and a1.vec_id < a2.vec_id\n"
+        f"  join csizes cs on cs.cid = a1.cid and cs.cn <= {cluster_cap}\n"
         f"  where round({psim}, 6) >= {threshold}\n)")
     parts.extend(components_sql_parts())
     parts.append("alln as (\n"

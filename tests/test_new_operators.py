@@ -468,3 +468,43 @@ def test_semantic_dedup_keep_set(spark):
     # and the keep-set is strictly smaller than the corpus
     kept = sum(r.is_canonical for r in rows)
     assert 0 < kept < 500
+
+
+def test_assign_nearest_routes_gemm_above_threshold(spark):
+    """_assign_nearest with a declared m above MATMUL_M_THRESHOLD must
+    route through the GEMM path (no BroadcastNestedLoopJoin in the
+    plan) and agree with the expression path on every row."""
+    from lexor_spark.sim import MATMUL_M_THRESHOLD, _assign_nearest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    m = MATMUL_M_THRESHOLD + 36  # 100 centroids: production-m shape
+    cents = (emb.filter(F.col("vec_id") < m)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cv")))
+    gemm = _assign_nearest(emb, cents, m=m)
+    plan = gemm._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "NestedLoop" not in plan
+    expr = _assign_nearest(emb, cents)  # m undeclared -> expression path
+    eplan = expr._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in eplan
+    a = {(r.vec_id): (r.cid, r.csim) for r in expr.collect()}
+    b = {(r.vec_id): (r.cid, r.csim) for r in gemm.collect()}
+    assert a == b and len(a) == emb.count()
+
+
+def test_semantic_dedup_cluster_cap_bounds_pairs(spark):
+    """Degenerate clustering (k=1: every vector in one cluster) with a
+    cap below the corpus size must produce NO candidate pairs — every
+    vector stays a singleton — instead of an O(n²) self-join."""
+    from lexor_spark.sim import semantic_dedup
+
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    rows = semantic_dedup(spark, SF, k=1, iters=1, threshold=0.25,
+                          cluster_cap=n - 1).collect()
+    assert len(rows) == n
+    assert all(r.group_size == 1 and r.is_canonical for r in rows)
+    # same k with the cap open: pairs exist (the cap was the only gate)
+    open_rows = semantic_dedup(spark, SF, k=1, iters=1, threshold=0.25,
+                               cluster_cap=n).collect()
+    assert any(r.group_size > 1 for r in open_rows)
