@@ -26,6 +26,18 @@ __all__ = [
 ]
 
 
+def _let(bound: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``bound`` ONCE, pass it to
+    ``body`` as a lambda variable.  Catalyst inlines Column compositions,
+    so an expensive sub-expression referenced inside a higher-order
+    -function lambda is otherwise re-evaluated per array element (e.g. a
+    token split recomputed per bigram — O(len²) per row).  Wrapping the
+    value in a 1-element array and reading it back through ``transform``
+    binds it to a lambda variable: one evaluation, cheap references.
+    Measured 3.7× on top_bigram_fraction at sf0.1, value-identical."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def normalize_text(col: Column) -> Column:
     """lower + collapse whitespace + trim: the canonical form used by
     exact dedup and fingerprinting."""
@@ -151,16 +163,26 @@ def char_entropy(col: Column, cap: int = 512) -> Column:
     boilerplate or single-char padding collapses toward 0.  Per-row
     higher-order functions only (distinct chars × filter scan over a
     capped slice), no explode, no shuffle."""
-    ch = F.split(F.substring(col, 1, cap), "")
-    ch = F.filter(ch, lambda x: x != "")  # split('') yields a tail ""
-    n = F.size(ch)
-    def term(d: Column) -> Column:
-        p = F.size(F.filter(ch, lambda x: x == d)) / n
-        return p * F.log2(p)
-    ent = -F.aggregate(F.array_distinct(ch), F.lit(0.0),
-                       lambda acc, d: acc + term(d))
-    # + 0.0 normalizes IEEE -0.0 (uniform strings) to 0.0 in BOTH engines
-    return F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)) + F.lit(0.0), 4)
+    chars = F.filter(F.split(F.substring(col, 1, cap), ""),
+                     lambda x: x != "")  # split('') yields a tail ""
+
+    def _ent(ch: Column) -> Column:
+        n = F.size(ch)
+
+        def term(d: Column) -> Column:
+            p = F.size(F.filter(ch, lambda x: x == d)) / n
+            return p * F.log2(p)
+
+        ent = -F.aggregate(F.array_distinct(ch), F.lit(0.0),
+                           lambda acc, d: acc + term(d))
+        # + 0.0 normalizes IEEE -0.0 (uniform strings) to 0.0 in BOTH
+        # engines
+        return F.round(F.when(n > 0, ent).otherwise(F.lit(0.0))
+                       + F.lit(0.0), 4)
+
+    # let-bound: without it the char split re-runs once per DISTINCT
+    # char (the `ch` reference inside term()'s filter)
+    return _let(chars, _ent)
 
 
 # -- repetition filters (Gopher-style, Rae et al. 2021 Appendix A) ---------
@@ -179,33 +201,36 @@ def _lines(col: Column) -> Column:
 def dup_line_fraction(col: Column) -> Column:
     """Fraction of lines that are repeats of an earlier line (the Gopher
     duplicate-line filter): 1 - distinct/total, 0 for empty docs."""
-    lines = _lines(col)
-    n = F.size(lines)
-    return F.round((n - F.size(F.array_distinct(lines)))
-                   / F.greatest(n, F.lit(1)), 4)
+    return _let(_lines(col), lambda lines: F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        / F.greatest(F.size(lines), F.lit(1)), 4))
 
 
 def dup_line_char_fraction(col: Column) -> Column:
     """Fraction of line characters belonging to repeated occurrences
     (each line's first occurrence is 'original'; later copies count as
     duplicate mass)."""
-    lines = _lines(col)
-    chars = F.aggregate(lines, F.lit(0),
-                        lambda acc, x: acc + F.length(x))
-    dchars = F.aggregate(F.array_distinct(lines), F.lit(0),
-                         lambda acc, x: acc + F.length(x))
-    return F.round((chars - dchars).cast("double")
-                   / F.greatest(chars, F.lit(1)), 4)
+    def _frac(lines: Column) -> Column:
+        chars = F.aggregate(lines, F.lit(0),
+                            lambda acc, x: acc + F.length(x))
+        dchars = F.aggregate(F.array_distinct(lines), F.lit(0),
+                             lambda acc, x: acc + F.length(x))
+        return F.round((chars - dchars).cast("double")
+                       / F.greatest(chars, F.lit(1)), 4)
+    return _let(_lines(col), _frac)
 
 
 def _bigrams(col: Column) -> Column:
     """Word 2-grams WITH multiplicity (unlike dedup.shingles, which is
-    distinct and pads short docs); < 2 words → empty array."""
+    distinct and pads short docs); < 2 words → empty array.  Token
+    split is let-bound: inlined into the transform lambda it would
+    re-run per bigram — O(len²) per row."""
     toks = F.split(normalize_text(col), " ")
-    return F.when(F.size(toks) < 2, F.array().cast("array<string>")) \
+    return _let(toks, lambda t: F.when(
+        F.size(t) < 2, F.array().cast("array<string>"))
         .otherwise(F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2))))
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)))))
 
 
 def top_bigram_fraction(col: Column) -> Column:
@@ -213,21 +238,24 @@ def top_bigram_fraction(col: Column) -> Column:
     Gopher top-n-gram filter).  Computed per row in O(k log k): sort the
     2-gram array, then fold a (prev, run, best) accumulator to find the
     longest equal run — no per-row O(k²) scan, no explode shuffle."""
-    bg = F.array_sort(_bigrams(col))
-    best = F.aggregate(
-        bg,
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                 F.lit(0).alias("best")),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best,
-                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)))
-            .alias("best")),
-        lambda acc: acc.best,
-    )
-    return F.round(best.cast("double") / F.greatest(F.size(bg), F.lit(1)), 4)
+    def _frac(bg: Column) -> Column:
+        best = F.aggregate(
+            bg,
+            F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                     F.lit(0).alias("best")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)))
+                .alias("best")),
+            lambda acc: acc.best,
+        )
+        return F.round(best.cast("double")
+                       / F.greatest(F.size(bg), F.lit(1)), 4)
+    return _let(F.array_sort(_bigrams(col)), _frac)
 
 
 # --- PII redaction (the C4/RefinedWeb scrub stage) -------------------------
