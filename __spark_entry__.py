@@ -432,24 +432,20 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC source surfaced in the gate (rows-only): serialize the pages
-    table into Common-Crawl-layout ``.warc.gz`` shards (fixture
-    generation — the only driver-side step), then run the distributed
-    path: binaryFile scan → mapInPandas record split → extraction.
-    Output must equal the parquet-sourced extraction per url."""
+    """WARC source surfaced in the gate (rows-only): pack the pages
+    table into Common-Crawl-layout ``.warc.gz`` shards with the
+    DISTRIBUTED shard packer (`warc_shards` applyInPandas — page bodies
+    never collect to the driver; only shard blobs do, in `write_warc`),
+    then run the read path: binaryFile scan → mapInPandas record split
+    → extraction.  Output must equal the parquet-sourced extraction
+    per url."""
     import tempfile
 
-    from lexor_spark.warc import build_warc, read_warc
+    from lexor_spark.warc import read_warc, write_warc
     d = tempfile.mkdtemp(prefix="sg_warc_")
-    rows = (pages_df(spark, sf_dir)
-            .select("url", F.date_format("warc_ts",
-                    "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"), "html")
-            .collect())
-    n_shards = max(1, len(rows) // 128)
-    for i in range(n_shards):
-        recs = [(r.url, r.ts, bytes(r.html)) for r in rows[i::n_shards]]
-        with open(f"{d}/shard{i:03d}.warc.gz", "wb") as fh:
-            fh.write(build_warc(recs, compress=True))
+    n_pages = pages_df(spark, sf_dir).count()
+    write_warc(pages_df(spark, sf_dir), d,
+               shards=max(1, n_pages // 128), compress=True)
     pages = (read_warc(spark, d)
              .withColumn("lang", F.lit("en"))
              .select("url", "warc_ts", "html", "lang"))
