@@ -45,22 +45,39 @@ def _open_tag(node: Element) -> str:
     return f"<{node.name}>"
 
 
-def write_html(root: Node) -> str:
+def write_html(root: Node, rules: dict = None) -> str:
     """Serialize a node (sub)tree back to HTML markup.
 
     Iterative DFS with explicit close events (recursion-free — same
-    hostile-depth contract as the parser)."""
+    hostile-depth contract as the parser).
+
+    ``rules`` is the W2 NodeWriter registry (``writerrules.WriterRule``
+    keyed by node name, reference `writer.py:54-99` — this writer is
+    the analogue of its DefaultWriter): a matching rule replaces the
+    default tag serialization; ``ctx`` is the output part list
+    (``ctx.append(s)``)."""
+    has_rules = bool(rules)
+    text_rule = rules.get("#text") if has_rules else None
+    entity_rule = rules.get("#entity") if has_rules else None
     out: list[str] = []
-    stack: list[tuple[Node, bool]] = [(root, False)]
+    # closing=1: default </name>; closing=2: rule end slot
+    stack: list[tuple[Node, int]] = [(root, 0)]
     while stack:
         node, closing = stack.pop()
         if closing:
-            out.append(f"</{node.name}>")
+            if closing == 2:
+                rules[node.name].end(out, node)
+            else:
+                out.append(f"</{node.name}>")
             continue
         cls = type(node)
         if cls is Text:
+            if text_rule is not None and text_rule.data(out, node):
+                continue
             out.append(node.data.translate(_TEXT_ESC))
         elif cls is Entity:
+            if entity_rule is not None and entity_rule.data(out, node):
+                continue
             out.append(node.data)
         elif cls is Comment:
             out.append(f"<!--{node.data}-->")
@@ -76,14 +93,27 @@ def write_html(root: Node) -> str:
             out.append(node.data)
             out.append(f"</{node.name}>")
         elif cls is Void:
+            if has_rules and node.name in rules:
+                r = rules[node.name]
+                r.start(out, node)
+                r.end(out, node)
+                continue
             out.append(_open_tag(node))
         elif isinstance(node, Element):
             if node.name.startswith("#"):  # Document / fragment roots
                 for child in reversed(node.children):
-                    stack.append((child, False))
+                    stack.append((child, 0))
+                continue
+            if has_rules and node.name in rules:
+                r = rules[node.name]
+                r.start(out, node)
+                stack.append((node, 2))
+                if r.child(node):
+                    for child in reversed(node.children):
+                        stack.append((child, 0))
                 continue
             out.append(_open_tag(node))
-            stack.append((node, True))
+            stack.append((node, 1))
             for child in reversed(node.children):
-                stack.append((child, False))
+                stack.append((child, 0))
     return "".join(out)

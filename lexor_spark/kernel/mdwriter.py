@@ -178,18 +178,31 @@ def _wrap_block(block: str, width: int) -> str:
     return ww.getvalue()
 
 
-def write_markdown(root: Node, width: int = None) -> str:
+def write_markdown(root: Node, width: int = None,
+                   rules: dict = None) -> str:
     """Convert a parsed DOM (sub)tree to Markdown text.
 
     ``width`` switches on W5 paragraph wrapping (reference
     `writer.py:233-346`); block constructs whose newlines are syntax
-    are never re-wrapped."""
+    are never re-wrapped.
+
+    ``rules`` is the W2 NodeWriter registry (``writerrules.WriterRule``
+    keyed by node name): a matching rule replaces the built-in handling
+    for that tag, writing through the ``_MD`` accumulator (``text`` /
+    ``wrap`` / ``flush_block`` / ``fenced``); ``#text``/``#entity``
+    rules may claim character nodes via ``data``."""
     md = _MD()
-    # events: (node, phase) — 0 = open, 1 = close
+    has_rules = bool(rules)
+    text_rule = rules.get("#text") if has_rules else None
+    entity_rule = rules.get("#entity") if has_rules else None
+    # events: (node, phase) — 0 = open, 1 = close, 2 = rule close
     stack: list[tuple[Node, int]] = [(root, 0)]
     while stack:
         node, phase = stack.pop()
         cls = type(node)
+        if phase == 2:
+            rules[node.name].end(md, node)
+            continue
         if phase == 1:
             name = node.name
             if name in _HEADINGS:
@@ -273,13 +286,22 @@ def write_markdown(root: Node, width: int = None) -> str:
             continue
 
         if cls is Text:
+            if text_rule is not None and text_rule.data(md, node):
+                continue
             md.text(node.data)
             continue
         if cls is Entity:
+            if entity_rule is not None and entity_rule.data(md, node):
+                continue
             md.text(_html.unescape(node.data))
             continue
         if cls is Void:
             name = node.name
+            if has_rules and name in rules:
+                r = rules[name]
+                r.start(md, node)
+                r.end(md, node)
+                continue
             if name == "br":
                 md.wrap("  \n")
             elif name == "hr":
@@ -294,6 +316,14 @@ def write_markdown(root: Node, width: int = None) -> str:
         if not isinstance(node, Element):
             continue  # comments, doctype, PIs, CDATA
         name = node.name
+        if has_rules and name in rules:
+            r = rules[name]
+            r.start(md, node)
+            stack.append((node, 2))
+            if r.child(node):
+                for child in reversed(node.children):
+                    stack.append((child, 0))
+            continue
         if name in _SKIP:
             continue
         if name == "pre":

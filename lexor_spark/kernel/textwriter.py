@@ -179,7 +179,8 @@ class _TextBuilder:
 
 def write_text(root: Element, width: Optional[int] = None,
                indent: str = "", pre_process=None,
-               post_process=None) -> tuple[str, list[Span]]:
+               post_process=None, rules: Optional[dict] = None
+               ) -> tuple[str, list[Span]]:
     """Serialize the selected subtree to plain text + source spans.
 
     Iterative DFS with explicit open/close events (the reference writer's
@@ -196,7 +197,16 @@ def write_text(root: Element, width: Optional[int] = None,
     ``pre_process(builder, root)`` / ``post_process(builder, root)`` are
     the writer's W2 hook slots (reference `writer.py:395-400`: called
     around ``_write``); the post hook still sees the builder before the
-    final result string is assembled."""
+    final result string is assembled.
+
+    ``rules`` is the W2 NodeWriter registry (``writerrules.WriterRule``
+    keyed by node name, reference `writer.py:54-99`): a matching rule
+    REPLACES the built-in handling for that tag — its ``start``/``end``
+    write via the builder, ``child`` gates descent, ``data`` (keys
+    ``#text``/``#entity``) may claim character nodes.  Rule-emitted
+    output carries no source span (it is style text, not document
+    text).  Absent/empty registry takes the pre-registry code path —
+    the extraction oracle pins those bytes."""
     tb = _TextBuilder()
     spans: list[Span] = []
     if pre_process is not None:
@@ -205,21 +215,31 @@ def write_text(root: Element, width: Optional[int] = None,
     request_break = tb.request_break
     span_append = spans.append
     block_level = _BLOCK_LEVEL.get
+    has_rules = bool(rules)
+    text_rule = rules.get("#text") if has_rules else None
+    entity_rule = rules.get("#entity") if has_rules else None
     # Stack items: (node, path, in_pre) visit events, or (None, level, 0)
     # close events with level<0 meaning a cell-space boundary.  Close
     # events are pushed only for elements whose close *does* something —
     # inline elements close silently, so they skip the event entirely.
+    # Rule close events are (None, rule, node): the level slot carries
+    # the WriterRule instead of an int.
     stack: list[tuple] = [(root, "", root.name == "pre")]
     while stack:
         node, path, in_pre = stack.pop()
         if node is None:  # close event; path carries the break level
-            if path < 0:
-                tb.add_space()
+            if type(path) is int:
+                if path < 0:
+                    tb.add_space()
+                else:
+                    request_break(path)
             else:
-                request_break(path)
+                path.end(tb, in_pre)  # rule close: in_pre slot = node
             continue
         cls = type(node)
         if cls is Text:
+            if text_rule is not None and text_rule.data(tb, node):
+                continue
             if in_pre:
                 if tb.add_verbatim(node.data) and node.start >= 0:
                     span_append(Span(node.start, node.end, path))
@@ -228,14 +248,22 @@ def write_text(root: Element, width: Optional[int] = None,
                     span_append(Span(node.start, node.end, path))
             continue
         if cls is Entity:
+            if entity_rule is not None and entity_rule.data(tb, node):
+                continue
             decoded = _html.unescape(node.data)
             if add_inline(decoded) and node.start >= 0:
                 span_append(Span(node.start, node.end, path))
             continue
         if cls is Void:
-            if node.name == "br":
+            name = node.name
+            if has_rules and name in rules:
+                r = rules[name]
+                r.start(tb, node)
+                r.end(tb, node)
+                continue
+            if name == "br":
                 request_break(_LINE)
-            elif node.name == "hr":
+            elif name == "hr":
                 request_break(_PARA)
             continue
         if cls is RawText:
@@ -243,6 +271,16 @@ def write_text(root: Element, width: Optional[int] = None,
         if not isinstance(node, Element):
             continue
         name = node.name
+        if has_rules and name in rules:
+            r = rules[name]
+            r.start(tb, node)
+            stack.append((None, r, node))
+            if r.child(node):
+                child_path = path + "/" + name if path else name
+                child_pre = in_pre or name == "pre"
+                for child in reversed(node.children):
+                    stack.append((child, child_path, child_pre))
+            continue
         level = block_level(name, 0)
         if level:
             request_break(level)
