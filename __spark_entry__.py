@@ -345,6 +345,8 @@ def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         'meta[name="description"]',       # attribute =
         'a[href^="/about"]',              # attribute prefix
         "main blockquote, article blockquote",  # comma group
+        "ul > li:first-child",            # CHILD pseudo subset
+        "ul > li:nth-child(2n)",          # an+b pseudo
     ]
     out = css_select(pages_df(spark, sf_dir), probes)
     return out.orderBy("url", "selector")

@@ -128,6 +128,44 @@ class Node:
                 return kids[k]
         return None
 
+    # reference-name alias (`node.py:155-164`: previous_element)
+    previous_element = prev_element
+
+    @property
+    def element_index(self) -> int:
+        """Number of preceding Element siblings (reference
+        `node.py:131-141`)."""
+        p = self.parent
+        if p is None:
+            return 0
+        kids = p.children
+        n = 0
+        for k in range(self.index):
+            if isinstance(kids[k], Element):
+                n += 1
+        return n
+
+    @property
+    def previous_sibling(self) -> Optional["Node"]:
+        """The node immediately preceding this one (reference
+        `node.py:143-153`): x.previous_sibling ⇔ x.parent[x.index-1]."""
+        p = self.parent
+        if p is None:
+            return None
+        i = self.index
+        return p.children[i - 1] if i > 0 else None
+
+    @property
+    def next_sibling(self) -> Optional["Node"]:
+        """The node immediately following this one (reference
+        `node.py:173-183`)."""
+        p = self.parent
+        if p is None:
+            return None
+        kids = p.children
+        i = self.index
+        return kids[i + 1] if i + 1 < len(kids) else None
+
     @property
     def owner(self) -> Optional["Document"]:
         """The Document at the root of this node's tree, if any (the

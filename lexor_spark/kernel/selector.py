@@ -17,10 +17,13 @@ Fidelity notes:
   compound selectors of ``TAG`` / ``#id`` / ``.class`` /
   ``[attr op value]``, the four combinators ``>`` ``+`` ``~``
   *descendant*, and comma-separated groups.
-* Pseudo-classes (`:nth-child` etc.) are tokenized by the reference
+* Pseudo-classes are tokenized by the reference
   (`selector.py:44-47,63-67`) but, with the compiler stubbed, never
-  matched; they are rejected here with a clear error instead of being
-  silently dropped.
+  matched.  This engine implements the CHILD subset for real —
+  ``:first-child``, ``:last-child``, ``:only-child``,
+  ``:nth-child(an+b | odd | even | k)`` with CSS semantics (positions
+  count Element siblings, 1-based) — and rejects the rest with a clear
+  error instead of silently dropping them.
 * Everything is iterative over short chains — matching walks parent /
   preceding-sibling links only, so hostile 5000-deep documents cannot
   overflow the stack (chain length = compounds in the selector, not
@@ -70,15 +73,18 @@ class SelectorError(ValueError):
 
 
 class Compound:
-    """One compound selector: ``tag#id.class[attr=v]`` with no spaces."""
+    """One compound selector: ``tag#id.class[attr=v]:pseudo``, no
+    spaces."""
 
-    __slots__ = ("tag", "ids", "classes", "attrs")
+    __slots__ = ("tag", "ids", "classes", "attrs", "pseudos")
 
     def __init__(self) -> None:
         self.tag: Optional[str] = None
         self.ids: list[str] = []
         self.classes: list[str] = []
         self.attrs: list[tuple[str, Optional[str], Optional[str]]] = []
+        # (name, None) for first/last/only-child, (name, (a, b)) for nth
+        self.pseudos: list[tuple[str, Optional[tuple[int, int]]]] = []
 
     def matches(self, node: Node) -> bool:
         if not isinstance(node, Element):
@@ -100,6 +106,9 @@ class Compound:
         for name, op, value in self.attrs:
             if not _attr_test(attrs.get(name), name in attrs, op, value):
                 return False
+        for name, ab in self.pseudos:
+            if not _pseudo_test(node, name, ab):
+                return False
         return True
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
@@ -107,7 +116,74 @@ class Compound:
         parts += [f"#{i}" for i in self.ids]
         parts += [f".{c}" for c in self.classes]
         parts += [f"[{n}{o or ''}{v or ''}]" for n, o, v in self.attrs]
+        parts += [f":{n}" + (f"({a}n+{b})" if ab else "")
+                  for n, ab in self.pseudos
+                  for a, b in ([ab] if ab else [(0, 0)])]
         return "".join(parts) or "*"
+
+
+def _pseudo_test(node: Element, name: str,
+                 ab: Optional[tuple[int, int]]) -> bool:
+    """CHILD pseudo-class semantics: positions count Element siblings
+    only (as CSS nth-child ignores text/comment nodes), 1-based.  One
+    linear pass over the parent's child list per candidate — pseudos
+    run last in `Compound.matches`, so only nodes surviving the cheap
+    tests pay it."""
+    p = node.parent
+    kids = p.children if p is not None else (node,)
+    if name == "first-child":
+        for k in kids:
+            if isinstance(k, Element):
+                return k is node
+        return False  # pragma: no cover - node is among kids
+    if name == "last-child":
+        for k in reversed(kids):
+            if isinstance(k, Element):
+                return k is node
+        return False  # pragma: no cover
+    if name == "only-child":
+        first = None
+        for k in kids:
+            if isinstance(k, Element):
+                if first is not None:
+                    return False
+                first = k
+        return first is node
+    # nth-child(an+b): exists n >= 0 with position == a*n + b
+    idx = 0
+    for k in kids:
+        if isinstance(k, Element):
+            idx += 1
+            if k is node:
+                break
+    a, b = ab
+    if a == 0:
+        return idx == b
+    q, r = divmod(idx - b, a)
+    return r == 0 and q >= 0
+
+
+_RE_NTH = re.compile(
+    r"^\s*(?:(odd|even)|([+-]?\d*)n\s*(?:([+-])\s*(\d+))?|([+-]?\d+))\s*$",
+    re.I)
+
+
+def _parse_nth(arg: str) -> tuple[int, int]:
+    """``an+b`` micro-grammar → (a, b): ``odd``/``even``/``3``/``2n``/
+    ``2n+1``/``-n+3``/``n``."""
+    m = _RE_NTH.match(arg)
+    if m is None:
+        raise SelectorError(f"bad :nth-child argument {arg!r}")
+    odd_even, a_txt, sign, b_txt, plain = m.groups()
+    if odd_even is not None:
+        return (2, 1) if odd_even.lower() == "odd" else (2, 0)
+    if plain is not None:
+        return (0, int(plain))
+    a = {"": 1, "+": 1, "-": -1}.get(a_txt, None)
+    if a is None:
+        a = int(a_txt)
+    b = int(sign + b_txt) if sign else 0
+    return (a, b)
 
 
 def _attr_test(got: Optional[str], present: bool,
@@ -207,10 +283,24 @@ def tokenize(selector: str) -> list[list[Union[str, Compound]]]:
                 continue
             m = _RE_PSEUDO.match(so_far)
             if m:
-                raise SelectorError(
-                    f"pseudo-class :{m.group(1)} is not supported (the "
-                    "reference tokenizes but never matches pseudos — its "
-                    "compiler is a stub, selector.py:224-228)")
+                pname = m.group(1).lower()
+                parg = m.group(2)
+                if pname in ("first-child", "last-child",
+                             "only-child") and parg is None:
+                    compound.pseudos.append((pname, None))
+                elif pname == "nth-child" and parg is not None:
+                    compound.pseudos.append(
+                        ("nth-child", _parse_nth(parg[1:-1])))
+                else:
+                    raise SelectorError(
+                        f"pseudo-class :{pname} is not supported (only "
+                        "the CHILD subset is implemented: first-child, "
+                        "last-child, only-child, nth-child(an+b); the "
+                        "reference tokenizes but never matches pseudos — "
+                        "its compiler is a stub, selector.py:224-228)")
+                so_far = so_far[m.end():]
+                matched_any = True
+                continue
             break
         if not matched_any:
             raise SelectorError(

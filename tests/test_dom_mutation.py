@@ -212,3 +212,25 @@ def test_positional_attribute_access():
 def test_document_create_element():
     el2 = Document.create_element("p", {"class": "x"})
     assert el2.name == "p" and el2.attrs == {"class": "x"} and len(el2) == 0
+
+
+def test_navigation_tails():
+    """N1 tail: previous_element / element_index / sibling properties
+    (reference node.py:131-192)."""
+    from lexor_spark.kernel.htmlparser import parse_html
+    doc, _ = parse_html(
+        "<html><body><p>a</p>mid<span>b</span>tail<em>c</em></body></html>")
+    body = doc.get_nodes_by_name("body")[0]
+    p, span, em = (body.children[0], body.children[2], body.children[4])
+    assert p.name == "p" and span.name == "span" and em.name == "em"
+    assert span.previous_element is p
+    assert span.prev_element is p          # short alias unchanged
+    assert p.previous_element is None
+    assert em.previous_element is span
+    assert [n.element_index for n in (p, span, em)] == [0, 1, 2]
+    # text nodes count element predecessors only
+    mid = body.children[1]
+    assert mid.element_index == 1 and mid.previous_sibling is p
+    assert mid.next_sibling is span
+    assert em.next_sibling is None
+    assert doc.previous_sibling is None and doc.next_sibling is None

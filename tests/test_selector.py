@@ -53,7 +53,7 @@ def test_tokenize_rejects_garbage_and_pseudos():
     with pytest.raises(SelectorError):
         tokenize("")
     with pytest.raises(SelectorError):
-        tokenize("p:nth-child(2)")
+        tokenize("p:nth-of-type(2)")  # outside the CHILD subset
     with pytest.raises(SelectorError):
         tokenize("p ? q")
 
@@ -339,3 +339,44 @@ def test_query_left_hand_outside_context():
     assert all(matches(n, "div + div p") for n in hits2)
     # but results never escape the context subtree
     assert query(main, "p") == [n for n in hits]
+
+
+# -- CHILD pseudo-class subset (exceeds the reference's stub compiler) ----
+
+def test_child_pseudos():
+    doc, _ = parse_html(
+        "<html><body><ul>"
+        "<li>a</li>text<li>b</li><li>c</li><li>d</li><li>e</li>"
+        "</ul><div><p>solo</p></div></body></html>")
+    def texts_of(sel):
+        return ["".join(n.data for n in el.iter()
+                        if type(n).__name__ == "Text")
+                for el in query(doc, sel)]
+    assert texts_of("li:first-child") == ["a"]
+    assert texts_of("li:last-child") == ["e"]
+    assert texts_of("li:nth-child(2)") == ["b"]
+    assert texts_of("li:nth-child(odd)") == ["a", "c", "e"]
+    assert texts_of("li:nth-child(even)") == ["b", "d"]
+    assert texts_of("li:nth-child(2n+1)") == ["a", "c", "e"]
+    assert texts_of("li:nth-child(-n+2)") == ["a", "b"]
+    assert texts_of("li:nth-child(n)") == ["a", "b", "c", "d", "e"]
+    assert texts_of("p:only-child") == ["solo"]
+    assert texts_of("li:only-child") == []
+    # positions count ELEMENT siblings (the text node is invisible)
+    assert texts_of("ul :nth-child(3)") == ["c"]
+    # pseudo composes with combinators and classes
+    assert texts_of("ul > li:last-child") == ["e"]
+    # matches() agrees with query()
+    li_b = query(doc, "li:nth-child(2)")[0]
+    assert matches(li_b, "li:nth-child(even)")
+    assert not matches(li_b, "li:first-child")
+
+
+def test_unsupported_pseudo_still_rejected():
+    import pytest as _pytest
+    with _pytest.raises(SelectorError):
+        tokenize("a:hover")
+    with _pytest.raises(SelectorError):
+        tokenize("li:nth-of-type(2)")
+    with _pytest.raises(SelectorError):
+        tokenize("li:nth-child(2x+1)")
