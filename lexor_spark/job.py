@@ -134,11 +134,19 @@ def _extract_batches_inner(batches: Iterator[pa.RecordBatch],
             schema=_ARROW_SCHEMA)
 
 
-def _extract_batches_wrapped(width: Optional[int], indent: str):
+def _extract_batches_wrapped(width: Optional[int], indent: str,
+                             kernel: Optional[str] = None):
     """Batch-UDF factory for the extraction kernel; ``(None, "")`` is
     the default raw-output path (bound once at module level below as
-    ``_extract_batches`` — a stable reference, no per-call closure)."""
+    ``_extract_batches`` — a stable reference, no per-call closure).
+
+    ``kernel`` ('fast'/'object') pins the worker-side kernel choice for
+    interleaved A/B benchmarking; None keeps the module default (the
+    array-backed fast path — byte-identical, differential-pinned)."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if kernel is not None:
+            from lexor_spark.kernel import pipeline as _pl
+            _pl.USE_FASTPATH = kernel != "object"
         gc_was_enabled = gc.isenabled()
         gc.disable()
         try:
@@ -155,7 +163,8 @@ _extract_batches = _extract_batches_wrapped(None, "")
 def extract_pages(pages: DataFrame, salt_buckets: int = 256,
                   partitions: Optional[int] = None,
                   width: Optional[int] = None,
-                  indent: str = "") -> DataFrame:
+                  indent: str = "",
+                  kernel: Optional[str] = None) -> DataFrame:
     """pages (url, html, ...) → extraction output DataFrame.
 
     Column-prunes to (url, html) *before* the exchange so the shuffle
@@ -164,11 +173,12 @@ def extract_pages(pages: DataFrame, salt_buckets: int = 256,
 
     ``width``/``indent`` switch the writer stage into the W5 wrap/indent
     mode (corpus-scale `lexor FILE to text --width`); defaults produce
-    the byte-pinned raw text of the north rule."""
+    the byte-pinned raw text of the north rule.  ``kernel`` pins the
+    worker-side kernel ('fast'/'object') for A/B runs."""
     salted = _salted_pages(pages, salt_buckets, partitions)
-    if width is None and not indent:
+    if width is None and not indent and kernel is None:
         return salted.mapInArrow(_extract_batches, OUTPUT_SCHEMA)
-    return salted.mapInArrow(_extract_batches_wrapped(width, indent),
+    return salted.mapInArrow(_extract_batches_wrapped(width, indent, kernel),
                              OUTPUT_SCHEMA)
 
 

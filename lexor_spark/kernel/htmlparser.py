@@ -39,7 +39,7 @@ from lexor_spark.kernel.dom import (
     ProcessingInstruction, RawText, Text, Void,
 )
 
-__all__ = ["parse_html", "LogEntry", "MSG"]
+__all__ = ["parse_html", "LogEntry", "MSG", "MSG_EXPLANATION", "explain"]
 
 MSG = {
     "E100": 'closing string for node "{0}" not found',
@@ -47,6 +47,77 @@ MSG = {
     "W101": 'ignoring stray end tag "{0}"',
     "W102": "malformed markup consumed as text",
 }
+
+# The reference's queryable explanation surface (`parser.py:417-450`,
+# surfaced by `command/lang.py:218-239` as a code→explanation map and by
+# `command/test.py:150-239` as embedded micro-tests).  Format contract:
+# each entry is prose followed by `Okay:`/`CODE:` lines — an `Okay:`
+# input must parse with NO diagnostics, a `CODE:` input must log that
+# code.  `tests/test_parser.py` extracts and runs every embedded case.
+MSG_EXPLANATION = [
+    """
+    - The parser did not find the closing construct for the given
+      node before the end of the input.
+
+    - Provide the closing tag (or closing sequence for comments,
+      CDATA sections and processing instructions).
+
+    Okay: <div></div>
+    Okay: <!-- note -->
+
+    E100: <div>
+    E100: <!-- note
+    E100: <script>var x = 1;
+""",
+    """
+    - The parser was forced to automatically close the node in
+      progress when it met an ancestor's end tag.
+
+    - Close the inner node before closing its ancestor.  Implied end
+      tags of idiomatic HTML (`<ul><li>x</ul>`, `<p>a<p>b`) are NOT
+      warnings — only a non-container mismatch is.
+
+    Okay: <a><p>stuff</p><p>stuff</p></a>
+    Okay: <a><p>stuff<p>stuff</p></a>
+    Okay: <ul><li>one<li>two</ul>
+
+    W100: <a><p>stuff<p>stuff</a>
+    W100: <div><b>bold</div>
+""",
+    """
+    - An end tag matched no open node and was ignored.
+
+    - Remove the stray end tag, or open the element it closes.
+
+    Okay: <p>text</p>
+
+    W101: <p>text</p></i>
+    W101: </div>
+""",
+    """
+    - A '<' looked like the start of a tag but no complete tag
+      followed; it was consumed as literal text.
+
+    - Escape literal '<' as &lt; in text content.
+
+    Okay: 1 &lt; 2
+    Okay: 1 < 2
+
+    W102: <notclosed
+""",
+]
+
+
+def explain(code: str) -> Optional[str]:
+    """Explanation text for a message code (the reference's
+    ``map_explanations`` query, `command/lang.py:218-239`): the first
+    MSG_EXPLANATION entry that mentions the code."""
+    if code not in MSG:
+        return None
+    for entry in MSG_EXPLANATION:
+        if code in entry:
+            return entry
+    return None  # pragma: no cover - every MSG code has an entry
 
 MODULE = "lexor_spark.kernel.htmlparser"
 

@@ -21,6 +21,13 @@ from lexor_spark.kernel.textwriter import write_text
 
 __all__ = ["ExtractResult", "extract_document"]
 
+# Default extraction runs on the array-backed kernel (`fastpath`), which
+# is byte-identical to the object path (differential-pinned by
+# tests/test_fastpath.py) and ~1.5× faster serially.  The object path
+# remains for width/indent writer modes and as the A/B reference.
+USE_FASTPATH = True
+_fast_extract = None  # lazy import (fastpath imports this module's peers)
+
 # Hard ceiling on document size (decoded chars); larger inputs are truncated
 # and flagged — a 100 MB single blob must degrade to an error-ish row, not a
 # straggler task (SURVEY.md §7 "hostile inputs at scale").
@@ -72,6 +79,13 @@ def extract_document(html: Union[bytes, str], uri: str = "",
         if len(text) > MAX_CHARS:
             text = text[:MAX_CHARS]
             res.truncated = True
+        if USE_FASTPATH and width is None and not indent:
+            global _fast_extract
+            if _fast_extract is None:
+                from lexor_spark.kernel.fastpath import fast_extract
+                _fast_extract = fast_extract
+            _fast_extract(res, text)
+            return res
         doc, log = parse_html(text, uri)
         res.codes = [e.code for e in log]
         meta = collect_meta(doc)

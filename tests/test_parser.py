@@ -177,3 +177,39 @@ def test_parse_hooks_p8():
     doc2, _ = parse_html("<p>a</p>&amp;tail")
     from lexor_spark.kernel.htmlwriter import write_html
     assert write_html(doc2) == write_html(doc)
+
+
+# -- L5: MSG_EXPLANATION map + embedded micro-tests (reference
+# command/test.py:150-239 mechanism, command/lang.py:218-239 query) ------
+
+def _embedded_cases():
+    import re as _re
+    from lexor_spark.kernel.htmlparser import MSG_EXPLANATION
+    case_re = _re.compile(r"^(Okay|[A-Z]\d+):\s*(.*)$")
+    for entry in MSG_EXPLANATION:
+        for line in entry.splitlines():
+            m = case_re.match(line.strip())
+            if m:
+                yield m.group(1), m.group(2)
+
+
+def test_every_msg_code_has_explanation():
+    from lexor_spark.kernel.htmlparser import MSG, explain
+    for code in MSG:
+        text = explain(code)
+        assert text and code in text
+    assert explain("E999") is None
+
+
+def test_msg_explanation_embedded_cases():
+    """The reference's find_failed contract: an `Okay:` input parses
+    with no diagnostics; a `CODE:` input logs that code."""
+    cases = list(_embedded_cases())
+    assert len(cases) >= 12
+    for code, snippet in cases:
+        _, log = parse_html(snippet)
+        got = [e.code for e in log]
+        if code == "Okay":
+            assert got == [], (snippet, got)
+        else:
+            assert code in got, (snippet, got)
