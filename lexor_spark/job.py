@@ -103,7 +103,9 @@ def _salted_pages(pages: DataFrame, salt_buckets: int,
 
 def _extract_batches_inner(batches: Iterator[pa.RecordBatch],
                            width: Optional[int] = None,
-                           indent: str = "") -> Iterator[pa.RecordBatch]:
+                           indent: str = "",
+                           style: Optional[str] = None
+                           ) -> Iterator[pa.RecordBatch]:
     for batch in batches:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
@@ -111,7 +113,7 @@ def _extract_batches_inner(batches: Iterator[pa.RecordBatch],
         for url, html in zip(urls, htmls):
             t0 = time.perf_counter_ns()
             res = extract_document(html if html is not None else b"", url,
-                                   width, indent)
+                                   width, indent, style)
             dt_us = (time.perf_counter_ns() - t0) // 1000
             out["url"].append(url)
             out["text"].append(res.text)
@@ -135,14 +137,17 @@ def _extract_batches_inner(batches: Iterator[pa.RecordBatch],
 
 
 def _extract_batches_wrapped(width: Optional[int], indent: str,
-                             kernel: Optional[str] = None):
+                             kernel: Optional[str] = None,
+                             style: Optional[str] = None):
     """Batch-UDF factory for the extraction kernel; ``(None, "")`` is
     the default raw-output path (bound once at module level below as
     ``_extract_batches`` — a stable reference, no per-call closure).
 
     ``kernel`` ('fast'/'object') pins the worker-side kernel choice for
     interleaved A/B benchmarking; None keeps the module default (the
-    array-backed fast path — byte-identical, differential-pinned)."""
+    array-backed fast path — byte-identical, differential-pinned).
+    ``style`` names a W2 writer-rule registry (`kernel/styles.py`),
+    resolved worker-side so only the string crosses the closure."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         if kernel is not None:
             from lexor_spark.kernel import pipeline as _pl
@@ -150,7 +155,7 @@ def _extract_batches_wrapped(width: Optional[int], indent: str,
         gc_was_enabled = gc.isenabled()
         gc.disable()
         try:
-            yield from _extract_batches_inner(batches, width, indent)
+            yield from _extract_batches_inner(batches, width, indent, style)
         finally:
             if gc_was_enabled:
                 gc.enable()
@@ -164,7 +169,8 @@ def extract_pages(pages: DataFrame, salt_buckets: int = 256,
                   partitions: Optional[int] = None,
                   width: Optional[int] = None,
                   indent: str = "",
-                  kernel: Optional[str] = None) -> DataFrame:
+                  kernel: Optional[str] = None,
+                  style: Optional[str] = None) -> DataFrame:
     """pages (url, html, ...) → extraction output DataFrame.
 
     Column-prunes to (url, html) *before* the exchange so the shuffle
@@ -174,12 +180,20 @@ def extract_pages(pages: DataFrame, salt_buckets: int = 256,
     ``width``/``indent`` switch the writer stage into the W5 wrap/indent
     mode (corpus-scale `lexor FILE to text --width`); defaults produce
     the byte-pinned raw text of the north rule.  ``kernel`` pins the
-    worker-side kernel ('fast'/'object') for A/B runs."""
+    worker-side kernel ('fast'/'object') for A/B runs.  ``style`` names
+    a W2 writer-rule registry (`kernel/styles.py` — e.g.
+    'training_text': visible link targets, image placeholders, table
+    omission markers); the name is validated on the driver so a typo
+    fails fast, and resolved again worker-side."""
+    if style is not None:
+        from lexor_spark.kernel.styles import style_rules
+        style_rules(style)  # driver-side validation
     salted = _salted_pages(pages, salt_buckets, partitions)
-    if width is None and not indent and kernel is None:
+    if width is None and not indent and kernel is None and style is None:
         return salted.mapInArrow(_extract_batches, OUTPUT_SCHEMA)
-    return salted.mapInArrow(_extract_batches_wrapped(width, indent, kernel),
-                             OUTPUT_SCHEMA)
+    return salted.mapInArrow(
+        _extract_batches_wrapped(width, indent, kernel, style),
+        OUTPUT_SCHEMA)
 
 
 def partition_metrics(extracted: DataFrame) -> DataFrame:

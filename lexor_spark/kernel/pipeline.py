@@ -34,6 +34,21 @@ _fast_extract = None  # lazy import (fastpath imports this module's peers)
 MAX_CHARS = 8_000_000
 
 
+def _keep_styled(rules: dict):
+    """Decide wrapper for styled extraction: tags the style hooks are
+    COPYed instead of UNWRAPped so their writer rules can fire; every
+    other decision is the stock extraction rule-set."""
+    from lexor_spark.kernel.extractor import COPY, UNWRAP, extraction_decide
+    keep = frozenset(k for k in rules if not k.startswith("#"))
+
+    def decide(node):
+        d = extraction_decide(node)
+        if d == UNWRAP and node.name in keep:
+            return COPY
+        return d
+    return decide
+
+
 class ExtractResult:
     """One output record. ``ok=False`` rows carry the error string instead
     of failing the task — error rows are data at 10^12-document scale."""
@@ -66,20 +81,28 @@ def _decode(html: Union[bytes, bytearray, memoryview, str]) -> str:
 
 def extract_document(html: Union[bytes, str], uri: str = "",
                      width: Optional[int] = None,
-                     indent: str = "") -> ExtractResult:
+                     indent: str = "",
+                     style: Optional[str] = None) -> ExtractResult:
     """Extract main-content text + spans from one HTML document.
 
     ``width``/``indent`` opt into the W5 wrap/indent writer engine
-    (reference `writer.py:233-346`); the defaults keep the byte-pinned
-    raw output the extraction oracle verifies."""
+    (reference `writer.py:233-346`); ``style`` selects a named W2
+    NodeWriter-rule registry (`kernel/styles.py` — writer styles as
+    config, the reference's style-plugin premise, `writer.py:419-445`).
+    The defaults keep the byte-pinned raw output the extraction oracle
+    verifies."""
     res = ExtractResult()
     doc = converted = None
     try:
+        rules = None
+        if style is not None:
+            from lexor_spark.kernel.styles import style_rules
+            rules = style_rules(style)
         text = _decode(html)
         if len(text) > MAX_CHARS:
             text = text[:MAX_CHARS]
             res.truncated = True
-        if USE_FASTPATH and width is None and not indent:
+        if USE_FASTPATH and width is None and not indent and rules is None:
             global _fast_extract
             if _fast_extract is None:
                 from lexor_spark.kernel.fastpath import fast_extract
@@ -92,13 +115,23 @@ def extract_document(html: Union[bytes, str], uri: str = "",
         res.title = meta.get("title")
         res.description = meta.get("description")
         res.lang_attr = meta.get("lang")
-        converted = convert(doc)
+        if rules is None:
+            converted = convert(doc)
+        else:
+            # A style's rules need their tags to SURVIVE conversion:
+            # the default rule-set UNWRAPs inline wrappers (e.g. <a>),
+            # which would make a rule keyed on them unreachable.  Same
+            # coupling as the reference, where styles configure the
+            # converter and the writer together (style modules carry
+            # both NodeConverters and NodeWriters).
+            converted = convert(doc, decide=_keep_styled(rules))
         # the parsed tree is no longer needed: dispose now (breaks cycles
         # for refcount-free'ing) and reuse the same walk for n_nodes
         res.n_nodes = dispose(doc)
         doc = None
         main = select_main(converted)
-        res.text, spans = write_text(main, width=width, indent=indent)
+        res.text, spans = write_text(main, width=width, indent=indent,
+                                     rules=rules)
         res.spans = [s.as_tuple() for s in spans]
     except Exception as exc:  # hostile input → error row, not task failure
         res.ok = False

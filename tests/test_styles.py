@@ -1,0 +1,68 @@
+"""Named writer styles (`kernel/styles.py`): the shipped
+'training_text' W2 rule registry through the full extraction pipeline
+(parse → convert → styled write), plus default-path byte identity."""
+
+from __future__ import annotations
+
+import pytest
+
+from lexor_spark.kernel import extract_document
+from lexor_spark.kernel.styles import STYLES, style_rules
+
+PAGE = (
+    "<html><head><title>T</title></head><body><main>"
+    '<p>Read the <a href="/docs/guide">full guide</a> and the '
+    '<a href="#top">top link</a> and <a href="javascript:void(0)">js</a>.</p>'
+    '<p><img src="/x.png" alt="sales chart"> and <img src="/y.png"></p>'
+    "<table><tr><th>h1</th><th>h2</th></tr>"
+    "<tr><td>a</td><td>b</td></tr></table>"
+    "<p>After.</p>"
+    "</main></body></html>"
+)
+
+
+def test_link_targets_visible():
+    res = extract_document(PAGE, style="training_text")
+    assert res.ok
+    assert "full guide </docs/guide>" in res.text
+    # fragment-only and javascript: targets stay invisible
+    assert "<#top>" not in res.text
+    assert "javascript" not in res.text
+    assert "top link" in res.text and "js" in res.text
+
+
+def test_image_placeholder_only_with_alt():
+    res = extract_document(PAGE, style="training_text")
+    assert "[image: sales chart]" in res.text
+    # alt-less image: silent (no bare [image: ] marker)
+    assert "[image: ]" not in res.text
+
+
+def test_table_omitted_with_cell_count():
+    res = extract_document(PAGE, style="training_text")
+    assert "[table: 4 cells]" in res.text
+    for cell in ("h1", "h2"):
+        assert cell not in res.text
+    assert "After." in res.text
+
+
+def test_default_path_unaffected():
+    plain = extract_document(PAGE)
+    assert "full guide" in plain.text
+    assert "</docs/guide>" not in plain.text
+    assert "[table:" not in plain.text
+    # table cells render in the default style
+    assert "a b" in plain.text
+
+
+def test_unknown_style_fails_fast():
+    with pytest.raises(KeyError, match="training_text"):
+        style_rules("no_such_style")
+    assert "training_text" in STYLES
+
+
+def test_styled_output_is_deterministic():
+    a = extract_document(PAGE, style="training_text")
+    b = extract_document(PAGE, style="training_text")
+    assert a.text == b.text
+    assert a.spans == b.spans
