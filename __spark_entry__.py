@@ -233,6 +233,14 @@ def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_clusters(spark, sf_dir, k=8, iters=3)
 
 
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pq_codes(spark, sf_dir)
+
+
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_pq(spark, sf_dir, query_id=0, topk=10)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(spark, sf_dir, k=8, iters=2, threshold=0.25)
 
@@ -329,6 +337,37 @@ def _q_to_text_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("url", F.md5("text").alias("wrapped_md5"),
                        "n_chars_out", "ok")
             .orderBy("url"))
+
+
+def _q_styled_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 writer styles as config at corpus scale (rows-only): the
+    extraction pipeline under the 'training_text' NodeWriter-rule
+    registry (`kernel/styles.py` — visible link targets, image
+    placeholders, table-omission markers; reference NodeWriter contract
+    `writer.py:54-99`, per-style dispatch `writer.py:419-445`)."""
+    out = extract_pages(pages_df(spark, sf_dir), style="training_text")
+    return (out.select("url", F.md5("text").alias("styled_md5"),
+                       "n_chars_out", "ok")
+            .orderBy("url"))
+
+
+def _q_log_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 msg-code explanation surface over corpus diagnostics
+    (rows-only: the codes come from the kernel's parse log): explode
+    per-url log codes from the extraction output, count per code, and
+    attach the MSG_EXPLANATION text (reference `lang.py:218-236` map,
+    surfaced at `command/test.py:150-239`) via a broadcast join —
+    'which parse diagnostics does this crawl produce, what do they
+    mean, how common are they'."""
+    from lexor_spark.kernel.htmlparser import MSG, explain
+    out = extract_pages(pages_df(spark, sf_dir))
+    counts = (out.select(F.explode("codes").alias("code"))
+              .groupBy("code").agg(F.count("*").alias("n")))
+    expl = spark.createDataFrame(
+        [(code, explain(code) or "") for code in sorted(MSG)],
+        "code string, explanation string")
+    return (counts.join(F.broadcast(expl), "code", "left")
+            .orderBy(F.col("n").desc(), "code"))
 
 
 def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
         "ann_ivf": _q_ann_ivf,
+        "pq_codes": _q_pq_codes,
+        "ann_pq": _q_ann_pq,
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -647,6 +688,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_normalize": _q_html_normalize,
         # W5 wrap/indent writer at corpus scale (rows-only)
         "to_text_wrapped": _q_to_text_wrapped,
+        # W2 writer styles as config at corpus scale (rows-only)
+        "styled_text": _q_styled_text,
+        # L5 msg-code explanation map over corpus diagnostics (rows-only)
+        "log_explanations": _q_log_explanations,
         # PDF extraction (pure-Python kernel; rows-only)
         "pdf_extract": _q_pdf_extract,
         # multimodal: real BMP/WAV codecs + deterministic-fallback
@@ -700,6 +745,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": sim.cosine_topk_sql(query_id=0, k=10),
         "ann_bucketed": sim.ann_bucketed_sql(query_id=0, k=10),
         "ann_ivf": sim.ann_ivf_sql(query_id=0, k=10),
+        "pq_codes": sim.pq_codes_sql(),
+        "ann_pq": sim.ann_pq_sql(query_id=0, topk=10),
         "kmeans_clusters": sim.kmeans_clusters_sql(k=8, iters=3),
         "semantic_dedup": sim.semantic_dedup_sql(k=8, iters=2,
                                                  threshold=0.25),

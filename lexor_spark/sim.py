@@ -637,3 +637,225 @@ where bucket = qb
 order by sim desc, vec_id
 limit {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed embeddings + ADC search
+# ---------------------------------------------------------------------------
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011): split each d-dim vector into M subspaces of
+# d/M dims, k-means each subspace independently (K codewords), store a
+# vector as M small codes (here M·ceil(log2 K) bits ≈ 12 bits vs
+# 64·32 = 2048 — the compression that makes a 10^12-vector index fit
+# in memory), and answer queries by Asymmetric Distance Computation:
+# the query stays uncompressed, per-subspace distances to all K
+# codewords form an M×K lookup table, and a database vector's distance
+# is the sum of M table entries — no decompression, no per-pair
+# arithmetic beyond M adds.  This is the PQ half of IVF-PQ (FAISS's
+# production shape; `ann_ivf` above is the IVF half).
+#
+# Determinism recipe (what makes the DuckDB value oracle possible) is
+# the one `kmeans_clusters` proved: seedless init (codeword c of
+# subspace s = sub-slice of vec_id < K), round-6 squared-L2 with cid
+# tie-break on the argmin, round-6 centroid means each round, FIXED
+# iteration count so the SQL mirror unrolls as CTEs.  ADC sums M
+# round-6 table entries — multiples of 1e-6, so the final round-6 of
+# the sum sits ON the rounding grid, never at a half-boundary.
+
+PQ_SUBSPACES = 4   # M
+PQ_CODEWORDS = 8   # K per subspace
+PQ_ITERS = 2
+# Like MATMUL_M_THRESHOLD: above this codebook size the K-way
+# broadcast-join argmin (K× row amplification per subspace row) should
+# route through assign_cells_matmul per subspace (one GEMM per Arrow
+# batch).  The gate's K=8 stays on the expression path so the DuckDB
+# oracle compares the identical plan.
+PQ_MATMUL_THRESHOLD = 64
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance via dot products (PQ's native metric)."""
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def _pq_subrows(emb: DataFrame, m: int, width: int) -> DataFrame:
+    """(vec_id, sub, sv): one row per vector per subspace — a pure
+    projection (posexplode of M array slices), no shuffle."""
+    slices = F.array(*[
+        F.slice("embedding", s * width + 1, width) for s in range(m)])
+    return emb.select(
+        "vec_id", F.posexplode(slices).alias("sub", "sv"))
+
+
+def _pq_assign(sub_rows: DataFrame, cents: DataFrame,
+               k: int) -> DataFrame:
+    """Nearest codeword per (vec_id, sub): round-6 squared-L2 argmin,
+    cid tie-break — `_assign_nearest`'s shape keyed by subspace.  The
+    centroid side is M·K rows (broadcast); above PQ_MATMUL_THRESHOLD
+    route each subspace through `assign_cells_matmul` instead of
+    taking the K× amplification."""
+    d = F.round(_l2sq(F.col("sv"), F.col("cv")), 6)
+    ranked = (sub_rows.join(F.broadcast(cents), "sub")
+              .select("vec_id", "sub", "sv", "cid", d.alias("d")))
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
+    return (ranked.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "sv", "cid", "d"))
+
+
+def _pq_codebook(sub_rows: DataFrame, k: int, iters: int) -> DataFrame:
+    """Per-subspace Lloyd loop → (sub, cid, cv).  Per round: one
+    broadcast of the M·K-row codebook for assignment, one
+    map-side-combinable avg on (sub, cid, dim) for the update — M·K·
+    (d/M) rows out of the agg regardless of corpus size; the corpus is
+    scanned per round but never shuffled."""
+    cents = (sub_rows.filter(F.col("vec_id") < k)
+             .select("sub", F.col("vec_id").alias("cid"),
+                     F.col("sv").alias("cv")))
+    for _ in range(iters):
+        assigned = _pq_assign(sub_rows, cents, k)
+        ex = assigned.select(
+            "sub", "cid", F.posexplode("sv").alias("pos", "val"))
+        means = (ex.groupBy("sub", "cid", "pos")
+                 .agg(F.round(F.avg("val"), 6).alias("m")))
+        cents = (means.groupBy("sub", "cid")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s.m).alias("cv")))
+    return cents
+
+
+def pq_encode(emb: DataFrame, m: int = PQ_SUBSPACES,
+              k: int = PQ_CODEWORDS, iters: int = PQ_ITERS
+              ) -> tuple[DataFrame, DataFrame]:
+    """Train the codebook and encode: returns ``(codes, codebook)``
+    where codes = (vec_id, sub, cid) and codebook = (sub, cid, cv)."""
+    sub_rows = _pq_subrows(emb, m, _pq_width(emb, m))
+    cents = _pq_codebook(sub_rows, k, iters)
+    final = _pq_assign(sub_rows, cents, k)
+    return final.select("vec_id", "sub", "cid"), cents
+
+
+def _pq_width(emb: DataFrame, m: int) -> int:
+    """Subspace width from the (fixed) embedding dimensionality.  One
+    1-row action against the scan — metadata-cheap, and the layout is a
+    table property at 10^12 scale anyway (stored in the catalog, not
+    re-derived; the probe is the sandbox stand-in)."""
+    dim = emb.select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by M={m}")
+    return dim // m
+
+
+def pq_codes(spark: SparkSession, sf_dir: str, m: int = PQ_SUBSPACES,
+             k: int = PQ_CODEWORDS, iters: int = PQ_ITERS) -> DataFrame:
+    """PQ-compress the embedding corpus: (vec_id, codes) with codes =
+    the M codeword ids in subspace order — the stored representation
+    (M·log2 K bits/vector) of the PQ index."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    codes, _ = pq_encode(emb, m, k, iters)
+    return (codes.groupBy("vec_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                lambda s: s.cid).alias("codes"))
+            .orderBy("vec_id"))
+
+
+def ann_pq(spark: SparkSession, sf_dir: str, query_id: int = 0,
+           topk: int = 10, m: int = PQ_SUBSPACES, k: int = PQ_CODEWORDS,
+           iters: int = PQ_ITERS) -> DataFrame:
+    """ADC top-k: the query stays uncompressed; per-subspace distances
+    to every codeword form an M×K lookup table (broadcast — it IS the
+    whole per-query state), and each database vector's approximate
+    distance is the sum of its M codes' table entries.  The scan side
+    moves (vec_id, sub, cid) only — never the vectors.
+
+    Output: (vec_id, adist) — round-6 squared-L2 estimate, ascending,
+    vec_id tie-break, query itself included (adist is its own
+    quantization error, the standard PQ sanity check)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    width = _pq_width(emb, m)
+    codes, cents = pq_encode(emb, m, k, iters)
+    qsub = _pq_subrows(emb.filter(F.col("vec_id") == query_id), m, width) \
+        .select("sub", F.col("sv").alias("qv"))
+    lut = (cents.join(F.broadcast(qsub), "sub")
+           .select("sub", "cid",
+                   F.round(_l2sq(F.col("qv"), F.col("cv")), 6).alias("d")))
+    return (codes.join(F.broadcast(lut), ["sub", "cid"])
+            .groupBy("vec_id")
+            .agg(F.round(F.sum("d"), 6).alias("adist"))
+            .orderBy("adist", "vec_id")
+            .limit(topk))
+
+
+def _pq_sql_parts(m: int, k: int, iters: int, width: int) -> list[str]:
+    """CTE list computing ``pfinal(vec_id, sub, cid)`` and the final
+    codebook ``pc{iters}(sub, cid, cv)`` — shared by
+    :func:`pq_codes_sql` and :func:`ann_pq_sql`."""
+    l2 = ("(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}))")
+
+    def assign(src_c: str, out: str) -> str:
+        d = l2.format(a="s.sv", b="c.cv")
+        return (f"{out} as (\n"
+                f"  select vec_id, sub, sv, cid from (\n"
+                f"    select s.vec_id, s.sub, s.sv, c.cid,\n"
+                f"           row_number() over (partition by s.vec_id, s.sub\n"
+                f"                              order by round({d}, 6), "
+                f"c.cid) as rn\n"
+                f"    from s join {src_c} c on s.sub = c.sub)\n"
+                f"  where rn = 1\n)")
+
+    sub_selects = " union all ".join(
+        f"select vec_id, {s} as sub, "
+        f"v[{s * width + 1}:{(s + 1) * width}] as sv from e"
+        for s in range(m))
+    parts = ["e as (select vec_id, embedding::DOUBLE[] as v "
+             "from embeddings)",
+             f"s as ({sub_selects})",
+             f"pc0 as (select sub, vec_id as cid, sv as cv from s "
+             f"where vec_id < {k})"]
+    for t in range(iters):
+        parts.append(assign(f"pc{t}", f"pa{t}"))
+        parts.append(
+            f"pm{t} as (\n"
+            f"  select sub, cid, i, round(avg(val), 6) as m from (\n"
+            f"    select sub, cid, generate_subscripts(sv, 1) as i, "
+            f"unnest(sv) as val from pa{t})\n"
+            f"  group by sub, cid, i\n)")
+        parts.append(
+            f"pc{t + 1} as (select sub, cid, list(m order by i) as cv "
+            f"from pm{t} group by sub, cid)")
+    parts.append(assign(f"pc{iters}", "pfinal"))
+    return parts
+
+
+def pq_codes_sql(m: int = PQ_SUBSPACES, k: int = PQ_CODEWORDS,
+                 iters: int = PQ_ITERS, width: int = 16) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`pq_codes`."""
+    return ("with " + ",\n".join(_pq_sql_parts(m, k, iters, width)) +
+            "\nselect vec_id, list(cid order by sub) as codes "
+            "from pfinal group by vec_id order by vec_id")
+
+
+def ann_pq_sql(query_id: int = 0, topk: int = 10, m: int = PQ_SUBSPACES,
+               k: int = PQ_CODEWORDS, iters: int = PQ_ITERS,
+               width: int = 16) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`ann_pq`."""
+    l2 = ("(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}))")
+    d = l2.format(a="q.qv", b="c.cv")
+    parts = _pq_sql_parts(m, k, iters, width)
+    parts.append(f"qsub as (select sub, sv as qv from s "
+                 f"where vec_id = {query_id})")
+    parts.append(f"lut as (select c.sub, c.cid, round({d}, 6) as d\n"
+                 f"  from pc{iters} c join qsub q on c.sub = q.sub)")
+    return ("with " + ",\n".join(parts) + f"""
+select p.vec_id, round(sum(l.d), 6) as adist
+from pfinal p join lut l on p.sub = l.sub and p.cid = l.cid
+group by p.vec_id
+order by adist, p.vec_id
+limit {topk}
+""")

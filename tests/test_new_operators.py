@@ -508,3 +508,47 @@ def test_semantic_dedup_cluster_cap_bounds_pairs(spark):
     open_rows = semantic_dedup(spark, SF, k=1, iters=1, threshold=0.25,
                                cluster_cap=n).collect()
     assert any(r.group_size > 1 for r in open_rows)
+
+
+def test_pq_codes_shape_and_range(spark):
+    """PQ codes: one row per vector, M codes each, all in [0, K)."""
+    from lexor_spark.sim import PQ_CODEWORDS, PQ_SUBSPACES, pq_codes
+
+    out = pq_codes(spark, SF).collect()
+    assert len(out) == 500
+    for r in out:
+        assert len(r["codes"]) == PQ_SUBSPACES
+        assert all(0 <= c < PQ_CODEWORDS for c in r["codes"])
+
+
+def test_pq_adc_tracks_true_distance(spark):
+    """ADC is an approximation of true squared-L2: over the whole
+    corpus the ADC estimate must correlate positively with the exact
+    distance (the synthetic embeddings are near-isotropic, the hardest
+    case for a 4×8 codebook — exactness across engines is pinned by the
+    DuckDB value oracle, this guards the estimator's sanity), and the
+    query's own ADC distance (its quantization error) must sit far
+    below the corpus median."""
+    import numpy as np
+
+    from lexor_spark.sim import ann_pq
+
+    got = ann_pq(spark, SF, query_id=0, topk=500).collect()
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select("vec_id", "embedding").collect()}
+    q = emb[0]
+    adist = np.array([r["adist"] for r in got])
+    true = np.array([float(((emb[r["vec_id"]] - q) ** 2).sum())
+                     for r in got])
+    corr = np.corrcoef(adist, true)[0, 1]
+    assert corr > 0.5, corr
+    own = next(r["adist"] for r in got if r["vec_id"] == 0)
+    assert own < np.median(adist) / 2
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from lexor_spark.sim import pq_codes
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codes(spark, SF, m=5)
