@@ -126,6 +126,8 @@ def main() -> None:
         "ann_bucketed": lambda: sim.ann_bucketed(spark, SF_DIR, query_id=0, k=10),
         "kmeans_clusters": lambda: sim.kmeans_clusters(spark, SF_DIR, k=8, iters=3),
         "ann_ivf": lambda: sim.ann_ivf(spark, SF_DIR, query_id=0, k=10),
+        "pq_codes": lambda: sim.pq_codes(spark, SF_DIR),
+        "ann_pq": lambda: sim.ann_pq(spark, SF_DIR, query_id=0, topk=10),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -53,8 +53,22 @@ NOTES = {
         "fan-out of the sandbox's single-split file (a no-op on real "
         "tables), the upper one the gate's orderBy."),
     "domain_cap": (
-        "One Window on the domain key (the only exchange); host/domain "
-        "extraction is a scan-side regex."),
+        "Two-phase cap: first Window partitions by (domain, salt) — a "
+        "mega-domain spreads over S tasks — then the survivors (≤ S·k "
+        "rows per domain) re-cap within domain; host/domain extraction "
+        "is a scan-side regex."),
+    "semantic_dedup": (
+        "SemDeDup: k-means rounds (centroid table broadcasts, update is "
+        "a map-side-combinable (cid,dim) avg), then the within-cluster "
+        "pair join runs behind a CLUSTER_PAIR_CAP Window on the cid key "
+        "— ids-only through the shuffle, vectors re-attached to "
+        "surviving pairs."),
+    "ann_pq": (
+        "ADC search: the M×K lookup table (query-to-codeword distances) "
+        "BROADCASTS — it is the whole per-query state; the corpus side "
+        "moves (vec_id, sub, cid) codes only, never vectors, and the "
+        "per-vector distance is one map-side-combinable sum of M table "
+        "entries."),
     "decontam_overlap": (
         "Eval grams BROADCAST (BroadcastHashJoin): the training side "
         "never shuffles; only matching grams reach the pair aggregate."),
@@ -111,7 +125,7 @@ def main() -> None:
                  "cosine_dup_pairs", "repetition_stats", "domain_cap",
                  "decontam_overlap", "ann_ivf", "css_select",
                  "span_dedup", "lm_score", "hash_split",
-                 "sample_stratified"):
+                 "sample_stratified", "semantic_dedup", "ann_pq"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
