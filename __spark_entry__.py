@@ -271,6 +271,44 @@ def _q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfns.url_stats(_urls_df(spark, sf_dir))
 
 
+def _messy_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically messy URLs (case, default ports, tracking
+    params, fragments, empty paths) — the input shape
+    `url_canonicalize` exists for."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("Site"), F.pmod(d, F.lit(97)).cast("string"),
+        F.lit(".Example"),
+        F.when(d % 3 == 0, F.lit(":80"))
+         .when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/"), F.col("source"), F.lit("/p"),
+                     d.cast("string"))),
+        F.when(d % 2 == 0,
+               F.lit("?b=2&utm_source=news&a=1")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return docs.select(url.alias("url"))
+
+
+_MESSY_URL_SQL = (
+    "((case when doc_id % 3 = 0 then 'HTTP://' else 'https://' end)"
+    " || 'Site' || (doc_id % 97) || '.Example'"
+    " || (case when doc_id % 3 = 0 then ':80'"
+    "          when doc_id % 5 = 0 then ':443' else '' end)"
+    " || (case when doc_id % 7 = 0 then ''"
+    "          else '/' || source || '/p' || doc_id end)"
+    " || (case when doc_id % 2 = 0 then '?b=2&utm_source=news&a=1'"
+    "          else '' end)"
+    " || (case when doc_id % 4 = 0 then '#frag' else '' end))")
+
+
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (urlfns.url_canonicalize(_messy_urls_df(spark, sf_dir))
+            .orderBy("url"))
+
+
 _URL_BLOCK = ["site13.example", "site42.example"]
 _URL_KW = {"/web/p1": 0.6, "/news/": 0.6, "p33": 0.5}
 
@@ -664,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": _q_url_stats,
         "url_filter": _q_url_filter,
         "domain_cap": _q_domain_cap,
+        "url_canonical": _q_url_canonical,
     }
     # relational harness (SURVEY §2.3) — all 22 value-oracled; keep them
     # inside the driver's 50-entry window
@@ -760,6 +799,11 @@ def oracle_sql() -> dict[str, str]:
                            keyword_weights=_URL_KW, threshold=1.1)
                        + ") order by url"),
         "domain_cap": SQL_DOMAIN_CAP,
+        "url_canonical": ("select * from ("
+                          + urlfns.url_canonicalize_sql(
+                              f"(select {_MESSY_URL_SQL} as url "
+                              f"from documents)")
+                          + ") order by url"),
     }
     out.update(RELATIONAL_SQL)
     return out

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["host_of", "domain_of", "path_of", "path_depth", "is_https",
            "url_stats", "domain_cap", "url_filter", "url_filter_sql",
+           "canonical_url", "url_canonicalize", "url_canonicalize_sql",
            "SQL_URL"]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
@@ -163,3 +164,95 @@ class SQL_URL:
     DEPTH = ("len(list_filter(string_split(" + PATH + ", '/'), "
              "x -> x != ''))")
     HTTPS = "starts_with({u}, 'https://')"
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+# The normalization crawl pipelines apply BEFORE url-keyed work (dedup
+# by url, frontier merging, per-domain caps): without it the same page
+# appears under `HTTP://Site.com/a?utm_source=x` and `http://site.com/a`
+# and every downstream url-keyed operator double-counts it.  The rules
+# are the safe subset of RFC 3986 §6 normalization plus tracking-param
+# removal (the "SafeURL"/common-crawl convention):
+#
+#   1. fragment dropped (`#...` never reaches the server);
+#   2. scheme and authority lower-cased, default ports stripped
+#      (`:80` for http, `:443` for https);
+#   3. empty path → `/`;
+#   4. tracking query params removed (utm_*, gclid, fbclid, msclkid,
+#      mc_cid, mc_eid, igshid, ref);
+#   5. surviving query params sorted (binary collation) — param order
+#      is almost never semantic, and sorting makes equal resources
+#      compare equal;
+#   6. empty surviving query → no `?`.
+#
+# Pure Catalyst expressions (regex + array HOFs) with an exact DuckDB
+# mirror — value-oracle-checked; zero shuffle (scan → project).
+
+_TRACKING_RE = (
+    "^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref)(=|$)")
+_AUTH_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of ``url`` per the module rules above."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    base = F.regexp_extract(nofrag, r"^([^?]*)", 1)
+    query = F.regexp_extract(nofrag, r"^[^?]*\?(.*)$", 1)
+    auth = F.lower(F.regexp_extract(base, _AUTH_RE, 1))
+    auth = F.regexp_replace(auth, "^(http://[^/:]*):80$", "$1")
+    auth = F.regexp_replace(auth, "^(https://[^/:]*):443$", "$1")
+    path = F.regexp_extract(base, _AUTH_RE + "(.*)$", 2)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_join(
+        F.array_sort(F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE))), "&")
+    return F.when(
+        auth == "", url,  # not an absolute URL: leave untouched
+    ).otherwise(F.concat(
+        auth, path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                           params))))
+
+
+def url_canonicalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, canon_url, changed) per page — scan → project, no
+    shuffle; feed ``canon_url`` to `domain_cap`/dedup-by-url instead of
+    the raw column."""
+    u = F.col(url_col)
+    canon = canonical_url(u)
+    return pages.select(u.alias("url"), canon.alias("canon_url"),
+                        (canon != u).alias("changed"))
+
+
+def url_canonicalize_sql(table: str, url_col: str = "url") -> str:
+    """DuckDB mirror of :func:`url_canonicalize` (RE2 backrefs use
+    ``\\1``; semantics identical)."""
+    u = url_col
+    # DuckDB regexp_extract yields NULL (not '') on no match — coalesce
+    # everywhere Spark's '' convention is relied on.
+    nofrag = f"regexp_replace({u}, '#.*$', '')"
+    base = f"coalesce(regexp_extract({nofrag}, '^([^?]*)', 1), '')"
+    query = (f"coalesce(regexp_extract({nofrag}, "
+             f"'^[^?]*\\?(.*)$', 1), '')")
+    auth0 = (f"lower(coalesce(regexp_extract({base}, "
+             f"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1), ''))")
+    auth = (f"regexp_replace(regexp_replace({auth0}, "
+            f"'^(http://[^/:]*):80$', '\\1'), "
+            f"'^(https://[^/:]*):443$', '\\1')")
+    path0 = (f"coalesce(regexp_extract({base}, "
+             f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '')")
+    path = f"(case when {path0} = '' then '/' else {path0} end)"
+    # array_to_string([]) is NULL in DuckDB (Spark's array_join is '')
+    params = (f"coalesce(array_to_string(list_sort(list_filter("
+              f"string_split({query}, '&'), "
+              f"p -> p <> '' and not regexp_matches(p, "
+              f"'{_TRACKING_RE}'))), '&'), '')")
+    canon = (f"(case when {auth} = '' then {u} else "
+             f"{auth} || {path} || "
+             f"(case when {params} = '' then '' else '?' || {params} end)"
+             f" end)")
+    return (f"select {u} as url, {canon} as canon_url, "
+            f"({canon} <> {u}) as changed from {table}")

@@ -134,3 +134,29 @@ def test_domain_cap_two_phase_equals_single_window(spark):
     assert [t[1] for t in mega] == sorted(
         f"https://mega.com/p{i:05d}" for i in range(4))
     assert [t[2] for t in mega] == [1, 2, 3, 4]
+
+
+def test_url_canonicalize_rules(spark):
+    """Each canonicalization rule on a crafted url, plus pass-through
+    for relative references."""
+    cases = {
+        # case + default port + tracking + sort + fragment, all at once
+        "HTTP://Site.Com:80/A/b?z=1&utm_source=x&a=2#frag":
+            "http://site.com/A/b?a=2&z=1",
+        # https default port; params already canonical
+        "https://example.org:443/p?a=1&b=2": "https://example.org/p?a=1&b=2",
+        # non-default port survives; path case preserved
+        "https://example.org:8443/Path": "https://example.org:8443/Path",
+        # empty path → '/'
+        "https://example.org": "https://example.org/",
+        # all params tracking → no '?'
+        "https://example.org/p?gclid=x&fbclid=y&ref=z": "https://example.org/p",
+        # 'ref' strips only as a whole param name ('refresh' survives)
+        "https://example.org/p?refresh=1": "https://example.org/p?refresh=1",
+        # not absolute: untouched
+        "/relative/path?utm_source=x": "/relative/path?utm_source=x",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r.url: r.canon_url
+           for r in urlfns.url_canonicalize(df).collect()}
+    assert got == cases
