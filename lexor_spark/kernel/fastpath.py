@@ -30,6 +30,19 @@ rules/hooks, width/indent writer modes route to it); this path serves
 the default extraction — the per-document kernel of the 10^12-row job,
 where it is ~1.5× the object path serially (interleaved A/B in
 BENCH/BASELINE.md).
+
+Round-3 refinement — parse-time drop-region skipping: records inside a
+CONVERT-dropped element's subtree are counted, not built (structure,
+diagnostics, and the few meta-feeding records excepted), non-title
+rawtext bodies (script/style payloads) are never sliced, and the drop
+decision is computed once at parse (slot 8) instead of once per walk.
+On the synthetic corpus this is performance-NEUTRAL (order-balanced
+pinned A/B median 1.03, range 0.89-1.17 on a noisy shared host) — its
+value is allocation shape at scale: record count and string slicing no
+longer grow with boilerplate mass, which on real crawl pages (script/
+style routinely 50-80% of bytes, navigation DOM in the hundreds of
+elements) is most of the document.  Byte-identity is pinned by the
+same differential suite either way.
 """
 
 from __future__ import annotations
@@ -52,6 +65,11 @@ from lexor_spark.kernel.htmlparser import (_ATTR, _ATTRS_CACHE,
 from lexor_spark.kernel.textwriter import _BLOCK_LEVEL, _CELL_TAGS
 
 __all__ = ["fast_extract"]
+
+# raw-attr-string -> extraction_decide boilerplate verdict (the regex in
+# _attr_drop is the costliest per-element check; templates repeat attr
+# strings, so this hits like _ATTRS_CACHE does)
+_ATTRDROP_CACHE: dict = {}
 
 # node kinds
 _ELEM, _VOID, _TEXT, _ENTITY_K, _RAWTEXT, _OTHER = 0, 1, 2, 3, 4, 5
@@ -87,49 +105,81 @@ class _ALog:
         self.log.append(LogEntry(code, line, col, arg))
 
 
-def _parse_arrays(text: str) -> tuple[list, list[LogEntry]]:
+def _parse_arrays(text: str) -> tuple[list, list[LogEntry], int]:
     """Single-pass parse into preorder node records.
 
     Mirrors `_Parser.run` event for event (same master-regex scan, same
     recovery semantics, same diagnostics); every construct the object
     parser would create becomes one ``[kind, name, attrs, data, a, b,
-    subend]`` record.  ``a``/``b`` are (start, end) for Text/Entity and
-    (pos, 0) for the rest."""
+    subend, drop]`` record.  ``a``/``b`` are (start, end) for
+    Text/Entity and (pos, 0) for the rest.  ``drop`` (Elements only) is
+    the CONVERT-stage drop decision (`extraction_decide`: DROP_TAGS or
+    boilerplate class/id), computed ONCE here and read by both walks.
+
+    Inside a dropped element's subtree the structural scan continues in
+    full (stack discipline, auto-close, every W100/E100/W101/W102
+    diagnostic at the same offsets) but records are NOT materialized —
+    no text slicing, no attr parsing, no appends; the parser only
+    counts what the object parser would have built (returned as
+    ``skipped``, so n_nodes stays exact).  Exceptions that ARE
+    materialized inside dropped regions because `_collect_meta_arrays`
+    scans the whole record list: ``<title>`` RawText, ``<meta>`` voids,
+    and ``<html>`` elements.  A dropped root's ``subend`` therefore
+    lands just past those few survivors, and the walks' existing
+    subtree jump stays O(1) and byte-identical."""
     n = len(text)
     nodes: list = []
     append = nodes.append
     log = _ALog(text)
-    # stack of open-element node indices; -1 is the virtual root
-    stack: list[int] = [-1]
+    # stack of open-element RECORDS (dropped ones are never appended to
+    # `nodes` but still participate in the open/close protocol); None
+    # is the virtual root
+    stack: list = [None]
     # index of a trailing Text record owned by the CURRENT top, or -1
     # (the parser's merge-with-trailing-Text rule)
     merge_idx = -1
+    # drop region state: drop_at = stack length at the dropped root
+    # (0 = not dropping); skipped = records counted but not built;
+    # drop_merge mirrors merge_idx for phantom Text merging
+    drop_at = 0
+    skipped = 0
+    drop_merge = False
     search = _MASTER.search
     ent_match = _ENTITY.match
     tag_match = _TAG_NAME.match
     tag_info = _hp._TAG_INFO
+    attr_drop_cache = _ATTRDROP_CACHE
     caret = 0
     while caret < n:
         m = search(text, caret)
         if m is None:
             if n > caret:
-                if merge_idx >= 0:
+                if drop_at:
+                    if not drop_merge:
+                        skipped += 1
+                        drop_merge = True
+                elif merge_idx >= 0:
                     nd = nodes[merge_idx]
                     nd[3] += text[caret:n]
                     nd[5] = n
                 else:
-                    append([_TEXT, None, None, text[caret:n], caret, n, 0])
+                    append([_TEXT, None, None, text[caret:n], caret, n,
+                            0, 0])
             caret = n
             break
         i = m.start()
         if i > caret:
-            if merge_idx >= 0:
+            if drop_at:
+                if not drop_merge:
+                    skipped += 1
+                    drop_merge = True
+            elif merge_idx >= 0:
                 nd = nodes[merge_idx]
                 nd[3] += text[caret:i]
                 nd[5] = i
             else:
                 merge_idx = len(nodes)
-                append([_TEXT, None, None, text[caret:i], caret, i, 0])
+                append([_TEXT, None, None, text[caret:i], caret, i, 0, 0])
         is_close, raw_name, raw = m.group(1, 2, 3)
         if raw_name is not None:
             info = tag_info.get(raw_name)
@@ -139,15 +189,15 @@ def _parse_arrays(text: str) -> tuple[list, list[LogEntry]]:
             name = info[0]
             if is_close:  # end tag
                 top = stack[-1]
-                if len(stack) > 1 and nodes[top][1] == name:
-                    nodes[top][6] = len(nodes)
+                if top is not None and top[1] == name:
+                    top[6] = len(nodes)
                     stack.pop()
                     caret = end
                 else:
                     # unbalanced-close slow path (W100/W101/silent)
                     depth = -1
                     for k in range(len(stack) - 1, 0, -1):
-                        if nodes[stack[k]][1] == name:
+                        if stack[k][1] == name:
                             depth = k
                             break
                     if depth == -1:
@@ -160,20 +210,87 @@ def _parse_arrays(text: str) -> tuple[list, list[LogEntry]]:
                     silent = SILENT_CONTAINER.get(name, ())
                     here = len(nodes)
                     for k in range(len(stack) - 1, depth, -1):
-                        forced = nodes[stack[k]]
+                        forced = stack[k]
                         if forced[1] not in silent:
                             cl, cc = log.linecol(i)
                             log.msg("W100", forced[4],
                                     (forced[1], cl, cc))
                         forced[6] = here
                         stack.pop()
-                    nodes[stack[-1]][6] = here
+                    stack[-1][6] = here
                     stack.pop()
                     caret = end
+                if drop_at and len(stack) < drop_at:
+                    drop_at = 0
                 merge_idx = -1
+                drop_merge = False
                 continue
             # start tag
             kind = info[1]
+            closers = info[2]
+            if closers is not None:
+                here = len(nodes)
+                while len(stack) > 1 and stack[-1][1] in closers:
+                    stack[-1][6] = here
+                    stack.pop()
+                if drop_at and len(stack) < drop_at:
+                    drop_at = 0
+            if drop_at:
+                # inside a dropped subtree: structure only, no records
+                drop_merge = False
+                self_close = bool(raw) and raw[-1] == "/"
+                if kind == 0:
+                    if name == "html":
+                        attrs = _parse_attrs(raw[:-1] if self_close
+                                             else raw)
+                        idx = len(nodes)
+                        rec = [_ELEM, name, attrs, None, i, 0, 0, 0]
+                        append(rec)
+                        if not self_close:
+                            stack.append(rec)
+                        else:
+                            rec[6] = idx + 1
+                    else:
+                        skipped += 1
+                        if not self_close:
+                            stack.append([_ELEM, name, None, None, i,
+                                          0, 0, 0])
+                    caret = end
+                    continue
+                if kind == 1:
+                    if name == "meta":
+                        attrs = _parse_attrs(raw[:-1] if self_close
+                                             else raw)
+                        append([_VOID, name, attrs, None, i, 0,
+                                len(nodes) + 1, 0])
+                    else:
+                        skipped += 1
+                    caret = end
+                    continue
+                # rawtext element inside a dropped subtree
+                pat = _RAWTEXT_CLOSE.get(name)
+                if pat is None:
+                    pat = _RAWTEXT_CLOSE[name] = re.compile(
+                        "</" + name, re.IGNORECASE)
+                cm = pat.search(text, end)
+                j = cm.start() if cm else -1
+                if j == -1:
+                    if name == "title":
+                        append([_RAWTEXT, name, None, text[end:], i, 0,
+                                len(nodes) + 1, 0])
+                    else:
+                        skipped += 1
+                    log.msg("E100", i, (name,))
+                    caret = n
+                    continue
+                if name == "title":
+                    append([_RAWTEXT, name, None, text[end:j], i, 0,
+                            len(nodes) + 1, 0])
+                else:
+                    skipped += 1
+                wm = _WS_GT.match(text, j + 2 + len(name))
+                caret = wm.end() if wm else j + 2 + len(name)
+                continue
             attrs: dict = {}
             self_close = False
             if raw:
@@ -196,25 +313,32 @@ def _parse_arrays(text: str) -> tuple[list, list[LogEntry]]:
                                         g4 if g4 is not None else "")
                         if len(_ATTRS_CACHE) < _ATTRS_CACHE_MAX:
                             _ATTRS_CACHE[raw] = dict(attrs)
-            closers = info[2]
-            if closers is not None:
-                here = len(nodes)
-                while len(stack) > 1 and nodes[stack[-1]][1] in closers:
-                    nodes[stack[-1]][6] = here
-                    stack.pop()
             merge_idx = -1
             if kind == 0:
-                idx = len(nodes)
-                append([_ELEM, name, attrs, None, i, 0, 0])
-                if not self_close:
-                    stack.append(idx)
+                if name in DROP_TAGS:
+                    drop = 1
+                elif attrs:
+                    drop = attr_drop_cache.get(raw)
+                    if drop is None:
+                        drop = 1 if _attr_drop(attrs) else 0
+                        if len(attr_drop_cache) < _ATTRS_CACHE_MAX:
+                            attr_drop_cache[raw] = drop
                 else:
-                    nodes[idx][6] = idx + 1
+                    drop = 0
+                idx = len(nodes)
+                rec = [_ELEM, name, attrs, None, i, 0, 0, drop]
+                append(rec)
+                if not self_close:
+                    stack.append(rec)
+                    if drop:
+                        drop_at = len(stack)
+                        drop_merge = False
+                else:
+                    rec[6] = idx + 1
                 caret = end
                 continue
             if kind == 1:
-                idx = len(nodes)
-                append([_VOID, name, attrs, None, i, 0, idx + 1])
+                append([_VOID, name, attrs, None, i, 0, len(nodes) + 1, 0])
                 caret = end
                 continue
             # rawtext element
@@ -225,12 +349,19 @@ def _parse_arrays(text: str) -> tuple[list, list[LogEntry]]:
             cm = pat.search(text, end)
             j = cm.start() if cm else -1
             idx = len(nodes)
+            # only <title> bodies are ever read (by _collect_meta_arrays);
+            # script/style payloads are dropped by conversion, so their
+            # (often huge) slices are never materialized
             if j == -1:
-                append([_RAWTEXT, name, attrs, text[end:], i, 0, idx + 1])
+                append([_RAWTEXT, name, attrs,
+                        text[end:] if name == "title" else None, i, 0,
+                        idx + 1, 0])
                 log.msg("E100", i, (name,))
                 caret = n
                 continue
-            append([_RAWTEXT, name, attrs, text[end:j], i, 0, idx + 1])
+            append([_RAWTEXT, name, attrs,
+                    text[end:j] if name == "title" else None, i, 0,
+                    idx + 1, 0])
             wm = _WS_GT.match(text, j + 2 + len(name))
             caret = wm.end() if wm else j + 2 + len(name)
             continue
@@ -238,35 +369,50 @@ def _parse_arrays(text: str) -> tuple[list, list[LogEntry]]:
         if c == "&":
             em = ent_match(text, i)
             if em is None:
-                if merge_idx >= 0:
+                if drop_at:
+                    if not drop_merge:
+                        skipped += 1
+                        drop_merge = True
+                elif merge_idx >= 0:
                     nd = nodes[merge_idx]
                     nd[3] += "&"
                     nd[5] = i + 1
                 else:
                     merge_idx = len(nodes)
-                    append([_TEXT, None, None, "&", i, i + 1, 0])
+                    append([_TEXT, None, None, "&", i, i + 1, 0, 0])
                 caret = i + 1
             else:
                 j = em.end()
-                idx = len(nodes)
-                append([_ENTITY_K, None, None, text[i:j], i, j, idx + 1])
-                merge_idx = -1
+                if drop_at:
+                    skipped += 1
+                    drop_merge = False
+                else:
+                    append([_ENTITY_K, None, None, text[i:j], i, j,
+                            len(nodes) + 1, 0])
+                    merge_idx = -1
                 caret = j
             continue
         nxt = text[i + 1: i + 2]
         if nxt == "!" or nxt == "?":
             merge_idx = -1
+            drop_merge = False
             if nxt == "!":
                 if text.startswith("<!--", i):
                     j = text.find("-->", i + 4)
                     if j == -1:
-                        append([_OTHER, "#comment", None, None, i, 0,
-                                len(nodes) + 1])
+                        if drop_at:
+                            skipped += 1
+                        else:
+                            append([_OTHER, "#comment", None, None, i, 0,
+                                    len(nodes) + 1, 0])
                         log.msg("E100", i, ("#comment",))
                         caret = n
                     else:
-                        append([_OTHER, "#comment", None, None, i, 0,
-                                len(nodes) + 1])
+                        if drop_at:
+                            skipped += 1
+                        else:
+                            append([_OTHER, "#comment", None, None, i, 0,
+                                    len(nodes) + 1, 0])
                         caret = j + 3
                     continue
                 if _DOCTYPE.match(text, i):
@@ -275,32 +421,47 @@ def _parse_arrays(text: str) -> tuple[list, list[LogEntry]]:
                         log.msg("E100", i, ("#doctype",))
                         caret = n
                     else:
-                        append([_OTHER, "#doctype", None, None, i, 0,
-                                len(nodes) + 1])
+                        if drop_at:
+                            skipped += 1
+                        else:
+                            append([_OTHER, "#doctype", None, None, i, 0,
+                                    len(nodes) + 1, 0])
                         caret = j + 1
                     continue
                 if text.startswith("<![CDATA[", i):
                     j = text.find("]]>", i + 9)
                     if j == -1:
-                        append([_OTHER, "#cdata", None, None, i, 0,
-                                len(nodes) + 1])
+                        if drop_at:
+                            skipped += 1
+                        else:
+                            append([_OTHER, "#cdata", None, None, i, 0,
+                                    len(nodes) + 1, 0])
                         log.msg("E100", i, ("#cdata-section",))
                         caret = n
                     else:
-                        append([_OTHER, "#cdata", None, None, i, 0,
-                                len(nodes) + 1])
+                        if drop_at:
+                            skipped += 1
+                        else:
+                            append([_OTHER, "#cdata", None, None, i, 0,
+                                    len(nodes) + 1, 0])
                         caret = j + 3
                     continue
                 # bogus comment: "<!" to '>'
                 j = text.find(">", i + 2)
                 if j == -1:
                     log.msg("E100", i, ("#comment",))
-                    append([_OTHER, "#comment", None, None, i, 0,
-                            len(nodes) + 1])
+                    if drop_at:
+                        skipped += 1
+                    else:
+                        append([_OTHER, "#comment", None, None, i, 0,
+                                len(nodes) + 1, 0])
                     caret = n
                 else:
-                    append([_OTHER, "#comment", None, None, i, 0,
-                            len(nodes) + 1])
+                    if drop_at:
+                        skipped += 1
+                    else:
+                        append([_OTHER, "#comment", None, None, i, 0,
+                                len(nodes) + 1, 0])
                     caret = j + 1
                 continue
             # processing instruction
@@ -309,27 +470,56 @@ def _parse_arrays(text: str) -> tuple[list, list[LogEntry]]:
                 log.msg("E100", i, ("#pi",))
                 caret = n
             else:
-                append([_OTHER, "#pi", None, None, i, 0, len(nodes) + 1])
+                if drop_at:
+                    skipped += 1
+                else:
+                    append([_OTHER, "#pi", None, None, i, 0,
+                            len(nodes) + 1, 0])
                 caret = j + 2
             continue
         # '<' that opens nothing
         if tag_match(text, i) is not None:
             log.msg("W102", i)
-        if merge_idx >= 0:
+        if drop_at:
+            if not drop_merge:
+                skipped += 1
+                drop_merge = True
+        elif merge_idx >= 0:
             nd = nodes[merge_idx]
             nd[3] += "<"
             nd[5] = i + 1
         else:
             merge_idx = len(nodes)
-            append([_TEXT, None, None, "<", i, i + 1, 0])
+            append([_TEXT, None, None, "<", i, i + 1, 0, 0])
         caret = i + 1
     # EOF sweep: E100 per unclosed node, outermost first; close subtrees
     total = len(nodes)
     for k in range(1, len(stack)):
-        nd = nodes[stack[k]]
+        nd = stack[k]
         log.msg("E100", nd[4], (nd[1],))
         nd[6] = total
-    return nodes, log.log
+    return nodes, log.log, skipped
+
+
+def _parse_attrs(raw: str) -> dict:
+    """Attr parse for the few records materialized inside dropped
+    regions (title/meta/html) — same grammar and first-occurrence rule
+    as the hot-path inline version."""
+    attrs: dict = {}
+    if raw and not raw.isspace():
+        cached = _ATTRS_CACHE.get(raw)
+        if cached is not None:
+            return dict(cached)
+        for am in _ATTR.finditer(raw):
+            key = am.group(1).lower()
+            if key not in attrs:
+                g2, g3, g4 = am.group(2, 3, 4)
+                attrs[key] = (g2 if g2 is not None else
+                              g3 if g3 is not None else
+                              g4 if g4 is not None else "")
+        if len(_ATTRS_CACHE) < _ATTRS_CACHE_MAX:
+            _ATTRS_CACHE[raw] = dict(attrs)
+    return attrs
 
 
 _BR_HR_IMG = frozenset(("br", "hr", "img"))
@@ -382,8 +572,8 @@ def _select_main_arrays(nodes: list) -> int:
         if kind == _ELEM:
             name = nd[1]
             attrs = nd[2]
-            if name in DROP_TAGS or (attrs and _attr_drop(attrs)):
-                i = nd[6]  # DROP: skip subtree
+            if nd[7]:
+                i = nd[6]  # DROP (parse-time decision): skip subtree
                 continue
             if name not in UNWRAP_TAGS:
                 # surviving element: cascade tests
@@ -534,8 +724,7 @@ def _write_arrays(nodes: list, root_idx: int) -> tuple[str, list]:
             continue
         if kind == _ELEM:
             name = nd[1]
-            attrs = nd[2]
-            if name in DROP_TAGS or (attrs and _attr_drop(attrs)):
+            if nd[7]:
                 i = nd[6]
                 continue
             if name in UNWRAP_TAGS:
@@ -585,13 +774,13 @@ def _write_arrays(nodes: list, root_idx: int) -> tuple[str, list]:
 def fast_extract(res, text: str) -> None:
     """Fill an `ExtractResult` from the array kernel (default writer mode
     only — width/indent/custom hooks take the object path)."""
-    nodes, log = _parse_arrays(text)
+    nodes, log, skipped = _parse_arrays(text)
     res.codes = [e.code for e in log]
     meta = _collect_meta_arrays(nodes)
     res.title = meta.get("title")
     res.description = meta.get("description")
     res.lang_attr = meta.get("lang")
-    res.n_nodes = len(nodes) + 1  # + the document root
+    res.n_nodes = len(nodes) + skipped + 1  # + the document root
     main_idx = _select_main_arrays(nodes)
     res.text, spans = _write_arrays(nodes, main_idx)
     res.spans = [s.as_tuple() for s in spans]

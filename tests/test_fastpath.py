@@ -124,6 +124,24 @@ HOSTILE = [
     b"<html lang=fr><head><title>T &amp; t</title></head><body>x</body>",
     b"<td>cell outside table</td>",
     b"<a href='/x'>link text</a> plain",
+    # drop-region skip machinery (parse-time subtree skipping):
+    # meta/title/html nested INSIDE a dropped subtree still feed meta
+    b"<nav><title>T2</title><meta name=description content=c>"
+    b"<html lang=de><p>x</p></html></nav><p>keep</p>",
+    # unclosed dropped subtree (EOF inside nav -> E100 chain)
+    b"<p>keep</p><nav><ul><li>one<li>two",
+    # ancestor close forces the drop-root closed (W100 inside nav)
+    b"<div><nav><p>menu</div>after",
+    # stray close + comment + cdata + pi + entities inside drop region
+    b"<aside>a</i><!-- c --><![CDATA[d]]><?pi?>&amp; &bogus b</aside>ok",
+    # drop-root auto-closed by a sibling open (p-closes-p with ad class)
+    b"<p class=ad>gone<p>kept",
+    # nested drop boundaries + boilerplate-class div inside nav
+    b"<nav><aside><div class='ad'>x</div></aside></nav><p>y</p>",
+    # self-closing drop-root is a leaf, not a region
+    b"<nav/><p>after selfclose</p>",
+    # rawtext inside a dropped region (script body never sliced)
+    b"<footer><script>var x='</div>';</script>tail</footer><p>k</p>",
 ]
 
 
