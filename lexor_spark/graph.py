@@ -1,0 +1,236 @@
+"""Web-graph operators: corpus link extraction + PageRank.
+
+The other half of a crawl pipeline: after per-page extraction, the
+LINK STRUCTURE drives crawl scheduling, spam/domain scoring, and
+quality priors (PageRank-weighted sampling is a standard pretraining
+curation signal).  Two operators:
+
+* :func:`extract_links` — kernel-side (one fused ``mapInArrow`` pass,
+  the `extract_pages` plan shape): per page, every ``<a href>`` with
+  its anchor text and a minimal absolute resolution.  Rows-only in the
+  gate (kernel output is not ANSI-SQL-expressible).
+* :func:`pagerank` — the canonical iterative graph operator over any
+  (src, dst) edge DataFrame: fixed power-iteration rounds of
+  r' = (1-d)/N + d·Σ_in r/outdeg (the simplified variant where
+  dangling-node mass leaks — documented, identical on both engines).
+  Deterministic end to end (round-6 ranks each round, doubles shared
+  bit-for-bit between engines), so the gate checks it against an
+  unrolled-CTE DuckDB mirror — the `kmeans`/`bpe` fixed-round recipe.
+
+Plan shape at 10^12 edges: per round, ONE shuffle — the contribution
+join keyed on ``src`` (ranks and out-degrees co-partition with the
+edge table's src key; on a stored graph, bucket both by src and the
+join is shuffle-free) — and one map-side-combinable sum keyed on
+``dst``.  Ranks are ``localCheckpoint``-ed per round so the plan stays
+flat (the `dup_clusters` Pregel-on-DataFrames shape); rounds are FIXED,
+not run-to-convergence, which is what makes the value oracle possible.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["extract_links", "pagerank", "pagerank_sql",
+           "fixture_edges", "FIXTURE_EDGES_SQL"]
+
+
+LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string")
+
+_LINKS_ARROW = pa.schema([
+    ("url", pa.string()), ("href", pa.string()),
+    ("abs_url", pa.string()), ("anchor", pa.string()),
+])
+
+
+def _resolve(base: str, href: str) -> str:
+    """Minimal absolute resolution (scheme-absolute / protocol-relative
+    / root-relative / path-relative) — the subset a frontier needs; the
+    full RFC 3986 merge is a data-cleaning refinement, not engine
+    work."""
+    if "://" in href[:10]:
+        return href
+    scheme_end = base.find("://")
+    if scheme_end < 0:
+        return href
+    if href.startswith("//"):
+        return base[:scheme_end + 1] + href
+    path_start = base.find("/", scheme_end + 3)
+    origin = base if path_start < 0 else base[:path_start]
+    if href.startswith("/"):
+        return origin + href
+    if href.startswith("#") or href.startswith("?"):
+        return base
+    basepath = "/" if path_start < 0 else base[path_start:]
+    return origin + basepath[:basepath.rfind("/") + 1] + href
+
+
+def _anchor_text(el) -> str:
+    import html as _html
+
+    from lexor_spark.kernel.dom import Entity, Text
+    parts: list[str] = []
+    stack = list(reversed(el.children))
+    while stack:
+        nd = stack.pop()
+        cls = type(nd)
+        if cls is Text:
+            parts.append(nd.data)
+        elif cls is Entity:
+            parts.append(_html.unescape(nd.data))
+        else:
+            kids = getattr(nd, "children", None)
+            if kids:
+                stack.extend(reversed(kids))
+    return " ".join("".join(parts).split())
+
+
+def _links_batches(batches: Iterator[pa.RecordBatch]
+                   ) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.htmlparser import parse_html
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _LINKS_ARROW.names}
+            for url, html in zip(urls, htmls):
+                doc = None
+                try:
+                    doc, _ = parse_html(
+                        bytes(html or b"").decode("utf-8",
+                                                  errors="replace"), url)
+                    for el in doc.get_nodes_by_name("a"):
+                        href = el.attrs.get("href") if el.attrs else None
+                        if not href:
+                            continue
+                        cols["url"].append(url)
+                        cols["href"].append(href)
+                        cols["abs_url"].append(_resolve(url, href))
+                        cols["anchor"].append(_anchor_text(el))
+                except Exception:
+                    pass
+                finally:
+                    if doc is not None:
+                        dispose(doc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_LINKS_ARROW.field(n).type)
+                 for n in _LINKS_ARROW.names], schema=_LINKS_ARROW)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def extract_links(pages: DataFrame, salt_buckets: int = 256,
+                  partitions: Optional[int] = None) -> DataFrame:
+    """(url, href, abs_url, anchor) per anchor element, corpus-wide —
+    the link-graph/anchor-text source table (crawl frontier, link-based
+    quality priors, anchor-text training signal)."""
+    from lexor_spark.job import _salted_pages
+    salted = _salted_pages(pages, salt_buckets, partitions)
+    return salted.mapInArrow(_links_batches, LINKS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed rounds, value-oracled)
+# ---------------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS,
+             damping: float = PR_DAMPING) -> DataFrame:
+    """(node_id, rank) after ``iters`` power-iteration rounds over the
+    (src, dst) edge DataFrame.  Deterministic: contributions and ranks
+    round to 6 decimals every round on both engines."""
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").localCheckpoint()
+    nodes = (edges.select(F.col("src").alias("v"))
+             .union(edges.select(F.col("dst").alias("v")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    deg = (edges.groupBy("src")
+           .agg(F.count("*").cast("double").alias("outdeg"))
+           .localCheckpoint())
+    base = (1.0 - damping) / n
+    ranks = nodes.select("v", F.round(F.lit(1.0 / n), 6).alias("r"))
+    for _ in range(iters):
+        contrib = (edges.join(ranks, edges.src == ranks.v)
+                   .join(deg, "src")
+                   .select(F.col("dst").alias("v"),
+                           F.round(F.col("r") / F.col("outdeg"), 6)
+                            .alias("c"))
+                   .groupBy("v")
+                   .agg(F.round(F.sum("c"), 6).alias("s")))
+        ranks = (nodes.join(contrib, "v", "left")
+                 .select("v", F.round(
+                     F.lit(base)
+                     + damping * F.coalesce(F.col("s"), F.lit(0.0)),
+                     6).alias("r"))
+                 .localCheckpoint())
+    return (ranks.select(F.col("v").alias("node_id"),
+                         F.col("r").alias("rank"))
+            .orderBy("node_id"))
+
+
+def pagerank_sql(edges_sql: str, iters: int = PR_ITERS,
+                 damping: float = PR_DAMPING) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`pagerank` over an edge CTE
+    body (a SELECT producing (src, dst))."""
+    parts = [
+        f"e as ({edges_sql})",
+        "nodes as (select src as v from e union select dst from e)",
+        "nn as (select count(*)::double as n from nodes)",
+        "deg as (select src, count(*)::double as outdeg "
+        "from e group by src)",
+        "r0 as (select v, round(1.0 / nn.n, 6) as r "
+        "from nodes cross join nn)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"c{t} as (select e.dst as v, "
+            f"round(sum(round(r.r / d.outdeg, 6)), 6) as s\n"
+            f"  from e join r{t} r on e.src = r.v "
+            f"join deg d on e.src = d.src group by e.dst)")
+        parts.append(
+            f"r{t + 1} as (select nodes.v, "
+            f"round((1.0 - {damping}) / nn.n "
+            f"+ {damping} * coalesce(c.s, 0.0), 6) as r\n"
+            f"  from nodes cross join nn "
+            f"left join c{t} c on c.v = nodes.v)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect v as node_id, r as rank from r{iters} "
+            f"order by node_id")
+
+
+def fixture_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic link graph over the documents table
+    (each doc links to two arithmetic neighbours, self-loops removed) —
+    the SQL-expressible fixture the `pagerank` gate runs on; the REAL
+    edge source is `extract_links` (kernel output, rows-only)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    m = docs.count()
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 3 + 1) % m).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 5 + 2) % m).alias("dst"))
+    return e1.union(e2).filter(F.col("src") != F.col("dst"))
+
+
+FIXTURE_EDGES_SQL = """
+select doc_id as src, (doc_id * 3 + 1) % c.m as dst
+from documents cross join (select count(*) as m from documents) c
+where doc_id <> (doc_id * 3 + 1) % c.m
+union all
+select doc_id, (doc_id * 5 + 2) % c.m
+from documents cross join (select count(*) as m from documents) c
+where doc_id <> (doc_id * 5 + 2) % c.m
+"""
