@@ -69,6 +69,12 @@ NOTES = {
         "moves (vec_id, sub, cid) codes only, never vectors, and the "
         "per-vector distance is one map-side-combinable sum of M table "
         "entries."),
+    "pagerank": (
+        "One power-iteration round = one shuffle keyed on src (ranks "
+        "and out-degrees co-partition with the edge key; bucket the "
+        "stored graph by src and it disappears) + one map-side-"
+        "combinable sum keyed on dst; ranks localCheckpoint per round "
+        "keeps the plan flat across rounds."),
     "decontam_overlap": (
         "Eval grams BROADCAST (BroadcastHashJoin): the training side "
         "never shuffles; only matching grams reach the pair aggregate."),
@@ -125,7 +131,8 @@ def main() -> None:
                  "cosine_dup_pairs", "repetition_stats", "domain_cap",
                  "decontam_overlap", "ann_ivf", "css_select",
                  "span_dedup", "lm_score", "hash_split",
-                 "sample_stratified", "semantic_dedup", "ann_pq"):
+                 "sample_stratified", "semantic_dedup", "ann_pq",
+                 "pagerank"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
