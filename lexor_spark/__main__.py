@@ -28,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
                          "byte-pinned)")
     ap.add_argument("--indent", default="", metavar="STR",
                     help="prefix every output line with STR (text target)")
+    ap.add_argument("--style", default=None, metavar="NAME",
+                    help="named W2 writer-rule style for the text target "
+                         "(kernel/styles.py, e.g. 'training_text'); the "
+                         "reference's style-plugin selection surface")
     args = ap.parse_args(argv)
 
     if args.source == "-":
@@ -70,7 +74,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.target == "text":
         from lexor_spark.kernel.pipeline import extract_document
-        res = extract_document(data, args.source, args.width, args.indent)
+        if args.style is not None:
+            from lexor_spark.kernel.styles import style_rules
+            try:
+                style_rules(args.style)
+            except KeyError as exc:
+                print(f"lexor_spark: {exc.args[0]}", file=sys.stderr)
+                return 2
+        res = extract_document(data, args.source, args.width, args.indent,
+                               args.style)
         sys.stdout.write(res.text + "\n")
         return 0 if res.ok else 1
     if args.target == "markdown":

@@ -66,3 +66,15 @@ def test_styled_output_is_deterministic():
     b = extract_document(PAGE, style="training_text")
     assert a.text == b.text
     assert a.spans == b.spans
+
+
+def test_cli_style_flag(tmp_path, capsys):
+    from lexor_spark.__main__ import main
+    f = tmp_path / "p.html"
+    f.write_text('<main><p><a href="/d">docs</a></p>'
+                 "<table><tr><td>x</td></tr></table></main>")
+    assert main([str(f), "to", "text", "--style", "training_text"]) == 0
+    out = capsys.readouterr().out
+    assert "docs </d>" in out and "[table: 1 cells]" in out
+    assert main([str(f), "to", "text", "--style", "nope"]) == 2
+    assert "unknown writer style" in capsys.readouterr().err
