@@ -128,6 +128,8 @@ def main() -> None:
         "ann_ivf": lambda: sim.ann_ivf(spark, SF_DIR, query_id=0, k=10),
         "pq_codes": lambda: sim.pq_codes(spark, SF_DIR),
         "ann_pq": lambda: sim.ann_pq(spark, SF_DIR, query_id=0, topk=10),
+        "ann_ivfpq": lambda: sim.ann_ivfpq(spark, SF_DIR, query_id=0,
+                                           topk=10),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -29,7 +29,9 @@ __all__ = ["cosine", "cosine_topk", "ann_bucketed", "bucket_of",
            "ann_ivf", "ann_ivf_sql", "assign_cells_matmul",
            "cosine_dup_pairs", "cosine_dup_pairs_sql",
            "kmeans_clusters", "kmeans_assign", "kmeans_clusters_sql",
-           "semantic_dedup", "semantic_dedup_sql"]
+           "semantic_dedup", "semantic_dedup_sql",
+           "pq_encode", "pq_codes", "pq_codes_sql", "ann_pq",
+           "ann_pq_sql", "ann_ivfpq", "ann_ivfpq_sql"]
 
 _SIGN_BITS = 8
 
@@ -703,14 +705,22 @@ def _pq_assign(sub_rows: DataFrame, cents: DataFrame,
             .select("vec_id", "sub", "sv", "cid", "d"))
 
 
-def _pq_codebook(sub_rows: DataFrame, k: int, iters: int) -> DataFrame:
+def _pq_codebook(sub_rows: DataFrame, k: int, iters: int,
+                 init_offset: int = 0) -> DataFrame:
     """Per-subspace Lloyd loop → (sub, cid, cv).  Per round: one
     broadcast of the M·K-row codebook for assignment, one
     map-side-combinable avg on (sub, cid, dim) for the update — M·K·
     (d/M) rows out of the agg regardless of corpus size; the corpus is
-    scanned per round but never shuffled."""
-    cents = (sub_rows.filter(F.col("vec_id") < k)
-             .select("sub", F.col("vec_id").alias("cid"),
+    scanned per round but never shuffled.
+
+    ``init_offset`` shifts the deterministic seed rows to vec_ids
+    [offset, offset+k): IVF-PQ trains on RESIDUALS, and the first
+    ``cells`` rows are the cell centroids themselves whose residuals
+    are all-zero — seeding from them collapses the codebook."""
+    cents = (sub_rows
+             .filter((F.col("vec_id") >= init_offset)
+                     & (F.col("vec_id") < init_offset + k))
+             .select("sub", (F.col("vec_id") - init_offset).alias("cid"),
                      F.col("sv").alias("cv")))
     for _ in range(iters):
         assigned = _pq_assign(sub_rows, cents, k)
@@ -726,12 +736,12 @@ def _pq_codebook(sub_rows: DataFrame, k: int, iters: int) -> DataFrame:
 
 
 def pq_encode(emb: DataFrame, m: int = PQ_SUBSPACES,
-              k: int = PQ_CODEWORDS, iters: int = PQ_ITERS
-              ) -> tuple[DataFrame, DataFrame]:
+              k: int = PQ_CODEWORDS, iters: int = PQ_ITERS,
+              init_offset: int = 0) -> tuple[DataFrame, DataFrame]:
     """Train the codebook and encode: returns ``(codes, codebook)``
     where codes = (vec_id, sub, cid) and codebook = (sub, cid, cv)."""
     sub_rows = _pq_subrows(emb, m, _pq_width(emb, m))
-    cents = _pq_codebook(sub_rows, k, iters)
+    cents = _pq_codebook(sub_rows, k, iters, init_offset)
     final = _pq_assign(sub_rows, cents, k)
     return final.select("vec_id", "sub", "cid"), cents
 
@@ -790,10 +800,14 @@ def ann_pq(spark: SparkSession, sf_dir: str, query_id: int = 0,
             .limit(topk))
 
 
-def _pq_sql_parts(m: int, k: int, iters: int, width: int) -> list[str]:
+def _pq_sql_parts(m: int, k: int, iters: int, width: int,
+                  src: str = "e", emit_e: bool = True,
+                  init_offset: int = 0) -> list[str]:
     """CTE list computing ``pfinal(vec_id, sub, cid)`` and the final
     codebook ``pc{iters}(sub, cid, cv)`` — shared by
-    :func:`pq_codes_sql` and :func:`ann_pq_sql`."""
+    :func:`pq_codes_sql`, :func:`ann_pq_sql` and
+    :func:`ann_ivfpq_sql` (which trains on a residual CTE ``r``
+    instead of the raw-corpus CTE ``e``, via ``src``/``emit_e``)."""
     l2 = ("(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
           " + list_dot_product({b}, {b}))")
 
@@ -810,13 +824,16 @@ def _pq_sql_parts(m: int, k: int, iters: int, width: int) -> list[str]:
 
     sub_selects = " union all ".join(
         f"select vec_id, {s} as sub, "
-        f"v[{s * width + 1}:{(s + 1) * width}] as sv from e"
+        f"v[{s * width + 1}:{(s + 1) * width}] as sv from {src}"
         for s in range(m))
-    parts = ["e as (select vec_id, embedding::DOUBLE[] as v "
-             "from embeddings)",
-             f"s as ({sub_selects})",
-             f"pc0 as (select sub, vec_id as cid, sv as cv from s "
-             f"where vec_id < {k})"]
+    parts = []
+    if emit_e:
+        parts.append("e as (select vec_id, embedding::DOUBLE[] as v "
+                     "from embeddings)")
+    parts += [f"s as ({sub_selects})",
+              f"pc0 as (select sub, vec_id - {init_offset} as cid, "
+              f"sv as cv from s where vec_id >= {init_offset} "
+              f"and vec_id < {init_offset + k})"]
     for t in range(iters):
         parts.append(assign(f"pc{t}", f"pa{t}"))
         parts.append(
@@ -855,6 +872,153 @@ def ann_pq_sql(query_id: int = 0, topk: int = 10, m: int = PQ_SUBSPACES,
     return ("with " + ",\n".join(parts) + f"""
 select p.vec_id, round(sum(l.d), 6) as adist
 from pfinal p join lut l on p.sub = l.sub and p.cid = l.cid
+group by p.vec_id
+order by adist, p.vec_id
+limit {topk}
+""")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + product-quantized residuals (the canonical
+# production ANN index — FAISS IndexIVFPQ's shape).  Composes the two
+# halves above: `ann_ivf`'s deterministic coarse quantizer prunes the
+# corpus to ``nprobe`` cells; PQ codes trained on the RESIDUAL
+# (vector minus its cell centroid) give the compact in-cell
+# representation; search is per-cell ADC (the query's residual differs
+# per probed cell, so the lookup table is keyed (cell, sub, cid)).
+# Reference scope note: the lexor reference has no vector ops at all —
+# this layer exists for the training-data-pipeline mandate.
+# ---------------------------------------------------------------------------
+
+IVFPQ_CELLS = 8
+IVFPQ_NPROBE = 2
+
+
+def _residual(vec: Column, cent: Column) -> Column:
+    """Element-wise ``vec - cent`` in float64 (both sides may be
+    float32 on disk; the DuckDB mirror works in DOUBLE throughout, and
+    float32→float64 casts are exact, so subtracting in double keeps the
+    two engines bit-aligned before the round-6)."""
+    return F.zip_with(vec, cent,
+                      lambda a, b: a.cast("double") - b.cast("double"))
+
+
+def ann_ivfpq(spark: SparkSession, sf_dir: str, query_id: int = 0,
+              topk: int = 10, cells: int = IVFPQ_CELLS,
+              nprobe: int = IVFPQ_NPROBE, m: int = PQ_SUBSPACES,
+              k: int = PQ_CODEWORDS, iters: int = PQ_ITERS) -> DataFrame:
+    """IVF-PQ ADC search: coarse-assign every vector to its nearest of
+    ``cells`` centroids (`_assign_nearest`'s round-6 cosine argmax —
+    GEMM-routed above MATMUL_M_THRESHOLD), PQ-encode the residuals
+    (per-subspace Lloyd codebooks via `pq_encode`), then answer the
+    query by probing its ``nprobe`` nearest cells only.
+
+    Scale shape: the corpus's vectors cross the shuffle exactly once
+    (the residual join is against a broadcast centroid table, so it is
+    shuffle-free; PQ training shuffles M·K·width-sized aggregates, not
+    rows); search moves codes only — (vec_id, sub, cid, cell) ids —
+    and the per-query state is an M·K·nprobe lookup table broadcast to
+    the probed cells.  Pruning factor (cells - nprobe)/cells applies
+    BEFORE any arithmetic, like a stored index partitioned by cell.
+
+    Output: (vec_id, adist) — round-6 squared-L2 of residuals,
+    ascending, vec_id tie-break; only vectors in probed cells appear
+    (that is the point of IVF)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    cents = (emb.filter(F.col("vec_id") < cells)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cv")))
+    assigned = _assign_nearest(emb, cents, m=cells).select(
+        "vec_id", "embedding", F.col("cid").alias("cell"))
+    res = (assigned.join(
+               F.broadcast(cents.withColumnRenamed("cid", "cell")), "cell")
+           .select("vec_id", "cell",
+                   _residual(F.col("embedding"),
+                             F.col("cv")).alias("embedding")))
+    # codebook seed rows start past the cell centroids (whose own
+    # residuals are all-zero — see _pq_codebook)
+    codes, cbook = pq_encode(res.select("vec_id", "embedding"),
+                             m, k, iters, init_offset=cells)
+    width = _pq_width(emb, m)
+    # query probes: same round-6 cosine rule as the corpus assignment
+    probes = (emb.filter(F.col("vec_id") == query_id)
+              .select(F.col("embedding").alias("qv"))
+              .crossJoin(F.broadcast(
+                  cents.withColumnRenamed("cid", "cell")))
+              .orderBy(F.round(cosine(F.col("qv"), F.col("cv")), 6).desc(),
+                       "cell")
+              .limit(nprobe)
+              .select("cell",
+                      _residual(F.col("qv"), F.col("cv")).alias("qres")))
+    qslices = F.array(*[
+        F.slice("qres", s * width + 1, width) for s in range(m)])
+    qsub = probes.select("cell", F.posexplode(qslices).alias("sub", "qv"))
+    lut = (cbook.join(F.broadcast(qsub), "sub")
+           .select("cell", "sub", "cid",
+                   F.round(_l2sq(F.col("qv"), F.col("cv")), 6).alias("d")))
+    # ids-only shuffle: (vec_id, sub, cid) × (vec_id, cell)
+    coded = codes.join(res.select("vec_id", "cell"), "vec_id")
+    return (coded.join(F.broadcast(lut), ["cell", "sub", "cid"])
+            .groupBy("vec_id")
+            .agg(F.round(F.sum("d"), 6).alias("adist"))
+            .orderBy("adist", "vec_id")
+            .limit(topk))
+
+
+def ann_ivfpq_sql(query_id: int = 0, topk: int = 10,
+                  cells: int = IVFPQ_CELLS, nprobe: int = IVFPQ_NPROBE,
+                  m: int = PQ_SUBSPACES, k: int = PQ_CODEWORDS,
+                  iters: int = PQ_ITERS, width: int = 16) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`ann_ivfpq` — `ann_ivf_sql`'s
+    coarse CTEs, residual vectors via ``list_zip`` subtraction, then
+    `_pq_sql_parts` trained on the residual CTE ``r``."""
+    cos = ("list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b})))")
+    l2 = ("(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}))")
+    c_ec = cos.format(a="e.v", b="c.cv")
+    c_qc = cos.format(a="q.qv", b="c.cv")
+    sub = "list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
+    parts = [
+        "e as (select vec_id, embedding::DOUBLE[] as v from embeddings)",
+        f"c as (select vec_id as cell, v as cv from e "
+        f"where vec_id < {cells})",
+        f"""assigned as (
+  select vec_id, v, cell from (
+    select e.vec_id, e.v, c.cell,
+           row_number() over (partition by e.vec_id
+                              order by round({c_ec}, 6) desc, c.cell) as rn
+    from e cross join c)
+  where rn = 1
+)""",
+        f"r as (select a.vec_id, "
+        f"{sub.format(a='a.v', b='c.cv')} as v, a.cell\n"
+        f"  from assigned a join c on a.cell = c.cell)",
+    ]
+    parts += _pq_sql_parts(m, k, iters, width, src="r", emit_e=False,
+                           init_offset=cells)
+    qslices = " union all ".join(
+        f"select cell, {s} as sub, "
+        f"qres[{s * width + 1}:{(s + 1) * width}] as qv from probes"
+        for s in range(m))
+    parts += [
+        f"q as (select v as qv from e where vec_id = {query_id})",
+        f"probes as (\n"
+        f"  select c.cell, {sub.format(a='q.qv', b='c.cv')} as qres\n"
+        f"  from q cross join c\n"
+        f"  order by round({c_qc}, 6) desc, c.cell limit {nprobe}\n)",
+        f"qs as ({qslices})",
+        f"lut as (select qs.cell, pc.sub, pc.cid, "
+        f"round({l2.format(a='qs.qv', b='pc.cv')}, 6) as d\n"
+        f"  from pc{iters} pc join qs on pc.sub = qs.sub)",
+    ]
+    return ("with " + ",\n".join(parts) + f"""
+select p.vec_id, round(sum(l.d), 6) as adist
+from pfinal p
+join r on p.vec_id = r.vec_id
+join lut l on l.cell = r.cell and l.sub = p.sub and l.cid = p.cid
 group by p.vec_id
 order by adist, p.vec_id
 limit {topk}

@@ -552,3 +552,30 @@ def test_pq_rejects_indivisible_dim(spark):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_codes(spark, SF, m=5)
+
+
+def test_ivfpq_prunes_probes_and_tracks_distance(spark):
+    """IVF-PQ: only vectors in the query's nprobe cells appear (the
+    IVF pruning), the query itself ranks first (residual quantization
+    error ~0 beats every neighbour's), ADC over residual codes
+    correlates with true squared-L2 on the probed subset, and the
+    codebook is non-degenerate (guards the all-zero-residual seed
+    regression: cell centroids' own residuals must NOT seed the PQ
+    codebook)."""
+    import numpy as np
+
+    from lexor_spark.sim import ann_ivfpq
+
+    got = ann_ivfpq(spark, SF, query_id=0, topk=500).collect()
+    assert 0 < len(got) < 500  # pruned to the probed cells
+    assert got[0]["vec_id"] == 0  # self-match first
+    adist = np.array([r["adist"] for r in got])
+    assert len(np.unique(adist)) > len(got) // 4  # non-collapsed codes
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select("vec_id", "embedding").collect()}
+    q = emb[0]
+    true = np.array([float(((emb[r["vec_id"]] - q) ** 2).sum())
+                     for r in got])
+    corr = np.corrcoef(adist, true)[0, 1]
+    assert corr > 0.5, corr
