@@ -69,6 +69,12 @@ NOTES = {
         "moves (vec_id, sub, cid) codes only, never vectors, and the "
         "per-vector distance is one map-side-combinable sum of M table "
         "entries."),
+    "ann_ivfpq": (
+        "IVF-PQ ADC: the residual join is against a BROADCAST centroid "
+        "table (shuffle-free); the (cell,sub,cid) LUT broadcasts — "
+        "per-query state only; the code join moves (vec_id, sub, cid, "
+        "cell) ids, never vectors, pruned to the nprobe probed cells "
+        "before the distance sum."),
     "pagerank": (
         "One power-iteration round = one shuffle keyed on src (ranks "
         "and out-degrees co-partition with the edge key; bucket the "
@@ -132,7 +138,7 @@ def main() -> None:
                  "decontam_overlap", "ann_ivf", "css_select",
                  "span_dedup", "lm_score", "hash_split",
                  "sample_stratified", "semantic_dedup", "ann_pq",
-                 "pagerank"):
+                 "ann_ivfpq", "pagerank"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
