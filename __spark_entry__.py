@@ -245,6 +245,10 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ivfpq(spark, sf_dir, query_id=0, topk=10)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_recall(spark, sf_dir, query_id=0, k=10)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(spark, sf_dir, k=8, iters=2, threshold=0.25)
 
@@ -724,11 +728,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the driver's 50-entry window
     out.update(RELATIONAL_QUERIES)
     out.update({
-        # PageRank + IVF-PQ (value-oracled; entries 51-52 — past the
-        # driver's 50-entry window, judge-verifiable via
+        # PageRank + IVF-PQ + ANN recall (value-oracled; entries 51-53
+        # — past the driver's 50-entry window, judge-verifiable via
         # scripts/check_oracles.py)
         "pagerank": _q_pagerank,
         "ann_ivfpq": _q_ann_ivfpq,
+        "ann_recall": _q_ann_recall,
         # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
         "extract_pages": _q_extract_pages,
         "extract_metrics": _q_extract_metrics,
@@ -829,6 +834,7 @@ def oracle_sql() -> dict[str, str]:
                           + ") order by url"),
         "pagerank": graph.pagerank_sql(graph.FIXTURE_EDGES_SQL),
         "ann_ivfpq": sim.ann_ivfpq_sql(query_id=0, topk=10),
+        "ann_recall": sim.ann_recall_sql(query_id=0, k=10),
     }
     out.update(RELATIONAL_SQL)
     return out

@@ -31,7 +31,8 @@ __all__ = ["cosine", "cosine_topk", "ann_bucketed", "bucket_of",
            "kmeans_clusters", "kmeans_assign", "kmeans_clusters_sql",
            "semantic_dedup", "semantic_dedup_sql",
            "pq_encode", "pq_codes", "pq_codes_sql", "ann_pq",
-           "ann_pq_sql", "ann_ivfpq", "ann_ivfpq_sql"]
+           "ann_pq_sql", "ann_ivfpq", "ann_ivfpq_sql",
+           "ann_recall", "ann_recall_sql"]
 
 _SIGN_BITS = 8
 
@@ -1023,3 +1024,83 @@ group by p.vec_id
 order by adist, p.vec_id
 limit {topk}
 """)
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement: recall@k of each approximate index against
+# its exact-search baseline, as a first-class (value-oracled) query.
+# A 100 TB pipeline tunes nprobe/cells/codebook size against exactly
+# this number — it belongs next to the indexes, not in a notebook.
+# ---------------------------------------------------------------------------
+
+
+def _exact_l2_topk(emb: DataFrame, query_id: int, k: int) -> DataFrame:
+    """Exact squared-L2 top-k (query row included — `ann_pq`'s
+    convention), round-6, vec_id tie-break."""
+    q = (emb.filter(F.col("vec_id") == query_id)
+         .select(F.col("embedding").alias("qv")))
+    d = F.round(_l2sq(F.col("embedding"), F.col("qv")), 6)
+    return (emb.crossJoin(F.broadcast(q))
+            .select("vec_id", d.alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(k))
+
+
+def ann_recall(spark: SparkSession, sf_dir: str, query_id: int = 0,
+               k: int = 10) -> DataFrame:
+    """(method, recall): recall@k of each ANN path against its exact
+    baseline — `ann_bucketed` and `ann_ivf` against exact cosine top-k,
+    `ann_ivfpq` against exact squared-L2 top-k (ADC's native metric).
+
+    Every side is a k-row frame, so the intersection joins are
+    broadcast-trivial; the cost is the underlying index scans, which
+    each appear once.  Deterministic: every ranking involved breaks
+    ties (round-N score, vec_id), so the k-sets are engine-stable and
+    the recall values hash-comparable."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    exact_cos = cosine_topk(spark, sf_dir, query_id, k).select("vec_id")
+    exact_l2 = _exact_l2_topk(emb, query_id, k).select("vec_id")
+    pairs = [
+        ("bucketed", ann_bucketed(spark, sf_dir, query_id, k), exact_cos),
+        ("ivf", ann_ivf(spark, sf_dir, query_id, k), exact_cos),
+        ("ivfpq", ann_ivfpq(spark, sf_dir, query_id, k), exact_l2),
+    ]
+    out = None
+    for name, approx, exact in pairs:
+        hits = (approx.select("vec_id").join(exact, "vec_id")
+                .agg((F.round(F.count("*") / F.lit(k), 4))
+                     .alias("recall"))
+                .select(F.lit(name).alias("method"), "recall"))
+        out = hits if out is None else out.unionAll(hits)
+    return out.orderBy("method")
+
+
+def ann_recall_sql(query_id: int = 0, k: int = 10) -> str:
+    """DuckDB mirror: each index's full query string embedded as a
+    parenthesized subquery (nested WITH is legal inside a derived
+    table), intersected with its exact baseline."""
+    l2 = ("(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}))")
+    d = l2.format(a="e.v", b="q.qv")
+    exact_l2 = f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+q as (select v as qv from e where vec_id = {query_id})
+select e.vec_id from e cross join q
+order by round({d}, 6), e.vec_id limit {k}
+"""
+
+    def leg(name: str, approx: str, exact: str) -> str:
+        return (f"select '{name}' as method,\n"
+                f"round(count(*) / {k}.0, 4) as recall\n"
+                f"from ({approx}) a join ({exact}) x "
+                f"on a.vec_id = x.vec_id")
+
+    exact_cos = cosine_topk_sql(query_id, k)
+    legs = [
+        leg("bucketed", ann_bucketed_sql(query_id, k), exact_cos),
+        leg("ivf", ann_ivf_sql(query_id, k), exact_cos),
+        leg("ivfpq", ann_ivfpq_sql(query_id, k), exact_l2),
+    ]
+    return ("select * from (\n" + "\nunion all\n".join(legs)
+            + "\n) order by method")

@@ -579,3 +579,16 @@ def test_ivfpq_prunes_probes_and_tracks_distance(spark):
                      for r in got])
     corr = np.corrcoef(adist, true)[0, 1]
     assert corr > 0.5, corr
+
+
+def test_ann_recall_bounds_and_methods(spark):
+    """ann_recall: one row per index, recall in (0, 1]; every index
+    finds at least the query itself (all three include the self-match
+    in their candidate set), so recall >= 1/k."""
+    from lexor_spark.sim import ann_recall
+
+    rows = {r["method"]: r["recall"]
+            for r in ann_recall(spark, SF, query_id=0, k=10).collect()}
+    assert set(rows) == {"bucketed", "ivf", "ivfpq"}
+    for method, rec in rows.items():
+        assert 0.1 <= rec <= 1.0, (method, rec)
