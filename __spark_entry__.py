@@ -444,6 +444,9 @@ def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "main blockquote, article blockquote",  # comma group
         "ul > li:first-child",            # CHILD pseudo subset
         "ul > li:nth-child(2n)",          # an+b pseudo
+        "p:first-of-type",                # *-of-type subset
+        "div :nth-last-child(1)",         # nth-last-* subset
+        "p:not(.ad)",                     # CSS3 negation
     ]
     out = css_select(pages_df(spark, sf_dir), probes)
     return out.orderBy("url", "selector")

@@ -19,11 +19,15 @@ Fidelity notes:
   *descendant*, and comma-separated groups.
 * Pseudo-classes are tokenized by the reference
   (`selector.py:44-47,63-67`) but, with the compiler stubbed, never
-  matched.  This engine implements the CHILD subset for real —
-  ``:first-child``, ``:last-child``, ``:only-child``,
-  ``:nth-child(an+b | odd | even | k)`` with CSS semantics (positions
-  count Element siblings, 1-based) — and rejects the rest with a clear
-  error instead of silently dropping them.
+  matched.  This engine implements the structural subset for real —
+  ``:first/last/only-child``, ``:first/last/only-of-type``,
+  ``:nth-child`` / ``:nth-of-type`` / ``:nth-last-child`` /
+  ``:nth-last-of-type`` (``an+b | odd | even | k``) with CSS semantics
+  (positions count Element siblings, 1-based; ``-of-type`` restricts
+  to same-tag siblings; ``nth-last-*`` counts from the end), plus
+  ``:not(<compound>)`` (CSS3 negation: one compound, no nesting) —
+  and rejects the rest with a clear error instead of silently
+  dropping them.
 * Everything is iterative over short chains — matching walks parent /
   preceding-sibling links only, so hostile 5000-deep documents cannot
   overflow the stack (chain length = compounds in the selector, not
@@ -76,15 +80,17 @@ class Compound:
     """One compound selector: ``tag#id.class[attr=v]:pseudo``, no
     spaces."""
 
-    __slots__ = ("tag", "ids", "classes", "attrs", "pseudos")
+    __slots__ = ("tag", "ids", "classes", "attrs", "pseudos", "nots")
 
     def __init__(self) -> None:
         self.tag: Optional[str] = None
         self.ids: list[str] = []
         self.classes: list[str] = []
         self.attrs: list[tuple[str, Optional[str], Optional[str]]] = []
-        # (name, None) for first/last/only-child, (name, (a, b)) for nth
+        # (name, None) for first/last/only-*, (name, (a, b)) for nth-*
         self.pseudos: list[tuple[str, Optional[tuple[int, int]]]] = []
+        # :not(<compound>) — CSS3: single compound, no nesting
+        self.nots: list["Compound"] = []
 
     def matches(self, node: Node) -> bool:
         if not isinstance(node, Element):
@@ -109,6 +115,9 @@ class Compound:
         for name, ab in self.pseudos:
             if not _pseudo_test(node, name, ab):
                 return False
+        for sub in self.nots:
+            if sub.matches(node):
+                return False
         return True
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
@@ -124,35 +133,44 @@ class Compound:
 
 def _pseudo_test(node: Element, name: str,
                  ab: Optional[tuple[int, int]]) -> bool:
-    """CHILD pseudo-class semantics: positions count Element siblings
-    only (as CSS nth-child ignores text/comment nodes), 1-based.  One
+    """CHILD/TYPE pseudo-class semantics: positions count Element
+    siblings only (as CSS nth-child ignores text/comment nodes) —
+    ``*-of-type`` further restricts to siblings with the candidate's
+    tag name — 1-based, ``nth-last-*`` counted from the end.  One
     linear pass over the parent's child list per candidate — pseudos
     run last in `Compound.matches`, so only nodes surviving the cheap
     tests pay it."""
     p = node.parent
     kids = p.children if p is not None else (node,)
-    if name == "first-child":
+    of_type = name.endswith("-of-type")
+    tag = node.name
+
+    def counts(k: Node) -> bool:
+        return isinstance(k, Element) and (not of_type or k.name == tag)
+
+    if name in ("first-child", "first-of-type"):
         for k in kids:
-            if isinstance(k, Element):
+            if counts(k):
                 return k is node
         return False  # pragma: no cover - node is among kids
-    if name == "last-child":
+    if name in ("last-child", "last-of-type"):
         for k in reversed(kids):
-            if isinstance(k, Element):
+            if counts(k):
                 return k is node
         return False  # pragma: no cover
-    if name == "only-child":
+    if name in ("only-child", "only-of-type"):
         first = None
         for k in kids:
-            if isinstance(k, Element):
+            if counts(k):
                 if first is not None:
                     return False
                 first = k
         return first is node
-    # nth-child(an+b): exists n >= 0 with position == a*n + b
+    # nth-*(an+b): exists n >= 0 with position == a*n + b
     idx = 0
-    for k in kids:
-        if isinstance(k, Element):
+    it = reversed(kids) if name.startswith("nth-last-") else kids
+    for k in it:
+        if counts(k):
             idx += 1
             if k is node:
                 break
@@ -184,6 +202,22 @@ def _parse_nth(arg: str) -> tuple[int, int]:
         a = int(a_txt)
     b = int(sign + b_txt) if sign else 0
     return (a, b)
+
+
+def _parse_not(inner: str) -> Compound:
+    """``:not(<compound>)`` argument: one compound selector, no
+    combinators/commas, no nesting (CSS3 negation grammar; arguments
+    containing parentheses — :nth-* inside :not — are outside the
+    tokenizer's paren-free pseudo regex and rejected upstream)."""
+    groups = tokenize(inner)
+    if len(groups) != 1 or len(groups[0]) != 1:
+        raise SelectorError(
+            f":not() takes a single compound selector "
+            f"(no combinators or commas): {inner!r}")
+    sub = groups[0][0]
+    if sub.nots:
+        raise SelectorError(":not() cannot nest")
+    return sub
 
 
 def _attr_test(got: Optional[str], present: bool,
@@ -285,19 +319,27 @@ def tokenize(selector: str) -> list[list[Union[str, Compound]]]:
             if m:
                 pname = m.group(1).lower()
                 parg = m.group(2)
-                if pname in ("first-child", "last-child",
-                             "only-child") and parg is None:
+                if pname in ("first-child", "last-child", "only-child",
+                             "first-of-type", "last-of-type",
+                             "only-of-type") and parg is None:
                     compound.pseudos.append((pname, None))
-                elif pname == "nth-child" and parg is not None:
+                elif pname in ("nth-child", "nth-of-type",
+                               "nth-last-child", "nth-last-of-type"
+                               ) and parg is not None:
                     compound.pseudos.append(
-                        ("nth-child", _parse_nth(parg[1:-1])))
+                        (pname, _parse_nth(parg[1:-1])))
+                elif pname == "not" and parg is not None:
+                    compound.nots.append(_parse_not(parg[1:-1]))
                 else:
                     raise SelectorError(
-                        f"pseudo-class :{pname} is not supported (only "
-                        "the CHILD subset is implemented: first-child, "
-                        "last-child, only-child, nth-child(an+b); the "
-                        "reference tokenizes but never matches pseudos — "
-                        "its compiler is a stub, selector.py:224-228)")
+                        f"pseudo-class :{pname} is not supported (the "
+                        "structural subset is implemented: first/last/"
+                        "only-child, first/last/only-of-type, "
+                        "nth-child, nth-of-type, nth-last-child, "
+                        "nth-last-of-type with an+b, and :not(compound)"
+                        "; the reference tokenizes but never matches "
+                        "pseudos — its compiler is a stub, "
+                        "selector.py:224-228)")
                 so_far = so_far[m.end():]
                 matched_any = True
                 continue

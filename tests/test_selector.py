@@ -53,7 +53,7 @@ def test_tokenize_rejects_garbage_and_pseudos():
     with pytest.raises(SelectorError):
         tokenize("")
     with pytest.raises(SelectorError):
-        tokenize("p:nth-of-type(2)")  # outside the CHILD subset
+        tokenize("p:hover")  # outside the structural subset
     with pytest.raises(SelectorError):
         tokenize("p ? q")
 
@@ -372,11 +372,48 @@ def test_child_pseudos():
     assert not matches(li_b, "li:first-child")
 
 
+def test_of_type_and_negation_pseudos():
+    doc, _ = parse_html(
+        "<html><body><div>"
+        "<p class='ad'>x</p><p>k1</p><em>e1</em><p>k2</p><em>e2</em>"
+        "</div><section><h1>t</h1></section></body></html>")
+    def texts_of(sel):
+        return ["".join(n.data for n in el.iter()
+                        if type(n).__name__ == "Text")
+                for el in query(doc, sel)]
+    # *-of-type restrict position counting to same-tag siblings
+    assert texts_of("p:first-of-type") == ["x"]
+    assert texts_of("p:last-of-type") == ["k2"]
+    assert texts_of("em:first-of-type") == ["e1"]
+    assert texts_of("p:nth-of-type(2)") == ["k1"]
+    assert texts_of("p:nth-of-type(odd)") == ["x", "k2"]
+    assert texts_of("h1:only-of-type") == ["t"]
+    assert texts_of("p:only-of-type") == []
+    # nth-last-* count from the end
+    assert texts_of("div :nth-last-child(1)") == ["e2"]
+    assert texts_of("p:nth-last-of-type(1)") == ["k2"]
+    # last-positions: x=3, k1=2, k2=1 → odd ones are x and k2
+    assert texts_of("p:nth-last-of-type(2n+1)") == ["x", "k2"]
+    # :not() with class / tag / attribute compounds
+    assert texts_of("p:not(.ad)") == ["k1", "k2"]
+    assert [e.name for e in query(doc, "div :not(p)")] == ["em", "em"]
+    assert texts_of("div :not([class])") == ["k1", "e1", "k2", "e2"]
+    # :not composes with other pseudos on the same compound
+    assert texts_of("p:not(.ad):nth-of-type(3)") == ["k2"]
+    # matches() agrees
+    k1 = query(doc, "p:nth-of-type(2)")[0]
+    assert matches(k1, "p:not(.ad)")
+    assert not matches(k1, "p:not([class]):first-of-type")
+
+
 def test_unsupported_pseudo_still_rejected():
     import pytest as _pytest
     with _pytest.raises(SelectorError):
         tokenize("a:hover")
     with _pytest.raises(SelectorError):
-        tokenize("li:nth-of-type(2)")
-    with _pytest.raises(SelectorError):
         tokenize("li:nth-child(2x+1)")
+    # CSS3 negation grammar: one compound, no nesting, no combinators
+    with _pytest.raises(SelectorError):
+        tokenize("p:not(div p)")
+    with _pytest.raises(SelectorError):
+        tokenize("p:not(a, b)")
