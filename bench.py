@@ -76,7 +76,8 @@ def timed(make_df) -> float:
 def main() -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
-    from lexor_spark import bpe, dedup, lm, sim, textfns  # noqa: F401
+    from lexor_spark import (bpe, dedup, dsir, lm, sampling,  # noqa: F401
+                             search, sim, textfns)
     from lexor_spark.job import extract_pages, partition_metrics
     from lexor_spark.pages import materialized_pages
     from lexor_spark.queries import RELATIONAL_QUERIES
@@ -130,6 +131,12 @@ def main() -> None:
         "ann_pq": lambda: sim.ann_pq(spark, SF_DIR, query_id=0, topk=10),
         "ann_ivfpq": lambda: sim.ann_ivfpq(spark, SF_DIR, query_id=0,
                                            topk=10),
+        "bm25_search": lambda: search.bm25_topk(
+            docs, "spark join window", k=15),
+        "dsir_weights": lambda: dsir.dsir_weights(
+            docs, target=docs.filter(F.col("lang") == "en")),
+        "temperature_sample": lambda: sampling.temperature_sample(
+            docs, alpha=0.5),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fraction", "hash_split", "sample_by"]
+__all__ = ["hash_fraction", "hash_split", "sample_by",
+           "temperature_sample"]
 
 _SCALE = float(1 << 32)
 
@@ -121,3 +122,58 @@ def sample_by_sql(table: str, fractions: dict[str, float],
     quota = (f"case {cases} else {float(default)!r} end" if cases
              else repr(float(default)))
     return f"select * from {table} where {u} < {quota}"
+
+
+_TEMP_SALT = "#temp"
+
+
+def temperature_sample(docs: DataFrame, alpha: float = 0.5,
+                       group_col: str = "lang", id_col: str = "doc_id"
+                       ) -> DataFrame:
+    """Temperature-based stratum rebalancing (the multilingual
+    upsampling rule of Conneau & Lample 2019 / mC4, applied as a
+    downsample-only pass): target share of stratum ``l`` is
+    ``n_l^alpha / sum_m n_m^alpha``, achieved without replication by
+    keeping each stratum at rate ``(min_m n_m / n_l)^(1 - alpha)`` —
+    the smallest stratum keeps everything, big strata shed mass until
+    shares match the temperature-flattened distribution.  ``alpha=1``
+    keeps everything; ``alpha=0`` equalizes strata.
+
+    Output: (doc_id, group, keep_rate) for surviving rows, the draw
+    being the same engine-portable salted-md5 fraction as
+    :func:`sample_by` — reproducible across engines, partitionings and
+    retries.
+
+    At 100 TB: one map-side-combinable count per stratum (key space =
+    #languages, tiny) broadcast back; the scan side filters on a pure
+    per-row expression — no shuffle, no window."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"temperature_sample: alpha must be in [0, 1], "
+                         f"got {alpha}")
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    rates = (counts.crossJoin(F.broadcast(mn))
+             .select(group_col,
+                     F.pow(F.col("mn").cast("double") / F.col("n"),
+                           F.lit(1.0 - alpha)).alias("keep_rate")))
+    u = hash_fraction(F.col(id_col), _TEMP_SALT)
+    return (docs.join(F.broadcast(rates), group_col)
+            .filter(u < F.col("keep_rate"))
+            .select(F.col(id_col), F.col(group_col),
+                    F.round("keep_rate", 6).alias("keep_rate")))
+
+
+def temperature_sample_sql(table: str, alpha: float = 0.5,
+                           group_col: str = "lang",
+                           id_col: str = "doc_id") -> str:
+    u = _hash_fraction_sql(f"d.{id_col}", _TEMP_SALT)
+    return f"""
+with c as (select {group_col}, count(*)::bigint as n from {table} group by 1),
+m as (select min(n) as mn from c),
+r as (select {group_col},
+             pow(m.mn::double / c.n, 1.0 - {float(alpha)!r}) as keep_rate
+      from c cross join m)
+select d.{id_col}, d.{group_col}, round(r.keep_rate, 6) as keep_rate
+from {table} d join r using ({group_col})
+where {u} < r.keep_rate
+"""

@@ -1,0 +1,121 @@
+"""BM25 full-text ranking over the documents table.
+
+The classic Robertson/Sparck-Jones Okapi BM25 with the Lucene idf
+variant (``ln(1 + (N - df + 0.5) / (df + 0.5))`` — always positive):
+
+    score(d, Q) = sum_t idf(t) * tf * (k1 + 1)
+                  / (tf + k1 * (1 - b + b * dl / avgdl))
+
+Plan shape at scale (10^12 docs): the query's term list is a tiny
+Python constant compiled into scan-side expressions — per-document
+``tf`` per term and ``dl`` come from ONE token split (let-bound struct,
+no explode, no inverted-index shuffle).  Corpus statistics (N, avgdl,
+per-term df) are a single map-side-combinable aggregation producing ONE
+row, which cross-joins back by broadcast; scoring is then a pure
+scan-side expression and the top-k is a TakeOrderedAndProject.  Nothing
+ever shuffles more than the 1-row stats and k result rows.  No
+reference counterpart (the reference converts documents, it does not
+rank them); method per the published BM25 literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lexor_spark.textfns import SQL, _let, normalize_text
+
+__all__ = ["bm25_topk", "bm25_topk_sql"]
+
+
+def _norm_terms(query: str) -> list[str]:
+    """Lowercased whitespace terms, de-duplicated, order kept — the
+    same normalization the document tokens get."""
+    seen: dict[str, None] = {}
+    for t in query.lower().split():
+        seen.setdefault(t, None)
+    return list(seen)
+
+
+def _row_stats(col: Column, terms: list[str]) -> Column:
+    """struct(dl, tfs): document length and per-query-term counts from
+    ONE let-bound token split (an empty doc normalizes to the single
+    token ``''`` which is filtered from dl and can never equal a real
+    term)."""
+    toks = F.split(normalize_text(col), " ")
+    return _let(toks, lambda t: F.struct(
+        F.size(F.filter(t, lambda x: x != F.lit(""))).alias("dl"),
+        F.array(*[F.size(F.filter(t, lambda x: x == F.lit(term)))
+                  for term in terms]).alias("tfs")))
+
+
+def bm25_topk(docs: DataFrame, query: str, k: int = 10,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` documents for ``query`` by BM25: (doc_id, dl, bm25)
+    ordered by rounded score desc then doc_id (the deterministic
+    tie-break, mirrored in the oracle)."""
+    terms = _norm_terms(query)
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    d = docs.select(F.col(id_col),
+                    _row_stats(F.col(text_col), terms).alias("s"))
+    d = d.select(id_col, F.col("s.dl").alias("dl"),
+                 F.col("s.tfs").alias("tfs"))
+    stats = d.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        *[F.sum((F.element_at("tfs", i + 1) > 0).cast("long"))
+          .alias(f"df{i}") for i in range(len(terms))])
+    j = d.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.element_at("tfs", i + 1).cast("double")
+        idf = F.log(1.0 + (F.col("n") - F.col(f"df{i}") + 0.5)
+                    / (F.col(f"df{i}") + 0.5))
+        term = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl")
+                                                 / F.col("avgdl")))
+        score = term if score is None else score + term
+    out = (j.select(F.col(id_col), F.col("dl").cast("long").alias("dl"),
+                    F.round(score, 4).alias("bm25"))
+           .filter(F.col("bm25") > 0)
+           .orderBy(F.desc("bm25"), id_col).limit(k))
+    return out
+
+
+def bm25_topk_sql(table: str, query: str, k: int = 10, k1: float = 1.2,
+                  b: float = 0.75, text_col: str = "text",
+                  id_col: str = "doc_id") -> str:
+    terms = _norm_terms(query)
+    norm = SQL.NORMALIZE.format(c=text_col)
+    tf_exprs = ", ".join(
+        "len(list_filter(toks, x -> x = '{0}'))::bigint as tf{1}"
+        .format(t.replace("'", "''"), i)
+        for i, t in enumerate(terms))
+    df_exprs = ", ".join(
+        f"sum(case when tf{i} > 0 then 1 else 0 end)::bigint as df{i}"
+        for i in range(len(terms)))
+    score = " + ".join(
+        f"(ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * ({k1} + 1)"
+        f" / (tf{i} + {k1} * (1 - {b} + {b} * dl / avgdl)))"
+        for i in range(len(terms)))
+    return f"""
+with d as (
+  select {id_col}, regexp_split_to_array({norm}, ' ') as toks from {table}
+),
+s as (
+  select {id_col},
+         len(list_filter(toks, x -> x <> ''))::bigint as dl,
+         {tf_exprs}
+  from d
+),
+st as (
+  select count(*)::bigint as n, avg(dl) as avgdl, {df_exprs} from s
+),
+sc as (
+  select {id_col}, dl, round({score}, 4) as bm25
+  from s cross join st
+)
+select {id_col}, dl, bm25 from sc
+where bm25 > 0
+order by bm25 desc, {id_col} limit {k}
+"""

@@ -114,6 +114,22 @@ NOTES = {
         "Stratified downsample is a deterministic Filter directly over "
         "the scan — fraction quotas fold into one CASE predicate, no "
         "shuffle, and column pruning reaches the parquet reader."),
+    "bm25_search": (
+        "No inverted index shuffle: per-term tf + dl come from ONE "
+        "let-bound token split per row; corpus stats (N, avgdl, df per "
+        "term) are a single 1-row partial+final agg that re-enters by "
+        "BroadcastNestedLoopJoin (1 row × scan); scoring is a scan-side "
+        "expression and the top-k is TakeOrderedAndProject."),
+    "dsir_weights": (
+        "The two bucket distributions (target, raw) are map-side "
+        "-combinable aggs over exactly B=256 keys → BroadcastHashJoins; "
+        "the scoring side is scan → gram explode → broadcast joins → one "
+        "map-side-combinable per-doc agg. The shuffle carries (doc_id, "
+        "bucket) only."),
+    "temperature_sample": (
+        "Per-stratum counts (key space = #languages) broadcast back; the "
+        "kept-set is a Filter of a pure md5 expression against the "
+        "broadcast rate — the corpus side never shuffles."),
 }
 
 
@@ -138,7 +154,8 @@ def main() -> None:
                  "decontam_overlap", "ann_ivf", "css_select",
                  "span_dedup", "lm_score", "hash_split",
                  "sample_stratified", "semantic_dedup", "ann_pq",
-                 "ann_ivfpq", "pagerank"):
+                 "ann_ivfpq", "pagerank", "bm25_search", "dsir_weights",
+                 "temperature_sample"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):

@@ -1,0 +1,163 @@
+"""BM25 ranking, DSIR importance resampling, temperature rebalancing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexor_spark import dsir, sampling, search
+
+
+def _docs(spark):
+    rows = [
+        (0, "en", "spark join window spark spark"),
+        (1, "en", "join window table scan"),
+        (2, "en", "the quick brown fox jumps over the lazy dog"),
+        (3, "de", "der schnelle braune fuchs"),
+        (4, "en", "spark"),
+        (5, "en", ""),
+        (6, "zh", "table scan filter value"),
+        (7, "en", "window window window window window window"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    out = search.bm25_topk(_docs(spark), "spark join window", k=8).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 0                       # hits all three terms, densely
+    assert 2 not in ids and 3 not in ids and 5 not in ids  # score 0 filtered
+    assert all(out[i].bm25 >= out[i + 1].bm25 for i in range(len(out) - 1))
+
+
+def test_bm25_tf_saturation(spark):
+    """k1 saturation: six repeats of one term score less than 6x one hit
+    but more than a single hit (same doc length would be needed for an
+    exact inequality; here dl differs, so just check monotone bounds)."""
+    out = {r.doc_id: r.bm25 for r in
+           search.bm25_topk(_docs(spark), "window", k=8).collect()}
+    assert out[7] > out[1]                   # 6 hits beats 1 hit
+    assert out[7] < 6 * out[1]               # but sublinearly
+
+
+def test_bm25_case_and_dedup_of_query_terms(spark):
+    a = search.bm25_topk(_docs(spark), "SPARK Spark spark", k=3).collect()
+    b = search.bm25_topk(_docs(spark), "spark", k=3).collect()
+    assert [(r.doc_id, r.bm25) for r in a] == [(r.doc_id, r.bm25) for r in b]
+
+
+def test_bm25_empty_query_raises(spark):
+    with pytest.raises(ValueError):
+        search.bm25_topk(_docs(spark), "   ")
+
+
+def test_bm25_matches_hand_computation(spark):
+    """Single-term corpus-checkable value: idf and tf normalization by
+    the exact formula."""
+    docs = _docs(spark)
+    out = {r.doc_id: (r.dl, r.bm25) for r in
+           search.bm25_topk(docs, "fox", k=8).collect()}
+    n, k1, b = 8, 1.2, 0.75
+    lens = [5, 4, 9, 4, 1, 0, 4, 6]
+    avgdl = sum(lens) / n
+    assert set(out) == {2}                   # only doc 2 contains "fox"
+    df, tf, dl = 1, 1.0, 9
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    want = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    got_dl, got = out[2]
+    assert got_dl == dl
+    assert abs(got - round(want, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs resembling the target slice (lang=en vocabulary) must
+    out-weigh docs that only resemble the raw remainder."""
+    docs = _docs(spark)
+    w = {r.doc_id: r.dsir_logweight for r in dsir.dsir_weights(
+        docs, target=docs.filter(F.col("lang") == "en")).collect()}
+    assert len(w) == 8                       # every doc scores, even empty
+    # the German doc shares no vocabulary with the target slice
+    assert w[3] < w[0] and w[3] < w[1]
+
+
+def test_dsir_weights_self_target_near_zero(spark):
+    """target == raw means every bucket ratio is exactly 1 → all log
+    weights are identically 0."""
+    docs = _docs(spark)
+    for r in dsir.dsir_weights(docs).collect():
+        assert r.dsir_logweight == 0.0
+
+
+def test_dsir_sample_is_topk_of_perturbed_weights(spark):
+    docs = _docs(spark)
+    tgt = docs.filter(F.col("lang") == "en")
+    full = dsir.dsir_sample(docs, k=8, target=tgt).collect()
+    top3 = dsir.dsir_sample(docs, k=3, target=tgt).collect()
+    assert [r.doc_id for r in top3] == [r.doc_id for r in full[:3]]
+    keys = [r.dsir_key for r in full]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_dsir_partitioning_invariant(spark):
+    docs = _docs(spark)
+    a = {r.doc_id: r.dsir_logweight
+         for r in dsir.dsir_weights(docs.repartition(1)).collect()}
+    b = {r.doc_id: r.dsir_logweight
+         for r in dsir.dsir_weights(docs.repartition(7)).collect()}
+    assert a == b
+
+
+# ------------------------------------------------- temperature sampling
+
+
+def _skewed(spark, n=3000):
+    return (spark.range(n)
+            .select(F.col("id").alias("doc_id"),
+                    F.when(F.col("id") % 100 < 90, "en")
+                    .when(F.col("id") % 100 < 99, "de")
+                    .otherwise("zh").alias("lang")))
+
+
+def test_temperature_alpha_one_keeps_everything(spark):
+    docs = _skewed(spark)
+    out = sampling.temperature_sample(docs, alpha=1.0)
+    assert out.count() == 3000
+    assert out.select("keep_rate").distinct().collect()[0].keep_rate == 1.0
+
+
+def test_temperature_flattens_shares(spark):
+    """alpha=0 equalizes: every stratum keeps ~min_n rows."""
+    docs = _skewed(spark)
+    out = sampling.temperature_sample(docs, alpha=0.0)
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    mn = 30                                   # zh count = 3000 * 1/100
+    assert counts["zh"] == mn                 # smallest stratum keeps all
+    for lang in ("en", "de"):
+        assert abs(counts[lang] - mn) < 4 * math.sqrt(mn)
+
+
+def test_temperature_shares_match_target(spark):
+    """alpha=0.5: kept share of stratum l ~ n_l^alpha / sum n^alpha."""
+    docs = _skewed(spark)
+    out = sampling.temperature_sample(docs, alpha=0.5)
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n = {"en": 2700, "de": 270, "zh": 30}
+    tot_s = sum(v ** 0.5 for v in n.values())
+    kept = sum(counts.values())
+    for lang, c in counts.items():
+        assert abs(c / kept - n[lang] ** 0.5 / tot_s) < 0.03
+
+
+def test_temperature_alpha_bounds(spark):
+    with pytest.raises(ValueError):
+        sampling.temperature_sample(_skewed(spark), alpha=1.5)
