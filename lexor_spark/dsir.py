@@ -87,15 +87,16 @@ def dsir_weights(docs: DataFrame, target: Optional[DataFrame] = None,
     target = docs if target is None else target
     tg = (target.select(F.explode(_grams(F.col(text_col))).alias("g"))
           .select(_bucket(F.col("g"), n_buckets).alias("b")))
-    rg = (docs.select(F.explode(_grams(F.col(text_col))).alias("g"))
-          .select(_bucket(F.col("g"), n_buckets).alias("b")))
     bt = tg.groupBy("b").agg(F.count("*").alias("ct"))
-    br = rg.groupBy("b").agg(F.count("*").alias("cr"))
-    tots = (bt.agg(F.sum("ct").alias("tt"))
-            .crossJoin(br.agg(F.sum("cr").alias("tr"))))
     db = (docs.select(F.col(id_col),
                       F.explode(_grams(F.col(text_col))).alias("g"))
           .select(id_col, _bucket(F.col("g"), n_buckets).alias("b")))
+    # the raw distribution is derived from the scoring-side explode, so
+    # a production run that persists `db` featurizes the raw pool ONCE
+    # (the target slice is a second, much smaller pass)
+    br = db.groupBy("b").agg(F.count("*").alias("cr"))
+    tots = (bt.agg(F.sum("ct").alias("tt"))
+            .crossJoin(br.agg(F.sum("cr").alias("tr"))))
     lr = (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
                 / (F.col("tt") + n_buckets))
           - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
