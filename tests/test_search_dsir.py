@@ -161,3 +161,85 @@ def test_temperature_shares_match_target(spark):
 def test_temperature_alpha_bounds(spark):
     with pytest.raises(ValueError):
         sampling.temperature_sample(_skewed(spark), alpha=1.5)
+
+
+# ------------------------------------------ seeded random differentials
+
+
+def _random_corpus(seed, n_docs=40, vocab=("alpha", "beta", "gamma",
+                                           "delta", "eps", "zeta")):
+    import random
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        n = rng.randint(0, 12)
+        rows.append((i, rng.choice(["en", "de"]),
+                     " ".join(rng.choice(vocab) for _ in range(n))))
+    return rows
+
+
+def _py_bm25(rows, terms, k1=1.2, b=0.75):
+    """Independent plain-Python BM25 (the textbook formula, no Spark)."""
+    docs = {i: t.lower().split() for i, _, t in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    out = {}
+    for i, toks in docs.items():
+        s = 0.0
+        for t in dict.fromkeys(terms):
+            tf = toks.count(t)
+            df = sum(1 for tk in docs.values() if t in tk)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if round(s, 4) > 0:
+            out[i] = round(s, 4)
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_bm25_differential_vs_python(spark, seed):
+    rows = _random_corpus(seed)
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.bm25 for r in
+           search.bm25_topk(df, "alpha zeta", k=40).collect()}
+    want = _py_bm25(rows, ["alpha", "zeta"])
+    assert got == dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+                       [:40])
+
+
+def _py_dsir(rows, target_langs, n_buckets=256):
+    """Independent plain-Python DSIR log weights (md5 bucket hash)."""
+    import hashlib
+
+    def grams(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    ct, cr = {}, {}
+    for _, lang, text in rows:
+        for g in grams(text):
+            b = bucket(g)
+            cr[b] = cr.get(b, 0) + 1
+            if lang in target_langs:
+                ct[b] = ct.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    out = {}
+    for i, _, text in rows:
+        w = sum(math.log((ct.get(bucket(g), 0) + 1) / (tt + n_buckets))
+                - math.log((cr.get(bucket(g), 0) + 1) / (tr + n_buckets))
+                for g in grams(text))
+        out[i] = round(w, 4)
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 55])
+def test_dsir_differential_vs_python(spark, seed):
+    rows = _random_corpus(seed)
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.dsir_logweight for r in dsir.dsir_weights(
+        df, target=df.filter(F.col("lang") == "en")).collect()}
+    assert got == _py_dsir(rows, {"en"})
