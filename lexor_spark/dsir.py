@@ -95,8 +95,12 @@ def dsir_weights(docs: DataFrame, target: Optional[DataFrame] = None,
     # a production run that persists `db` featurizes the raw pool ONCE
     # (the target slice is a second, much smaller pass)
     br = db.groupBy("b").agg(F.count("*").alias("cr"))
-    tots = (bt.agg(F.sum("ct").alias("tt"))
-            .crossJoin(br.agg(F.sum("cr").alias("tr"))))
+    # sum() over an EMPTY target slice is NULL, which would silently
+    # null every weight; add-one smoothing is well-defined at total=0
+    # (every bucket gets 1/B), so coalesce instead
+    tots = (bt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+            .crossJoin(br.agg(F.coalesce(F.sum("cr"), F.lit(0))
+                              .alias("tr"))))
     lr = (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
                 / (F.col("tt") + n_buckets))
           - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
@@ -120,8 +124,8 @@ with tg as (select {b} as b from (select unnest({g}) as g
 rg as (select {b} as b from (select unnest({g}) as g from {table})),
 bt as (select b, count(*)::bigint as ct from tg group by 1),
 br as (select b, count(*)::bigint as cr from rg group by 1),
-tots as (select (select sum(ct)::bigint from bt) as tt,
-                (select sum(cr)::bigint from br) as tr),
+tots as (select coalesce((select sum(ct)::bigint from bt), 0) as tt,
+                coalesce((select sum(cr)::bigint from br), 0) as tr),
 db as (select {id_col}, {b} as b from
        (select {id_col}, unnest({g}) as g from {table})),
 j as (

@@ -243,3 +243,13 @@ def test_dsir_differential_vs_python(spark, seed):
     got = {r.doc_id: r.dsir_logweight for r in dsir.dsir_weights(
         df, target=df.filter(F.col("lang") == "en")).collect()}
     assert got == _py_dsir(rows, {"en"})
+
+
+def test_dsir_empty_target_slice(spark):
+    """An empty target slice must not null the weights: add-one
+    smoothing degrades to a uniform 1/B target distribution."""
+    docs = _docs(spark)
+    out = dsir.dsir_weights(
+        docs, target=docs.filter(F.col("lang") == "xx")).collect()
+    assert len(out) == 8
+    assert all(r.dsir_logweight is not None for r in out)
