@@ -348,6 +348,12 @@ def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_sample(docs, alpha=0.5).orderBy("doc_id")
 
 
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (search.tfidf_keywords(docs, k=3)
+            .orderBy("doc_id", "rank"))
+
+
 def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus link extraction (kernel mapInArrow; rows-only): every
     <a href> with anchor text and minimal absolute resolution — the
@@ -776,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _q_dsir_sample,
         "bm25_search": _q_bm25_search,
         "temperature_sample": _q_temperature_sample,
+        "tfidf_keywords": _q_tfidf_keywords,
         # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
         "extract_pages": _q_extract_pages,
         "extract_metrics": _q_extract_metrics,
@@ -887,6 +894,9 @@ def oracle_sql() -> dict[str, str]:
                                + sampling.temperature_sample_sql(
                                    "documents", alpha=0.5)
                                + ") order by doc_id"),
+        "tfidf_keywords": ("select * from ("
+                           + search.tfidf_keywords_sql("documents", k=3)
+                           + ") order by doc_id, rank"),
     }
     out.update(RELATIONAL_SQL)
     return out

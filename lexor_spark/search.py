@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from lexor_spark.textfns import SQL, _let, normalize_text
 
-__all__ = ["bm25_topk", "bm25_topk_sql"]
+__all__ = ["bm25_topk", "bm25_topk_sql", "tfidf_keywords",
+           "tfidf_keywords_sql"]
 
 
 def _norm_terms(query: str) -> list[str]:
@@ -118,4 +119,56 @@ sc as (
 select {id_col}, dl, bm25 from sc
 where bm25 > 0
 order by bm25 desc, {id_col} limit {k}
+"""
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` tf-idf keywords per document: (doc_id, term, rank,
+    score) with smoothed idf ``ln((N + 1) / (df + 1)) + 1`` and
+    deterministic ties (rounded score desc, then term).
+
+    Plan shape at scale: explode → one (doc, term) map-side-combinable
+    tf agg; df is a term-keyed agg OVER the tf table (vocabulary-sized,
+    far smaller than the corpus); N is a 1-row broadcast.  The ranking
+    window partitions by doc_id — per-document, so never skewed."""
+    from pyspark.sql import Window
+    toks = (docs.select(F.col(id_col),
+                        F.explode(F.split(normalize_text(F.col(text_col)),
+                                          " ")).alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nn = docs.agg(F.count("*").cast("double").alias("n"))
+    score = F.round(
+        F.col("tf") * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1), 4)
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(nn))
+              .select(id_col, "term", score.alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (scored.select(id_col, "term",
+                          F.row_number().over(w).alias("rank"), "score")
+            .filter(F.col("rank") <= k))
+
+
+def tfidf_keywords_sql(table: str, k: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    norm = SQL.NORMALIZE.format(c=text_col)
+    return f"""
+with toks as (
+  select {id_col}, unnest(regexp_split_to_array({norm}, ' ')) as term
+  from {table}
+),
+t as (select {id_col}, term, count(*)::bigint as tf
+      from toks where term <> '' group by 1, 2),
+d as (select term, count(*)::bigint as df from t group by 1),
+nn as (select count(*)::double as n from {table}),
+s as (select {id_col}, t.term,
+             round(t.tf * (ln((nn.n + 1) / (d.df + 1)) + 1), 4) as score
+      from t join d using (term) cross join nn),
+r as (select {id_col}, term,
+             row_number() over (partition by {id_col}
+                                order by score desc, term)::int as rank,
+             score
+      from s)
+select {id_col}, term, rank, score from r where rank <= {k}
 """

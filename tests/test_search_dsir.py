@@ -253,3 +253,37 @@ def test_dsir_empty_target_slice(spark):
         docs, target=docs.filter(F.col("lang") == "xx")).collect()
     assert len(out) == 8
     assert all(r.dsir_logweight is not None for r in out)
+
+
+# ------------------------------------------------------ tf-idf keywords
+
+
+def test_tfidf_keywords_basic(spark):
+    docs = _docs(spark)
+    out = search.tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    # empty doc has no terms -> no rows
+    assert 5 not in by_doc
+    # every present doc has ranks 1..min(k, n_distinct_terms) in order
+    for doc, rows in by_doc.items():
+        ranks = [r[0] for r in sorted(rows)]
+        assert ranks == list(range(1, len(ranks) + 1))
+        scores = [r[2] for r in sorted(rows)]
+        assert scores == sorted(scores, reverse=True)
+    # doc 7 is only "window" x6 -> its single keyword is window
+    assert [t for _, t, _ in by_doc[7]] == ["window"]
+    # doc 0's top keyword is its repeated rare-ish term "spark"
+    assert sorted(by_doc[0])[0][1] == "spark"
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc must outrank an equally-frequent term
+    present everywhere (the idf half of the score)."""
+    rows = [(i, "en", "common " + ("rare" if i == 0 else "filler"))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    top = {r.doc_id: r.term for r in
+           search.tfidf_keywords(df, k=1).collect()}
+    assert top[0] == "rare"
