@@ -130,6 +130,11 @@ NOTES = {
         "Per-stratum counts (key space = #languages) broadcast back; the "
         "kept-set is a Filter of a pure md5 expression against the "
         "broadcast rate — the corpus side never shuffles."),
+    "tfidf_keywords": (
+        "Explode → (doc, term) partial+final tf agg; df aggregates the "
+        "(vocabulary-sized) tf table, N broadcasts as one row; the "
+        "ranking Window partitions by doc_id — per-document keys, never "
+        "skewed."),
 }
 
 
@@ -155,7 +160,7 @@ def main() -> None:
                  "span_dedup", "lm_score", "hash_split",
                  "sample_stratified", "semantic_dedup", "ann_pq",
                  "ann_ivfpq", "pagerank", "bm25_search", "dsir_weights",
-                 "temperature_sample"):
+                 "temperature_sample", "tfidf_keywords"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
