@@ -21,9 +21,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import (bpe, chunking, dedup, dsir, graph,  # noqa: E402
-                         lm, multimodal, sampling, search, sim, textfns,
-                         urlfns)
+from lexor_spark import (bpe, cdx, chunking, dedup, dsir,  # noqa: E402
+                         graph, lm, multimodal, sampling, search, sim,
+                         textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
@@ -352,6 +352,19 @@ def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (search.tfidf_keywords(docs, k=3)
             .orderBy("doc_id", "rank"))
+
+
+def _q_cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed records from the deterministic CDXJ fixture (scan-side
+    regex + get_json_object, no UDF)."""
+    return (cdx.parse_cdx(cdx.cdx_fixture_df(spark, sf_dir))
+            .orderBy("urlkey", "ts"))
+
+
+def _q_cdx_fetch_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC fetch list: 200/text-html captures, latest per urlkey."""
+    return (cdx.cdx_fetch_list(cdx.cdx_fixture_df(spark, sf_dir))
+            .orderBy("urlkey"))
 
 
 def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "temperature_sample": _q_temperature_sample,
         "tfidf_keywords": _q_tfidf_keywords,
+        "cdx_parse": _q_cdx_parse,
+        "cdx_fetch_list": _q_cdx_fetch_list,
         # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
         "extract_pages": _q_extract_pages,
         "extract_metrics": _q_extract_metrics,
@@ -897,6 +912,12 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": ("select * from ("
                            + search.tfidf_keywords_sql("documents", k=3)
                            + ") order by doc_id, rank"),
+        "cdx_parse": ("select * from ("
+                      + cdx.parse_cdx_sql(cdx.CDX_FIXTURE_SQL)
+                      + ") order by urlkey, ts"),
+        "cdx_fetch_list": ("select * from ("
+                           + cdx.cdx_fetch_list_sql(cdx.CDX_FIXTURE_SQL)
+                           + ") order by urlkey"),
     }
     out.update(RELATIONAL_SQL)
     return out

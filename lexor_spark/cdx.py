@@ -1,0 +1,214 @@
+"""Common-Crawl CDX(J) index source.
+
+Common Crawl publishes, besides the WARC payloads themselves, a
+columnar *index*: CDXJ lines of the form
+
+    <urlkey> <timestamp14> {"url": ..., "mime": ..., "status": ...,
+                            "digest": ..., "length": ..., "offset": ...,
+                            "filename": ...}
+
+(SURT-reversed url key, 14-digit timestamp, JSON attributes).  Real
+pipelines never scan the WARC petabytes blindly — they SELECT from the
+CDX first (status/mime/language filters, latest capture per url) and
+fetch only the chosen ``(filename, offset, length)`` ranges.  This
+module provides that front door: a line parser that is pure scan-side
+Catalyst (regex splits + ``get_json_object`` — JVM, no UDF) and a
+fetch-list selector (filter → latest-capture-per-urlkey window, a
+per-url key, never skewed).
+
+Plan shape at scale: the index for a full crawl is ~10^10 lines — the
+parser is a projection over ``spark.read.text`` (splittable files, no
+shuffle); ``cdx_fetch_list`` adds one urlkey-partitioned window.  Both
+are value-oracled in DuckDB (same regexes, same JSON extraction).
+No reference counterpart (the reference converts single documents);
+format per the public Common Crawl / pywb CDXJ documentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["cdx_fixture_df", "CDX_FIXTURE_SQL", "parse_cdx",
+           "parse_cdx_sql", "cdx_fetch_list", "cdx_fetch_list_sql"]
+
+
+# ---------------------------------------------------------------------------
+# deterministic CDXJ fixture (derived from the documents table, like the
+# messy-URL fixture in __spark_entry__)
+# ---------------------------------------------------------------------------
+
+def cdx_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic CDXJ line per document: mixed status/mime,
+    multiple captures for every 5th doc (tests latest-capture
+    selection), offsets/lengths derived from doc fields."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("site"), (d % 97).cast("string"),
+                    F.lit(".example"))
+    urlkey = F.concat(F.lit("example,site"), (d % 97).cast("string"),
+                      F.lit(")/"), F.col("source"), F.lit("/p"),
+                      d.cast("string"))
+    url = F.concat(F.lit("https://"), host, F.lit("/"), F.col("source"),
+                   F.lit("/p"), d.cast("string"))
+
+    def line(ts: Column, status: Column, offset: Column) -> Column:
+        return F.concat(
+            urlkey, F.lit(" "), ts, F.lit(" "),
+            F.lit('{"url": "'), url,
+            F.lit('", "mime": "'),
+            F.when(d % 11 == 0, F.lit("application/pdf"))
+             .otherwise(F.lit("text/html")),
+            F.lit('", "status": "'), status,
+            F.lit('", "digest": "'), F.md5(F.col("text")),
+            F.lit('", "length": "'),
+            F.length("text").cast("string"),
+            F.lit('", "offset": "'), offset.cast("string"),
+            F.lit('", "filename": "crawl-data/seg-'),
+            (d % 10).cast("string"), F.lit('.warc.gz"}'))
+
+    ts1 = F.concat(F.lit("202401"),
+                   F.lpad((1 + d % 28).cast("string"), 2, "0"),
+                   F.lit("120000"))
+    ts2 = F.concat(F.lit("202402"),
+                   F.lpad((1 + d % 28).cast("string"), 2, "0"),
+                   F.lit("120000"))
+    status1 = F.when(d % 7 == 0, F.lit("404")).otherwise(F.lit("200"))
+    first = docs.select(line(ts1, status1, (d * 1311) % 100000)
+                        .alias("cdx_line"))
+    second = (docs.filter(d % 5 == 0)
+              .select(line(ts2, F.lit("200"), (d * 2711) % 100000)
+                      .alias("cdx_line")))
+    return first.unionAll(second)
+
+
+_LINE_SQL = """
+    urlkey || ' ' || ts || ' ' ||
+    '{{"url": "' || url ||
+    '", "mime": "' ||
+    (case when doc_id % 11 = 0 then 'application/pdf'
+          else 'text/html' end) ||
+    '", "status": "' || status ||
+    '", "digest": "' || md5(text) ||
+    '", "length": "' || length(text) ||
+    '", "offset": "' || "offset" ||
+    '", "filename": "crawl-data/seg-' || (doc_id % 10) || '.warc.gz"}}'
+"""
+
+CDX_FIXTURE_SQL = f"""
+with base as (
+  select doc_id, text,
+         'example,site' || (doc_id % 97) || ')/' || source || '/p'
+           || doc_id as urlkey,
+         'https://site' || (doc_id % 97) || '.example/' || source
+           || '/p' || doc_id as url
+  from documents
+),
+cap1 as (
+  select {_LINE_SQL.format()} as cdx_line
+  from (select *,
+               '202401' || lpad((1 + doc_id % 28)::varchar, 2, '0')
+                 || '120000' as ts,
+               case when doc_id % 7 = 0 then '404' else '200' end
+                 as status,
+               ((doc_id * 1311) % 100000)::varchar as "offset"
+        from base)
+),
+cap2 as (
+  select {_LINE_SQL.format()} as cdx_line
+  from (select *,
+               '202402' || lpad((1 + doc_id % 28)::varchar, 2, '0')
+                 || '120000' as ts,
+               '200' as status,
+               ((doc_id * 2711) % 100000)::varchar as "offset"
+        from base where doc_id % 5 = 0)
+)
+select cdx_line from cap1 union all select cdx_line from cap2
+"""
+
+
+# ---------------------------------------------------------------------------
+# parser + selector
+# ---------------------------------------------------------------------------
+
+def parse_cdx(lines: DataFrame, line_col: str = "cdx_line") -> DataFrame:
+    """Typed CDX records from raw CDXJ lines — pure scan-side
+    expressions (two regex field splits + JVM ``get_json_object``).
+    Malformed lines (no JSON object) yield null attribute columns
+    rather than task failures."""
+    c = F.col(line_col)
+    js = F.regexp_extract(c, r"^\S+ \S+ (\{.*\})$", 1)
+    j = F.when(js == "", None).otherwise(js)
+
+    def attr(name: str) -> Column:
+        return F.get_json_object(j, f"$.{name}")
+
+    return lines.select(
+        F.regexp_extract(c, r"^(\S+)", 1).alias("urlkey"),
+        F.regexp_extract(c, r"^\S+ (\S+)", 1).alias("ts"),
+        attr("url").alias("url"),
+        attr("mime").alias("mime"),
+        attr("status").cast("int").alias("status"),
+        attr("digest").alias("digest"),
+        attr("length").cast("long").alias("length"),
+        attr("offset").cast("long").alias("offset"),
+        attr("filename").alias("filename"))
+
+
+def parse_cdx_sql(lines_sql: str, line_col: str = "cdx_line") -> str:
+    c = line_col
+    return f"""
+with lines as ({lines_sql}),
+parsed as (
+  select regexp_extract({c}, '^(\\S+)', 1) as urlkey,
+         regexp_extract({c}, '^\\S+ (\\S+)', 1) as ts,
+         case when regexp_extract({c}, '^\\S+ \\S+ (\\{{.*\\}})$', 1) = ''
+              then null
+              else regexp_extract({c}, '^\\S+ \\S+ (\\{{.*\\}})$', 1)
+         end as j
+  from lines
+)
+select urlkey, ts,
+       json_extract_string(j, '$.url') as url,
+       json_extract_string(j, '$.mime') as mime,
+       json_extract_string(j, '$.status')::int as status,
+       json_extract_string(j, '$.digest') as digest,
+       json_extract_string(j, '$.length')::bigint as length,
+       json_extract_string(j, '$.offset')::bigint as "offset",
+       json_extract_string(j, '$.filename') as filename
+from parsed
+"""
+
+
+def cdx_fetch_list(lines: DataFrame, mime: str = "text/html",
+                   line_col: str = "cdx_line") -> DataFrame:
+    """The WARC fetch list: parse → keep successful captures of the
+    wanted mime → latest capture per urlkey (ties: highest offset) →
+    (urlkey, url, ts, filename, offset, length).  The window partitions
+    by urlkey — one url's captures, a handful of rows — so a hot domain
+    never concentrates a task."""
+    from pyspark.sql import Window
+    rec = parse_cdx(lines, line_col=line_col)
+    kept = rec.filter((F.col("status") == 200) & (F.col("mime") == mime))
+    w = (Window.partitionBy("urlkey")
+         .orderBy(F.desc("ts"), F.desc("offset")))
+    return (kept.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("urlkey", "url", "ts", "filename", "offset", "length"))
+
+
+def cdx_fetch_list_sql(lines_sql: str, mime: str = "text/html",
+                       line_col: str = "cdx_line") -> str:
+    inner = parse_cdx_sql(lines_sql, line_col=line_col)
+    return f"""
+with rec as ({inner}),
+kept as (select * from rec
+         where status = 200 and mime = '{mime}'),
+ranked as (
+  select *, row_number() over (partition by urlkey
+                               order by ts desc, "offset" desc) as rn
+  from kept
+)
+select urlkey, url, ts, filename, "offset", length
+from ranked where rn = 1
+"""

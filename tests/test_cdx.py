@@ -1,0 +1,67 @@
+"""CDX(J) index source: parser, fetch-list selection, hostile lines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lexor_spark import cdx
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], "cdx_line string")
+
+
+GOOD = ('com,example)/a 20240101120000 {"url": "https://example.com/a", '
+        '"mime": "text/html", "status": "200", "digest": "d1", '
+        '"length": "100", "offset": "5", "filename": "seg-1.warc.gz"}')
+LATER = ('com,example)/a 20240301120000 {"url": "https://example.com/a", '
+         '"mime": "text/html", "status": "200", "digest": "d2", '
+         '"length": "120", "offset": "9", "filename": "seg-2.warc.gz"}')
+NOTFOUND = ('com,example)/b 20240101120000 {"url": "https://example.com/b", '
+            '"mime": "text/html", "status": "404", "digest": "d3", '
+            '"length": "50", "offset": "1", "filename": "seg-1.warc.gz"}')
+PDF = ('com,example)/c 20240101120000 {"url": "https://example.com/c", '
+       '"mime": "application/pdf", "status": "200", "digest": "d4", '
+       '"length": "70", "offset": "2", "filename": "seg-1.warc.gz"}')
+
+
+def test_parse_typed_fields(spark):
+    out = cdx.parse_cdx(_lines(spark, [GOOD])).collect()[0]
+    assert out.urlkey == "com,example)/a"
+    assert out.ts == "20240101120000"
+    assert out.url == "https://example.com/a"
+    assert out.status == 200 and out.length == 100 and out.offset == 5
+    assert out.filename == "seg-1.warc.gz"
+
+
+def test_parse_malformed_lines_yield_nulls_not_failures(spark):
+    rows = ["", "garbage", "key 20240101120000 not-json",
+            "key 20240101120000"]
+    out = cdx.parse_cdx(_lines(spark, rows)).collect()
+    assert len(out) == 4
+    assert all(r.url is None and r.status is None for r in out)
+
+
+def test_fetch_list_latest_capture_and_filters(spark):
+    out = cdx.cdx_fetch_list(
+        _lines(spark, [GOOD, LATER, NOTFOUND, PDF])).collect()
+    assert len(out) == 1                     # 404 and pdf filtered out
+    r = out[0]
+    assert r.ts == "20240301120000"          # latest capture wins
+    assert r.filename == "seg-2.warc.gz" and r.offset == 9
+
+
+def test_fetch_list_mime_selector(spark):
+    out = cdx.cdx_fetch_list(_lines(spark, [GOOD, PDF]),
+                             mime="application/pdf").collect()
+    assert [r.urlkey for r in out] == ["com,example)/c"]
+
+
+def test_fixture_has_multi_capture_urls(spark, sf_dir):
+    lines = cdx.cdx_fixture_df(spark, sf_dir)
+    rec = cdx.parse_cdx(lines)
+    multi = (rec.groupBy("urlkey").count().filter(F.col("count") > 1))
+    assert multi.count() > 0
+    fetch = cdx.cdx_fetch_list(lines)
+    # fetch list is unique per urlkey
+    assert fetch.count() == fetch.select("urlkey").distinct().count()
