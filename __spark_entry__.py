@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lexor_spark import (bpe, cdx, chunking, dedup, dsir,  # noqa: E402
-                         graph, lm, multimodal, sampling, search, sim,
-                         textfns, urlfns)
+                         graph, lm, multimodal, robots, sampling, search,
+                         sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
@@ -365,6 +365,44 @@ def _q_cdx_fetch_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WARC fetch list: 200/text-html captures, latest per urlkey."""
     return (cdx.cdx_fetch_list(cdx.cdx_fixture_df(spark, sf_dir))
             .orderBy("urlkey"))
+
+
+_ROBOTS_URLS_SQL = """
+select 'https://site' || (doc_id % 97) || '.example' ||
+       case when doc_id % 4 = 0 then '/private/p' || doc_id
+            when doc_id % 4 = 1 then '/private/ok/p' || doc_id
+            when doc_id % 4 = 2 then '/pub/p' || doc_id
+            else '/' || source || '/p' || doc_id end as url
+from documents
+"""
+
+
+def _robots_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    return docs.select(F.concat(
+        F.lit("https://site"), (d % 97).cast("string"), F.lit(".example"),
+        F.when(d % 4 == 0, F.concat(F.lit("/private/p"), d.cast("string")))
+        .when(d % 4 == 1,
+              F.concat(F.lit("/private/ok/p"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("/pub/p"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/"), F.col("source"), F.lit("/p"),
+                            d.cast("string")))).alias("url"))
+
+
+def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-group Allow/Disallow rules parsed from per-host robots.txt
+    bodies (two bounded per-host windows recover group structure)."""
+    return (robots.parse_robots(robots.robots_fixture_df(spark, sf_dir))
+            .orderBy("host", "rule", "path"))
+
+
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP decision per candidate URL: longest matching rule wins,
+    Allow wins ties, no rule allows."""
+    return (robots.robots_filter(_robots_urls_df(spark, sf_dir),
+                                 robots.robots_fixture_df(spark, sf_dir))
+            .orderBy("url"))
 
 
 def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "cdx_parse": _q_cdx_parse,
         "cdx_fetch_list": _q_cdx_fetch_list,
+        "robots_rules": _q_robots_rules,
+        "robots_filter": _q_robots_filter,
         # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
         "extract_pages": _q_extract_pages,
         "extract_metrics": _q_extract_metrics,
@@ -918,6 +958,14 @@ def oracle_sql() -> dict[str, str]:
         "cdx_fetch_list": ("select * from ("
                            + cdx.cdx_fetch_list_sql(cdx.CDX_FIXTURE_SQL)
                            + ") order by urlkey"),
+        "robots_rules": ("select * from ("
+                         + robots.parse_robots_sql(
+                             robots.ROBOTS_FIXTURE_SQL)
+                         + ") order by host, rule, path"),
+        "robots_filter": ("select * from ("
+                          + robots.robots_filter_sql(
+                              _ROBOTS_URLS_SQL, robots.ROBOTS_FIXTURE_SQL)
+                          + ") order by url"),
     }
     out.update(RELATIONAL_SQL)
     return out

@@ -1,0 +1,253 @@
+"""robots.txt (Robots Exclusion Protocol) parsing and URL filtering.
+
+Every polite crawl pipeline applies the REP before fetching: parse each
+host's ``robots.txt``, collect the rule group that applies to the
+crawler, and allow/deny each candidate URL by the LONGEST matching
+rule path (ties: Allow wins) — the google/rep semantics (RFC 9309).
+
+This module implements the ``User-agent: *`` subset as pure relational
+operators so the DuckDB oracle can verify values:
+
+* ``parse_robots``: bodies → per-host ``(rule, path)`` rows for the
+  star group.  Group structure (consecutive ``User-agent`` lines bind
+  to the rule block that follows) is recovered with two windows over
+  ``(host, line_no)`` — a robots file is a few hundred lines, so the
+  per-host window is trivially bounded.
+* ``robots_filter``: candidate URLs left-join the rule table on host
+  with a prefix-match condition; one per-URL window picks the longest
+  match (Allow before Disallow on equal length); URLs with no matching
+  rule are allowed.  The join key is the host (rule tables are tiny
+  next to the URL corpus — broadcastable when one crawl's hosts fit,
+  host-keyed shuffle otherwise) and the decision window partitions by
+  URL, so neither side ever concentrates a task.
+
+RFC 9309 details deliberately out of scope (documented): wildcard
+``*``/``$`` patterns inside rule paths (prefix match only), per-agent
+group selection beyond ``*``, and crawl-delay.  No reference
+counterpart; format per the public RFC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["robots_fixture_df", "ROBOTS_FIXTURE_SQL", "parse_robots",
+           "parse_robots_sql", "robots_filter", "robots_filter_sql"]
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture: one robots.txt body per host class
+# ---------------------------------------------------------------------------
+
+def robots_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, robots_txt) for every distinct fixture host: three rule
+    shapes by host-class — a /private block with an Allow carve-out, a
+    deny-all-with-carve-out, and rules hidden in a non-star group (must
+    be ignored)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosts = (docs.select(
+        (F.col("doc_id") % 97).alias("h"))
+        .distinct()
+        .select(F.concat(F.lit("site"), F.col("h").cast("string"),
+                         F.lit(".example")).alias("host"),
+                F.col("h")))
+    body = (
+        F.when(F.col("h") % 3 == 0, F.concat(
+            F.lit("# fixture robots\nUser-agent: *\n"
+                  "Disallow: /private\n"
+                  "Allow: /private/ok\n\n"
+                  "User-agent: evilbot\nDisallow: /\n")))
+        .when(F.col("h") % 3 == 1, F.lit(
+            "User-agent: archiver\nUser-agent: *\n"
+            "Disallow: /\n"
+            "Allow: /pub\n"))
+        .otherwise(F.lit(
+            "User-agent: evilbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow:\n")))
+    return hosts.select("host", body.alias("robots_txt"))
+
+
+ROBOTS_FIXTURE_SQL = """
+select 'site' || h || '.example' as host,
+       case
+         when h % 3 = 0 then '# fixture robots
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+
+User-agent: evilbot
+Disallow: /
+'
+         when h % 3 = 1 then 'User-agent: archiver
+User-agent: *
+Disallow: /
+Allow: /pub
+'
+         else 'User-agent: evilbot
+Disallow: /
+
+User-agent: *
+Disallow:
+'
+       end as robots_txt
+from (select distinct doc_id % 97 as h from documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, rule, path) for every Allow/Disallow in the star group.
+    ``rule`` is 'allow' | 'disallow'; empty-path rules (no-op per RFC)
+    are dropped.  Comments (#) and surrounding whitespace stripped;
+    field names case-insensitive."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"))
+    ln = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    lines = lines.select("host", "pos", ln.alias("ln")).filter(
+        F.col("ln") != "")
+    low = F.lower(F.col("ln"))
+    is_ua = low.startswith("user-agent:")
+    val = F.trim(F.regexp_extract(F.col("ln"), r"^[^:]*:(.*)$", 1))
+    w = Window.partitionBy("host").orderBy("pos")
+    tagged0 = lines.select(
+        "host", "pos", "ln", is_ua.alias("is_ua"), val.alias("val"))
+    new_grp = (F.col("is_ua").cast("int")
+               * (1 - F.lag(F.col("is_ua").cast("int"), 1, 0).over(w)))
+    tagged = (tagged0.withColumn("new_grp", new_grp)
+              .withColumn("gid", F.sum("new_grp").over(w)))
+    star = (F.max((F.col("is_ua") & (F.col("val") == "*")).cast("int"))
+            .over(Window.partitionBy("host", "gid")))
+    rule = F.when(F.lower("ln").startswith("allow:"), "allow").when(
+        F.lower("ln").startswith("disallow:"), "disallow")
+    return (tagged.withColumn("star", star)
+            .filter((F.col("star") == 1) & ~F.col("is_ua")
+                    & rule.isNotNull() & (F.col("val") != ""))
+            .select("host", rule.alias("rule"), F.col("val").alias("path")))
+
+
+def parse_robots_sql(robots_sql: str, host_col: str = "host",
+                     body_col: str = "robots_txt") -> str:
+    return f"""
+with bodies as ({robots_sql}),
+rawlines as (
+  select {host_col} as host,
+         generate_subscripts(string_split({body_col}, chr(10)), 1) - 1
+           as pos,
+         unnest(string_split({body_col}, chr(10))) as raw
+  from bodies
+),
+lines as (
+  select host, pos, trim(regexp_replace(raw, '#.*$', '')) as ln
+  from rawlines
+  where trim(regexp_replace(raw, '#.*$', '')) <> ''
+),
+tagged as (
+  select host, pos, ln,
+         (lower(ln) like 'user-agent:%') as is_ua,
+         trim(regexp_extract(ln, '^[^:]*:(.*)$', 1)) as val
+  from lines
+),
+marked as (
+  select *,
+         case when is_ua and not coalesce(
+                lag(is_ua) over (partition by host order by pos), false)
+              then 1 else 0 end as new_grp
+  from tagged
+),
+grouped as (
+  select *,
+         sum(new_grp) over (partition by host order by pos) as gid
+  from marked
+),
+starred as (
+  select *,
+         max(case when is_ua and val = '*' then 1 else 0 end)
+           over (partition by host, gid) as star
+  from grouped
+)
+select host,
+       case when lower(ln) like 'allow:%' then 'allow'
+            else 'disallow' end as rule,
+       val as path
+from starred
+where star = 1 and not is_ua and val <> ''
+  and (lower(ln) like 'allow:%' or lower(ln) like 'disallow:%')
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL filter (longest-match REP decision)
+# ---------------------------------------------------------------------------
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?"
+
+
+def robots_filter(urls: DataFrame, robots: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """(url, allowed, matched_rule, matched_path): REP decision per
+    candidate URL — longest matching star-group rule wins, Allow wins
+    length ties, no matching rule (or no robots.txt for the host)
+    allows."""
+    rules = parse_robots(robots)
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(F.col(url_col), _HOST_RE, 1).alias("host"),
+        F.coalesce(
+            F.when(F.regexp_extract(F.col(url_col), _PATH_RE, 1) == "",
+                   "/").otherwise(
+                F.regexp_extract(F.col(url_col), _PATH_RE, 1)),
+            F.lit("/")).alias("path"))
+    j = u.join(rules,
+               (u.host == rules.host) & u.path.startswith(rules.path),
+               "left").select("url", u.path.alias("upath"),
+                              "rule", rules.path.alias("rpath"))
+    w = (Window.partitionBy("url")
+         .orderBy(F.length("rpath").desc(), F.col("rule").asc()))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "url",
+                (F.col("rule").isNull() | (F.col("rule") == "allow"))
+                .alias("allowed"),
+                F.col("rule").alias("matched_rule"),
+                F.col("rpath").alias("matched_path")))
+
+
+def robots_filter_sql(urls_sql: str, robots_sql: str,
+                      url_col: str = "url") -> str:
+    rules = parse_robots_sql(robots_sql)
+    return f"""
+with urls0 as ({urls_sql}),
+rules as ({rules}),
+u as (
+  select {url_col} as url,
+         regexp_extract({url_col}, '{_HOST_RE}', 1) as host,
+         coalesce(nullif(regexp_extract({url_col}, '{_PATH_RE}', 1), ''),
+                  '/') as path
+  from urls0
+),
+j as (
+  select u.url, u.path as upath, r.rule, r.path as rpath
+  from u left join rules r
+    on u.host = r.host and starts_with(u.path, r.path)
+),
+ranked as (
+  select *,
+         row_number() over (partition by url
+                            order by length(rpath) desc nulls last,
+                                     rule asc nulls last) as rn
+  from j
+)
+select url,
+       (rule is null or rule = 'allow') as allowed,
+       rule as matched_rule,
+       rpath as matched_path
+from ranked where rn = 1
+"""

@@ -1,0 +1,82 @@
+"""robots.txt REP parsing and longest-match URL filtering."""
+
+from __future__ import annotations
+
+from lexor_spark import robots
+
+BODY = """# comment line
+User-agent: googlebot
+Disallow: /google-only
+
+User-agent: archiver
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+
+User-agent: evilbot
+Disallow: /
+"""
+
+
+def _robots(spark, body=BODY, host="h.example"):
+    return spark.createDataFrame([(host, body)],
+                                 "host string, robots_txt string")
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_parse_star_group_only(spark):
+    rules = {(r.rule, r.path)
+             for r in robots.parse_robots(_robots(spark)).collect()}
+    # googlebot and evilbot groups ignored; empty Disallow dropped
+    assert rules == {("disallow", "/private"), ("allow", "/private/ok")}
+
+
+def test_parse_stacked_user_agents_bind_to_one_group(spark):
+    body = "User-agent: a\nUser-agent: *\nDisallow: /x\n"
+    rules = robots.parse_robots(_robots(spark, body)).collect()
+    assert [(r.rule, r.path) for r in rules] == [("disallow", "/x")]
+
+
+def test_parse_case_insensitive_fields(spark):
+    body = "USER-AGENT: *\ndisallow: /y\nALLOW: /y/z\n"
+    rules = {(r.rule, r.path)
+             for r in robots.parse_robots(_robots(spark, body)).collect()}
+    assert rules == {("disallow", "/y"), ("allow", "/y/z")}
+
+
+def test_filter_longest_match_and_ties(spark):
+    out = {r.url: (r.allowed, r.matched_rule) for r in robots.robots_filter(
+        _urls(spark, ["https://h.example/private/x",
+                      "https://h.example/private/ok/x",
+                      "https://h.example/public",
+                      "https://h.example/",
+                      "https://other.example/anything"]),
+        _robots(spark)).collect()}
+    assert out["https://h.example/private/x"] == (False, "disallow")
+    assert out["https://h.example/private/ok/x"] == (True, "allow")
+    assert out["https://h.example/public"] == (True, None)    # no rule
+    assert out["https://h.example/"] == (True, None)
+    # host without a robots.txt: allowed
+    assert out["https://other.example/anything"] == (True, None)
+
+
+def test_filter_allow_wins_equal_length(spark):
+    body = "User-agent: *\nDisallow: /same\nAllow: /same\n"
+    out = robots.robots_filter(
+        _urls(spark, ["https://h.example/same/page"]),
+        _robots(spark, body)).collect()[0]
+    assert out.allowed and out.matched_rule == "allow"
+
+
+def test_filter_deny_all_with_carveout(spark):
+    body = "User-agent: *\nDisallow: /\nAllow: /pub\n"
+    out = {r.url: r.allowed for r in robots.robots_filter(
+        _urls(spark, ["https://h.example/pub/a",
+                      "https://h.example/else"]),
+        _robots(spark, body)).collect()}
+    assert out == {"https://h.example/pub/a": True,
+                   "https://h.example/else": False}
