@@ -405,6 +405,19 @@ def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap: directives (group-independent per RFC 9309)."""
+    return (robots.robots_sitemaps(robots.robots_fixture_df(spark, sf_dir))
+            .orderBy("host", "sitemap"))
+
+
+def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, loc, lastmod) extracted from sitemap.xml urlset bodies."""
+    return (robots.sitemap_entries(robots.sitemap_fixture_df(spark,
+                                                             sf_dir))
+            .orderBy("host", "loc"))
+
+
 def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus link extraction (kernel mapInArrow; rows-only): every
     <a href> with anchor text and minimal absolute resolution — the
@@ -838,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_fetch_list": _q_cdx_fetch_list,
         "robots_rules": _q_robots_rules,
         "robots_filter": _q_robots_filter,
+        "robots_sitemaps": _q_robots_sitemaps,
+        "sitemap_entries": _q_sitemap_entries,
         # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
         "extract_pages": _q_extract_pages,
         "extract_metrics": _q_extract_metrics,
@@ -966,6 +981,14 @@ def oracle_sql() -> dict[str, str]:
                           + robots.robots_filter_sql(
                               _ROBOTS_URLS_SQL, robots.ROBOTS_FIXTURE_SQL)
                           + ") order by url"),
+        "robots_sitemaps": ("select * from ("
+                            + robots.robots_sitemaps_sql(
+                                robots.ROBOTS_FIXTURE_SQL)
+                            + ") order by host, sitemap"),
+        "sitemap_entries": ("select * from ("
+                            + robots.sitemap_entries_sql(
+                                robots.SITEMAP_FIXTURE_SQL)
+                            + ") order by host, loc"),
     }
     out.update(RELATIONAL_SQL)
     return out

@@ -33,7 +33,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["robots_fixture_df", "ROBOTS_FIXTURE_SQL", "parse_robots",
-           "parse_robots_sql", "robots_filter", "robots_filter_sql"]
+           "parse_robots_sql", "robots_filter", "robots_filter_sql",
+           "robots_sitemaps", "robots_sitemaps_sql", "sitemap_entries",
+           "sitemap_entries_sql", "sitemap_fixture_df",
+           "SITEMAP_FIXTURE_SQL"]
 
 
 # ---------------------------------------------------------------------------
@@ -58,10 +61,12 @@ def robots_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "Disallow: /private\n"
                   "Allow: /private/ok\n\n"
                   "User-agent: evilbot\nDisallow: /\n")))
-        .when(F.col("h") % 3 == 1, F.lit(
-            "User-agent: archiver\nUser-agent: *\n"
-            "Disallow: /\n"
-            "Allow: /pub\n"))
+        .when(F.col("h") % 3 == 1, F.concat(
+            F.lit("User-agent: archiver\nUser-agent: *\n"
+                  "Disallow: /\n"
+                  "Allow: /pub\n"
+                  "Sitemap: https://"), F.col("host"),
+            F.lit("/sitemap.xml\n")))
         .otherwise(F.lit(
             "User-agent: evilbot\nDisallow: /\n\n"
             "User-agent: *\nDisallow:\n")))
@@ -83,6 +88,7 @@ Disallow: /
 User-agent: *
 Disallow: /
 Allow: /pub
+Sitemap: https://site' || h || '.example/sitemap.xml
 '
          else 'User-agent: evilbot
 Disallow: /
@@ -250,4 +256,134 @@ select url,
        rule as matched_rule,
        rpath as matched_path
 from ranked where rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl discovery: Sitemap directives + sitemap.xml <urlset> extraction
+# ---------------------------------------------------------------------------
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    body_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap) per ``Sitemap:`` directive — RFC 9309 makes the
+    directive group-independent, so this is a plain line scan (split →
+    explode → regex), no group recovery needed."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\n")).alias("raw"))
+    ln = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    sm = F.when(F.lower(ln).startswith("sitemap:"),
+                F.trim(F.regexp_extract(ln, r"^[^:]*:(.*)$", 1)))
+    return (lines.select("host", sm.alias("sitemap"))
+            .filter(F.col("sitemap").isNotNull()
+                    & (F.col("sitemap") != "")))
+
+
+def robots_sitemaps_sql(robots_sql: str, host_col: str = "host",
+                        body_col: str = "robots_txt") -> str:
+    return f"""
+with bodies as ({robots_sql}),
+lines as (
+  select {host_col} as host,
+         trim(regexp_replace(unnest(string_split({body_col}, chr(10))),
+                             '#.*$', '')) as ln
+  from bodies
+)
+select host, trim(regexp_extract(ln, '^[^:]*:(.*)$', 1)) as sitemap
+from lines
+where lower(ln) like 'sitemap:%'
+  and trim(regexp_extract(ln, '^[^:]*:(.*)$', 1)) <> ''
+"""
+
+
+def sitemap_entries(sitemaps: DataFrame, host_col: str = "host",
+                    xml_col: str = "sitemap_xml") -> DataFrame:
+    """(host, loc, lastmod) per ``<url>`` block of a sitemap.xml body —
+    scan-side only: newlines flattened, ``<url>`` blocks split with one
+    non-greedy regex, loc/lastmod extracted per block (lastmod null
+    when absent).  Handles the urlset subset real crawl pipelines read;
+    XML entities in loc are left as-is (sitemap URLs are already
+    percent-encoded per the protocol)."""
+    flat = F.regexp_replace(F.col(xml_col), r"[\n\r\t]", " ")
+    blocks = F.regexp_extract_all(flat, F.lit(r"<url>(.*?)</url>"), 1)
+    b = (sitemaps.select(F.col(host_col).alias("host"),
+                         F.explode(blocks).alias("block")))
+    loc = F.trim(F.regexp_extract(F.col("block"),
+                                  r"<loc>(.*?)</loc>", 1))
+    lastmod = F.trim(F.regexp_extract(F.col("block"),
+                                      r"<lastmod>(.*?)</lastmod>", 1))
+    return (b.select("host", loc.alias("loc"),
+                     F.when(lastmod == "", None).otherwise(lastmod)
+                     .alias("lastmod"))
+            .filter(F.col("loc") != ""))
+
+
+def sitemap_entries_sql(sitemaps_sql: str, host_col: str = "host",
+                        xml_col: str = "sitemap_xml") -> str:
+    return f"""
+with bodies as ({sitemaps_sql}),
+blocks as (
+  select {host_col} as host,
+         unnest(regexp_extract_all(
+           regexp_replace({xml_col}, '[\\n\\r\\t]', ' ', 'g'),
+           '<url>(.*?)</url>', 1)) as block
+  from bodies
+)
+select host,
+       trim(regexp_extract(block, '<loc>(.*?)</loc>', 1)) as loc,
+       case when trim(coalesce(regexp_extract(block,
+                 '<lastmod>(.*?)</lastmod>', 1), '')) = '' then null
+            else trim(regexp_extract(block,
+                 '<lastmod>(.*?)</lastmod>', 1))
+       end as lastmod
+from blocks
+where trim(coalesce(regexp_extract(block, '<loc>(.*?)</loc>', 1), ''))
+      <> ''
+"""
+
+
+def sitemap_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, sitemap_xml): a deterministic urlset per fixture host —
+    every host's documents as <url> entries, every third with a
+    <lastmod>, plus one malformed (locless) block per host."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("site"), (d % 97).cast("string"),
+                    F.lit(".example"))
+    entry = F.concat(
+        F.lit("<url><loc>https://"), host, F.lit("/"), F.col("source"),
+        F.lit("/p"), d.cast("string"), F.lit("</loc>"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad((1 + d % 28).cast("string"), 2, "0"),
+            F.lit("</lastmod>"))).otherwise(F.lit("")),
+        F.lit("</url>"))
+    return (docs.select(host.alias("host"), entry.alias("e"))
+            .groupBy("host")
+            .agg(F.concat(
+                F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+                F.array_join(F.array_sort(F.collect_list("e")), "\n"),
+                F.lit("\n<url><priority>0.5</priority></url>"),
+                F.lit("\n</urlset>")).alias("sitemap_xml")))
+
+
+SITEMAP_FIXTURE_SQL = """
+select host,
+       '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10) ||
+       string_agg(e, chr(10) order by e) ||
+       chr(10) || '<url><priority>0.5</priority></url>' ||
+       chr(10) || '</urlset>' as sitemap_xml
+from (
+  select 'site' || (doc_id % 97) || '.example' as host,
+         '<url><loc>https://site' || (doc_id % 97) || '.example/'
+           || source || '/p' || doc_id || '</loc>'
+           || (case when doc_id % 3 = 0
+                    then '<lastmod>2024-01-'
+                         || lpad((1 + doc_id % 28)::varchar, 2, '0')
+                         || '</lastmod>'
+                    else '' end)
+           || '</url>' as e
+  from documents
+)
+group by host
 """

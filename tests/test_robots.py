@@ -80,3 +80,27 @@ def test_filter_deny_all_with_carveout(spark):
         _robots(spark, body)).collect()}
     assert out == {"https://h.example/pub/a": True,
                    "https://h.example/else": False}
+
+
+def test_sitemap_directives(spark):
+    body = ("User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://h.example/a.xml\n"
+            "sitemap: https://h.example/b.xml\n")
+    out = {r.sitemap for r in robots.robots_sitemaps(
+        _robots(spark, body)).collect()}
+    assert out == {"https://h.example/a.xml", "https://h.example/b.xml"}
+
+
+def test_sitemap_entries_extraction(spark):
+    xml = ('<?xml version="1.0"?>\n<urlset>\n'
+           "<url>\n  <loc>https://h.example/a</loc>\n"
+           "  <lastmod>2024-01-05</lastmod>\n</url>\n"
+           "<url><loc>https://h.example/b</loc></url>\n"
+           "<url><priority>0.5</priority></url>\n"   # locless: dropped
+           "</urlset>")
+    df = spark.createDataFrame([("h.example", xml)],
+                               "host string, sitemap_xml string")
+    out = {r.loc: r.lastmod
+           for r in robots.sitemap_entries(df).collect()}
+    assert out == {"https://h.example/a": "2024-01-05",
+                   "https://h.example/b": None}
