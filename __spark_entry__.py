@@ -21,9 +21,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import (bpe, cdx, chunking, dedup, dsir,  # noqa: E402
-                         graph, lm, multimodal, robots, sampling, search,
-                         sim, textfns, urlfns)
+from lexor_spark import (bpe, cdx, chunking, classify, dedup,  # noqa: E402
+                         dsir, graph, lm, multimodal, robots, sampling,
+                         search, sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
@@ -416,6 +416,26 @@ def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (robots.sitemap_entries(robots.sitemap_fixture_df(spark,
                                                              sf_dir))
             .orderBy("host", "loc"))
+
+
+_LR_LABEL_SQL = "text like '%spark%'"
+
+
+def _q_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised quality-classifier training (FineWeb-Edu shape):
+    logistic regression over hashed presence features, 3 fixed GD
+    rounds from zero weights."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (classify.lr_train(docs, F.col("text").contains("spark"))
+            .orderBy("b"))
+
+
+def _q_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus scoring under the trained classifier (weights
+    broadcast, one per-doc agg)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = classify.lr_train(docs, F.col("text").contains("spark"))
+    return classify.lr_score(docs, w).orderBy("doc_id")
 
 
 def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "robots_sitemaps": _q_robots_sitemaps,
         "sitemap_entries": _q_sitemap_entries,
+        "lr_weights": _q_lr_weights,
+        "lr_scores": _q_lr_scores,
         # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
         "extract_pages": _q_extract_pages,
         "extract_metrics": _q_extract_metrics,
@@ -989,6 +1011,12 @@ def oracle_sql() -> dict[str, str]:
                             + robots.sitemap_entries_sql(
                                 robots.SITEMAP_FIXTURE_SQL)
                             + ") order by host, loc"),
+        "lr_weights": ("select * from ("
+                       + classify.lr_train_sql("documents", _LR_LABEL_SQL)
+                       + ") order by b"),
+        "lr_scores": ("select * from ("
+                      + classify.lr_score_sql("documents", _LR_LABEL_SQL)
+                      + ") order by doc_id"),
     }
     out.update(RELATIONAL_SQL)
     return out
