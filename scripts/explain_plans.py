@@ -135,6 +135,17 @@ NOTES = {
         "(vocabulary-sized) tf table, N broadcasts as one row; the "
         "ranking Window partitions by doc_id — per-document keys, never "
         "skewed."),
+    "robots_filter": (
+        "Rule table (host-keyed, tiny) joins the URL side with a "
+        "prefix-match condition; the REP decision is one per-URL window "
+        "(longest match, Allow on ties) — neither side concentrates a "
+        "task."),
+    "lr_weights": (
+        "Three GD rounds: per round the (B+1)-row weight table "
+        "BROADCASTS into the feature join, the margin is a per-doc "
+        "map-side-combinable agg, the residual joins features "
+        "co-partitioned on doc_id, and the gradient collapses to B "
+        "keys. The corpus shuffles (doc, bucket, x) rows only."),
 }
 
 
@@ -160,7 +171,8 @@ def main() -> None:
                  "span_dedup", "lm_score", "hash_split",
                  "sample_stratified", "semantic_dedup", "ann_pq",
                  "ann_ivfpq", "pagerank", "bm25_search", "dsir_weights",
-                 "temperature_sample", "tfidf_keywords"):
+                 "temperature_sample", "tfidf_keywords", "robots_filter",
+                 "lr_weights"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
