@@ -810,30 +810,25 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  53 queries are
-    value-oracled, so three must sit past the window: we rotate out
-    `text_features` / `dedup_exact` / `simhash` — hash-green in BOTH the
-    r01 and r02 driver files and unchanged since — so the round-3
-    additions (`pagerank`, `ann_ivfpq`, `ann_recall`) get driver-visible
-    verification; every oracled query is green in at least one driver
-    CORRECTNESS file, and scripts/check_oracles.py covers all 53."""
+    the first 50 entries), rows-only entries after.  66 queries are
+    value-oracled, so 16 must sit past the window.  Allocation rule:
+    every entry NEVER hash-verified by a driver CORRECTNESS file goes
+    inside the window (31 such: 18 relational/sim entries that missed
+    both prior windows + the 13 late-round-3 operators), then entries
+    whose code changed since their last green driver record (lm_score,
+    chunking, the shingle/textfns perf subtree, SemDeDup caps, two-phase
+    domain_cap…); rotated OUT are exactly the queries hash-green in a
+    prior driver file AND unchanged since — still verified every round
+    by scripts/check_oracles.py (66/66 green locally this round)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # training-data operators (full value oracles)
-        "pii_redact": _q_pii_redact,
+        # changed since their last green driver record — keep visible
         "chunk_passages": _q_chunk_passages,
         "repetition_stats": _q_repetition_stats,
         "span_dedup": _q_span_dedup,
         "lm_score": _q_lm_score,
         "minhash_signature": _q_minhash_sig,
         "dedup_lsh_pairs": _q_lsh_pairs,
-        "dup_clusters": _q_dup_clusters,
-        "hash_split": _q_hash_split,
-        "sample_stratified": _q_sample_stratified,
-        "bpe_merges": _q_bpe_merges,
-        "dedup_jaccard_pairs": _q_jaccard_pairs,
-        "decontam_overlap": _q_decontam,
-        "cosine_topk": _q_cosine_topk,
-        "ann_bucketed": _q_ann_bucketed,
+        # never driver-verified: similarity/ANN tail
         "ann_ivf": _q_ann_ivf,
         "pq_codes": _q_pq_codes,
         "ann_pq": _q_ann_pq,
@@ -841,27 +836,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
-        "cosine_dup_pairs": _q_cosine_dup_pairs,
-        # URL/domain hygiene layer (full value oracles)
-        "url_stats": _q_url_stats,
-        "url_filter": _q_url_filter,
+        # URL/domain hygiene (domain_cap re-shaped r3; canonical new r3)
         "domain_cap": _q_domain_cap,
         "url_canonical": _q_url_canonical,
-        # corpus link graph PageRank (full value oracle)
+        # corpus link graph PageRank (never driver-verified)
         "pagerank": _q_pagerank,
-    }
-    # relational harness (SURVEY §2.3) — all 22 value-oracled; keep them
-    # inside the driver's 50-entry window
-    out.update(RELATIONAL_QUERIES)
-    out.update({
-        # rotated past the window this round: hash-green in BOTH the r01
-        # and r02 driver CORRECTNESS files and unchanged since; still
-        # value-oracled (scripts/check_oracles.py verifies all 53)
-        "text_features": _q_text_features,
-        "dedup_exact": _q_exact_dedup,
-        "simhash": _q_simhash,
-        # round-3 additions (value-oracled; past the window — judge
-        # -verifiable via scripts/check_oracles.py)
+        # late-round-3 operators (never driver-verified)
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "bm25_search": _q_bm25_search,
@@ -875,6 +855,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,
         "lr_weights": _q_lr_weights,
         "lr_scores": _q_lr_scores,
+    }
+    # relational harness (SURVEY §2.3) — all 22 value-oracled; keep them
+    # inside the driver's 50-entry window
+    out.update(RELATIONAL_QUERIES)
+    # supplier_only_nations (r01-green) and pricing_summary (r01+r02
+    # -green), both unchanged since, rotate past the window to make
+    # room (dict re-insertion after pop moves them to the tail)
+    _son = out.pop("supplier_only_nations")
+    _ps = out.pop("pricing_summary")
+    out.update({
+        "supplier_only_nations": _son,
+        "pricing_summary": _ps,
+        # rotated past the window: hash-green in a prior driver
+        # CORRECTNESS file (r01 and/or r02) and unchanged since; still
+        # value-oracled (scripts/check_oracles.py verifies all 66)
+        "text_features": _q_text_features,
+        "dedup_exact": _q_exact_dedup,
+        "simhash": _q_simhash,
+        "pii_redact": _q_pii_redact,
+        "dup_clusters": _q_dup_clusters,
+        "hash_split": _q_hash_split,
+        "sample_stratified": _q_sample_stratified,
+        "bpe_merges": _q_bpe_merges,
+        "dedup_jaccard_pairs": _q_jaccard_pairs,
+        "decontam_overlap": _q_decontam,
+        "cosine_topk": _q_cosine_topk,
+        "ann_bucketed": _q_ann_bucketed,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "url_stats": _q_url_stats,
+        "url_filter": _q_url_filter,
         # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
         "extract_pages": _q_extract_pages,
         "extract_metrics": _q_extract_metrics,
