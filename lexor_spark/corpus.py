@@ -1,7 +1,8 @@
 """End-to-end training-corpus pipeline: the composition every other
 module exists for.
 
-    pages ──extract──▶ text ──quality──▶ ──repetition──▶
+    pages ──robots (optional REP decision, pre-extraction)──▶
+          ──extract──▶ text ──quality──▶ ──repetition──▶
           ──exact-dedup──▶ ──domain-cap──▶ ──near-dup (minhash/LSH
           pairs → connected-component clusters, one canonical url kept
           per cluster)──▶ ──decontaminate (vs eval n-grams)──▶
@@ -44,7 +45,9 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
                  eval_docs: DataFrame = None,
                  decontam_n: int = 4,
                  decontam_min_shared: int = 1,
-                 split_weights: dict = None) -> tuple[DataFrame, DataFrame]:
+                 split_weights: dict = None,
+                 robots_df: DataFrame = None
+                 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, rejects).
 
     corpus:  url, text, title, lang_attr, n_tokens, quality
@@ -58,7 +61,23 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
     ``text`` column; off when None), and a final deterministic
     train/val/test assignment (``split_weights`` e.g.
     ``{"train": .98, "val": .01, "test": .01}`` — `sampling.hash_split`
-    on the url, so the split survives resumes and engine changes)."""
+    on the url, so the split survives resumes and engine changes).
+
+    ``robots_df`` (a (host, robots_txt) table; off when None) applies
+    the REP decision FIRST — before extraction, the cheapest point to
+    drop a disallowed page — rejecting with stage='robots'."""
+    if robots_df is not None:
+        from lexor_spark import robots as _rep
+        dec = _rep.robots_filter(pages.select("url"), robots_df)
+        denied = (dec.filter(~F.col("allowed"))
+                  .select("url", F.lit("robots").alias("stage"),
+                          F.concat(F.lit("rule="),
+                                   F.coalesce("matched_path", F.lit("")))
+                          .alias("reason")))
+        pages = pages.join(dec.filter(F.col("allowed")).select("url"),
+                           "url")
+    else:
+        denied = None
     extracted = extract_pages(pages, salt_buckets=salt_buckets).select(
         "url", "text", "title", "lang_attr", "ok", "err", "n_chars_out")
 
@@ -186,6 +205,8 @@ def build_corpus(pages: DataFrame, min_quality: float = 0.3,
 
     rejects = err.unionByName(low).unionByName(repetitive) \
         .unionByName(exact_dups).unionByName(near)
+    if denied is not None:
+        rejects = rejects.unionByName(denied)
     if capped is not None:
         rejects = rejects.unionByName(capped)
     if contaminated is not None:

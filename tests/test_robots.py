@@ -104,3 +104,27 @@ def test_sitemap_entries_extraction(spark):
            for r in robots.sitemap_entries(df).collect()}
     assert out == {"https://h.example/a": "2024-01-05",
                    "https://h.example/b": None}
+
+
+def test_build_corpus_robots_stage(spark, sf_dir):
+    """Optional REP stage: disallowed pages leave with stage='robots'
+    and conservation (corpus + rejects == pages) holds."""
+    from lexor_spark import robots as rep
+    from lexor_spark.corpus import build_corpus
+    from lexor_spark.pages import pages_df
+
+    pages = pages_df(spark, sf_dir)
+    rb = rep.robots_fixture_df(spark, sf_dir)
+    corpus, rejects = build_corpus(pages, min_quality=0.0, min_chars=10,
+                                   jaccard_threshold=0.95, robots_df=rb)
+    n_pages = pages.count()
+    c = [x.url for x in corpus.collect()]
+    r = rejects.collect()
+    assert len(c) + len(r) == n_pages
+    assert len(set(c) | {x.url for x in r}) == n_pages
+    denied = [x for x in r if x.stage == "robots"]
+    # host class h%3==1 disallows / (pages live under /srcN/): ~1/3
+    assert len(denied) > 0
+    from pyspark.sql import functions as F
+    dec = rep.robots_filter(pages.select("url"), rb)
+    assert len(denied) == dec.filter(~F.col("allowed")).count()
