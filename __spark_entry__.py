@@ -762,6 +762,22 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def _q_stream_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl front door surfaced in the gate (rows-only):
+    CDXJ shards tailed as text, parsed scan-side, first in-horizon
+    200/text-html capture per urlkey emitted as a fetch task."""
+    import tempfile
+
+    from lexor_spark.streaming import stream_cdx_fetch
+    d = tempfile.mkdtemp(prefix="sg_cdx_")
+    (cdx.cdx_fixture_df(spark, sf_dir)
+     .write.mode("overwrite").text(f"{d}/in"))
+    stream_cdx_fetch(spark, f"{d}/in", f"{d}/out", f"{d}/ck")
+    out = spark.read.parquet(f"{d}/out")
+    return (out.select("urlkey", "url", "ts", "filename", "offset",
+                       "length").orderBy("urlkey", "ts"))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_df(spark, sf_dir)
     return multimodal.image_features(media).orderBy("media_id")
@@ -929,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_crawl_metrics": _q_stream_crawl_metrics,
         "stream_dedup": _q_stream_dedup,
         "stream_sessions": _q_stream_sessions,
+        "stream_cdx_fetch": _q_stream_cdx_fetch,
     })
     return out
 

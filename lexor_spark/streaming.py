@@ -28,7 +28,7 @@ from lexor_spark.job import extract_pages
 from lexor_spark.pages import PAGES_SCHEMA_HINT
 
 __all__ = ["stream_extract", "stream_crawl_metrics", "stream_sessions",
-           "stream_dedup"]
+           "stream_dedup", "stream_cdx_fetch"]
 
 
 def stream_extract(spark: SparkSession, pages_dir: str, output_dir: str,
@@ -223,3 +223,52 @@ def stream_sessions(spark: SparkSession, events_dir: str, output_dir: str,
              .trigger(availableNow=True)
              .start())
     query.awaitTermination()
+
+
+def stream_cdx_fetch(spark: SparkSession, cdx_dir: str, output_dir: str,
+                     checkpoint_dir: str, mime: str = "text/html",
+                     watermark: str = "90 days") -> int:
+    """Streaming crawl front door: tail CDXJ index shards as they land,
+    parse scan-side (`cdx.parse_cdx`), keep successful captures of the
+    wanted mime, and emit each urlkey's FIRST in-horizon capture as a
+    WARC fetch task — the incremental form of `cdx.cdx_fetch_list`.
+
+    Batch picks the LATEST capture per urlkey (it sees all of them);
+    a stream cannot wait for "all", so the streaming contract is
+    first-wins within the state horizon: a urlkey re-appearing inside
+    ``watermark`` is a duplicate fetch and is dropped from the task
+    queue (``dropDuplicatesWithinWatermark`` — checkpointed state,
+    real eviction, same trade-offs as `stream_dedup`).  Returns the
+    number of fetch tasks emitted by this invocation."""
+    from lexor_spark.cdx import parse_cdx
+    lines = (spark.readStream.format("text")
+             .schema("cdx_line string").load(cdx_dir))
+    rec = parse_cdx(lines)
+    tasks = (rec.filter((F.col("status") == 200) & (F.col("mime") == mime))
+             .withColumn("capture_ts",
+                         F.to_timestamp("ts", "yyyyMMddHHmmss"))
+             .withWatermark("capture_ts", watermark)
+             .dropDuplicatesWithinWatermark(["urlkey"])
+             .select("urlkey", "url", "ts", "filename", "offset",
+                     "length"))
+    n_rows = [0]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n:
+                batch_df.write.mode("overwrite").parquet(
+                    f"{output_dir}/batch={batch_id}")
+            n_rows[0] += n
+        finally:
+            batch_df.unpersist()
+
+    query = (tasks.writeStream
+             .outputMode("append")
+             .foreachBatch(_sink)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+    return n_rows[0]

@@ -65,3 +65,31 @@ def test_fixture_has_multi_capture_urls(spark, sf_dir):
     fetch = cdx.cdx_fetch_list(lines)
     # fetch list is unique per urlkey
     assert fetch.count() == fetch.select("urlkey").distinct().count()
+
+
+def test_stream_cdx_fetch(spark, sf_dir, tmp_path):
+    """Streaming front door: first-wins per urlkey within the horizon;
+    batch-parity on the single-capture subset; restart is exactly-once
+    (second availableNow run over the same shards emits nothing)."""
+    from lexor_spark.streaming import stream_cdx_fetch
+    d = str(tmp_path)
+    cdx.cdx_fixture_df(spark, sf_dir).write.mode("overwrite").text(
+        f"{d}/in")
+    n1 = stream_cdx_fetch(spark, f"{d}/in", f"{d}/out", f"{d}/ck")
+    assert n1 > 0
+    out = spark.read.parquet(f"{d}/out")
+    assert out.count() == out.select("urlkey").distinct().count()
+    # batch fetch list agrees on urlkey membership where only one
+    # capture exists (multi-capture urlkeys: batch=latest, stream=first)
+    batch = cdx.cdx_fetch_list(cdx.cdx_fixture_df(spark, sf_dir))
+    rec = cdx.parse_cdx(cdx.cdx_fixture_df(spark, sf_dir))
+    kept = rec.filter((F.col("status") == 200)
+                      & (F.col("mime") == "text/html"))
+    single = (kept.groupBy("urlkey").count().filter(F.col("count") == 1)
+              .select("urlkey"))
+    b = {r.urlkey for r in batch.join(single, "urlkey").collect()}
+    s = {r.urlkey for r in out.join(single, "urlkey").collect()}
+    assert b == s
+    # exactly-once: nothing new on a restart over the same input
+    n2 = stream_cdx_fetch(spark, f"{d}/in", f"{d}/out", f"{d}/ck")
+    assert n2 == 0
