@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lexor_spark import (bpe, cdx, chunking, classify, dedup,  # noqa: E402
-                         dsir, graph, lm, multimodal, robots, sampling,
-                         search, sim, textfns, urlfns)
+                         dsir, graph, lm, multimodal, packing, robots,
+                         sampling, search, sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
@@ -428,6 +428,15 @@ def _q_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (classify.lr_train(docs, F.col("text").contains("spark"))
             .orderBy("b"))
+
+
+def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing: exact distributed
+    prefix sum (two bounded levels; chunk=64 forces multiple level-1
+    chunks at gate scale) vs the oracle's naive single window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (packing.pack_bins(docs, budget=2048, chunk=64)
+            .orderBy("doc_id"))
 
 
 def _q_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,18 +880,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,
         "lr_weights": _q_lr_weights,
         "lr_scores": _q_lr_scores,
+        "pack_bins": _q_pack_bins,
     }
     # relational harness (SURVEY §2.3) — all 22 value-oracled; keep them
     # inside the driver's 50-entry window
     out.update(RELATIONAL_QUERIES)
-    # supplier_only_nations (r01-green) and pricing_summary (r01+r02
-    # -green), both unchanged since, rotate past the window to make
-    # room (dict re-insertion after pop moves them to the tail)
+    # supplier_only_nations + parts_shipped (r01-green) and
+    # pricing_summary (r01+r02-green), all unchanged since, rotate past
+    # the window to make room (dict re-insertion after pop moves them
+    # to the tail)
     _son = out.pop("supplier_only_nations")
     _ps = out.pop("pricing_summary")
+    _psh = out.pop("parts_shipped")
     out.update({
         "supplier_only_nations": _son,
         "pricing_summary": _ps,
+        "parts_shipped": _psh,
         # rotated past the window: hash-green in a prior driver
         # CORRECTNESS file (r01 and/or r02) and unchanged since; still
         # value-oracled (scripts/check_oracles.py verifies all 66)
@@ -1043,6 +1056,9 @@ def oracle_sql() -> dict[str, str]:
                        + ") order by b"),
         "lr_scores": ("select * from ("
                       + classify.lr_score_sql("documents", _LR_LABEL_SQL)
+                      + ") order by doc_id"),
+        "pack_bins": ("select * from ("
+                      + packing.pack_bins_sql("documents", budget=2048)
                       + ") order by doc_id"),
     }
     out.update(RELATIONAL_SQL)
