@@ -146,6 +146,12 @@ NOTES = {
         "map-side-combinable agg, the residual joins features "
         "co-partitioned on doc_id, and the gradient collapses to B "
         "keys. The corpus shuffles (doc, bucket, x) rows only."),
+    "pack_bins": (
+        "Two-level exact prefix sum: range-chunk token totals (one "
+        "map-side agg), a single SMALL window over the chunk totals "
+        "(N/chunk rows — the only unpartitioned window, bounded by "
+        "construction), then a bounded in-chunk cumsum; no "
+        "corpus-sized single-task window anywhere."),
 }
 
 
@@ -172,7 +178,7 @@ def main() -> None:
                  "sample_stratified", "semantic_dedup", "ann_pq",
                  "ann_ivfpq", "pagerank", "bm25_search", "dsir_weights",
                  "temperature_sample", "tfidf_keywords", "robots_filter",
-                 "lr_weights"):
+                 "lr_weights", "pack_bins"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
