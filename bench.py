@@ -76,8 +76,8 @@ def timed(make_df) -> float:
 def main() -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
-    from lexor_spark import (bpe, dedup, dsir, lm, sampling,  # noqa: F401
-                             search, sim, textfns)
+    from lexor_spark import (bpe, dedup, dsir, lm, packing,  # noqa: F401
+                             robots, sampling, search, sim, textfns)
     from lexor_spark.job import extract_pages, partition_metrics
     from lexor_spark.pages import materialized_pages
     from lexor_spark.queries import RELATIONAL_QUERIES
@@ -137,6 +137,16 @@ def main() -> None:
             docs, target=docs.filter(F.col("lang") == "en")),
         "temperature_sample": lambda: sampling.temperature_sample(
             docs, alpha=0.5),
+        "tfidf_keywords": lambda: search.tfidf_keywords(docs, k=3),
+        "pack_bins": lambda: packing.pack_bins(docs, budget=2048,
+                                               chunk=4096),
+        "robots_filter": lambda: robots.robots_filter(
+            docs.select(F.concat(
+                F.lit("https://site"),
+                (F.col("doc_id") % 97).cast("string"), F.lit(".example/"),
+                F.col("source"), F.lit("/p"),
+                F.col("doc_id").cast("string")).alias("url")),
+            robots.robots_fixture_df(spark, SF_DIR)),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)
