@@ -835,8 +835,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  66 queries are
-    value-oracled, so 16 must sit past the window.  Allocation rule:
+    the first 50 entries), rows-only entries after.  67 queries are
+    value-oracled, so 17 must sit past the window.  Allocation rule:
     every entry NEVER hash-verified by a driver CORRECTNESS file goes
     inside the window (31 such: 18 relational/sim entries that missed
     both prior windows + the 13 late-round-3 operators), then entries
@@ -885,10 +885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relational harness (SURVEY §2.3) — all 22 value-oracled; keep them
     # inside the driver's 50-entry window
     out.update(RELATIONAL_QUERIES)
-    # supplier_only_nations + parts_shipped (r01-green) and
-    # pricing_summary (r01+r02-green), all unchanged since, rotate past
-    # the window to make room (dict re-insertion after pop moves them
-    # to the tail)
+    # prior-green unchanged relational entries move toward the tail via
+    # pop + re-insert; counts: 30 (dict above) + 19 remaining relational
+    # = 49, so supplier_only_nations re-enters as slot 50 — the last
+    # in-window entry (r01-green, harmless) — and pricing_summary /
+    # parts_shipped (prior-green, unchanged) land past the window
     _son = out.pop("supplier_only_nations")
     _ps = out.pop("pricing_summary")
     _psh = out.pop("parts_shipped")

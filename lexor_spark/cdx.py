@@ -82,9 +82,11 @@ def cdx_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.unionAll(second)
 
 
+# plain constant spliced into the f-string below — single braces are
+# literal here (only f-string/format TEMPLATES double them)
 _LINE_SQL = """
     urlkey || ' ' || ts || ' ' ||
-    '{{"url": "' || url ||
+    '{"url": "' || url ||
     '", "mime": "' ||
     (case when doc_id % 11 = 0 then 'application/pdf'
           else 'text/html' end) ||
@@ -92,7 +94,7 @@ _LINE_SQL = """
     '", "digest": "' || md5(text) ||
     '", "length": "' || length(text) ||
     '", "offset": "' || "offset" ||
-    '", "filename": "crawl-data/seg-' || (doc_id % 10) || '.warc.gz"}}'
+    '", "filename": "crawl-data/seg-' || (doc_id % 10) || '.warc.gz"}'
 """
 
 CDX_FIXTURE_SQL = f"""
@@ -105,7 +107,7 @@ with base as (
   from documents
 ),
 cap1 as (
-  select {_LINE_SQL.format()} as cdx_line
+  select {_LINE_SQL} as cdx_line
   from (select *,
                '202401' || lpad((1 + doc_id % 28)::varchar, 2, '0')
                  || '120000' as ts,
@@ -115,7 +117,7 @@ cap1 as (
         from base)
 ),
 cap2 as (
-  select {_LINE_SQL.format()} as cdx_line
+  select {_LINE_SQL} as cdx_line
   from (select *,
                '202402' || lpad((1 + doc_id % 28)::varchar, 2, '0')
                  || '120000' as ts,
@@ -148,10 +150,14 @@ def parse_cdx(lines: DataFrame, line_col: str = "cdx_line") -> DataFrame:
         F.regexp_extract(c, r"^\S+ (\S+)", 1).alias("ts"),
         attr("url").alias("url"),
         attr("mime").alias("mime"),
-        attr("status").cast("int").alias("status"),
+        # try_cast, not cast: real Common-Crawl CDXJ has non-numeric
+        # values here (revisit records carry status "-"), and under
+        # ANSI mode a plain cast would fail the whole task instead of
+        # honoring the malformed-lines-yield-nulls contract above
+        attr("status").try_cast("int").alias("status"),
         attr("digest").alias("digest"),
-        attr("length").cast("long").alias("length"),
-        attr("offset").cast("long").alias("offset"),
+        attr("length").try_cast("long").alias("length"),
+        attr("offset").try_cast("long").alias("offset"),
         attr("filename").alias("filename"))
 
 
@@ -171,10 +177,11 @@ parsed as (
 select urlkey, ts,
        json_extract_string(j, '$.url') as url,
        json_extract_string(j, '$.mime') as mime,
-       json_extract_string(j, '$.status')::int as status,
+       try_cast(json_extract_string(j, '$.status') as int) as status,
        json_extract_string(j, '$.digest') as digest,
-       json_extract_string(j, '$.length')::bigint as length,
-       json_extract_string(j, '$.offset')::bigint as "offset",
+       try_cast(json_extract_string(j, '$.length') as bigint) as length,
+       try_cast(json_extract_string(j, '$.offset') as bigint)
+         as "offset",
        json_extract_string(j, '$.filename') as filename
 from parsed
 """

@@ -153,11 +153,16 @@ def lr_train_sql(table: str, label_expr: str, n_buckets: int = 256,
 def lr_score(docs: DataFrame, weights: DataFrame, n_buckets: int = 256,
              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, prob): sigmoid margin of every document under the
-    trained weight table (broadcast; one per-doc agg)."""
+    trained weight table (broadcast; one per-doc agg).  LEFT join +
+    coalesce: a document whose buckets all carry zero/absent weight
+    (all-zero training, unseen vocabulary with a zero bias) must score
+    sigmoid(0) = 0.5, not vanish from the output."""
     feats = lr_features(docs, n_buckets, text_col, id_col)
-    marg = (feats.join(F.broadcast(weights), feats.b == weights.b)
+    marg = (feats.join(F.broadcast(weights), feats.b == weights.b,
+                       "left")
             .groupBy(id_col)
-            .agg(F.round(F.sum(F.col("weight") * F.col("x")), 6)
+            .agg(F.round(F.coalesce(
+                F.sum(F.col("weight") * F.col("x")), F.lit(0.0)), 6)
                  .alias("marg")))
     return marg.select(id_col, F.round(
         1.0 / (1.0 + F.exp(-F.col("marg"))), 4).alias("prob"))
@@ -173,8 +178,9 @@ def lr_score_sql(table: str, label_expr: str, n_buckets: int = 256,
 with {feats},
 wts as ({train}),
 marg as (
-  select {id_col}, round(sum(wts.weight * feats.x), 6) as marg
-  from feats join wts on feats.b = wts.b group by {id_col}
+  select {id_col},
+         round(coalesce(sum(wts.weight * feats.x), 0.0), 6) as marg
+  from feats left join wts on feats.b = wts.b group by {id_col}
 )
 select {id_col}, round(1.0 / (1.0 + exp(-marg)), 4) as prob
 from marg

@@ -51,6 +51,12 @@ def pack_bins(docs: DataFrame, budget: int, chunk: int = 1_000_000,
     if budget <= 0:
         raise ValueError(f"pack_bins: budget must be positive, "
                          f"got {budget}")
+    if chunk <= 0:
+        # a negative chunk would silently REVERSE the level-2 offset
+        # order (trunc(id/chunk) is non-increasing), corrupting every
+        # placement; zero divides by zero
+        raise ValueError(f"pack_bins: chunk must be positive, "
+                         f"got {chunk}")
     d = (docs.select(F.col(id_col),
                      token_count(F.col(text_col)).cast("long")
                      .alias("n_tokens"))
@@ -69,13 +75,20 @@ def pack_bins(docs: DataFrame, budget: int, chunk: int = 1_000_000,
                (F.col("_coff")
                 + F.coalesce(F.sum("n_tokens").over(win), F.lit(0)))
                .alias("start_global")))
+    # exact integer bin arithmetic: floor(double_div) can misassign a
+    # boundary document once ulp(start/budget) exceeds 1/budget (real at
+    # 10^15-token streams with 2^20+ budgets); (x - x%b)/b divides an
+    # exact multiple, whose true quotient is representable, so the
+    # double division is exact for streams under 2^53 tokens
+    start = F.col("start_global")
+    last = start + F.col("n_tokens") - 1
     return out.select(
         id_col, "n_tokens", "start_global",
-        F.floor(F.col("start_global") / budget).alias("bin_start"),
-        F.floor((F.col("start_global") + F.col("n_tokens") - 1) / budget)
+        ((start - F.pmod(start, F.lit(budget))) / budget).cast("long")
+        .alias("bin_start"),
+        ((last - F.pmod(last, F.lit(budget))) / budget).cast("long")
         .alias("bin_end"),
-        F.pmod(F.col("start_global"), F.lit(budget)).cast("long")
-        .alias("offset_in_bin"))
+        F.pmod(start, F.lit(budget)).cast("long").alias("offset_in_bin"))
 
 
 def pack_bins_sql(table: str, budget: int, text_col: str = "text",

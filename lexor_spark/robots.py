@@ -212,8 +212,7 @@ def robots_filter(urls: DataFrame, robots: DataFrame,
             F.lit("/")).alias("path"))
     j = u.join(rules,
                (u.host == rules.host) & u.path.startswith(rules.path),
-               "left").select("url", u.path.alias("upath"),
-                              "rule", rules.path.alias("rpath"))
+               "left").select("url", "rule", rules.path.alias("rpath"))
     w = (Window.partitionBy("url")
          .orderBy(F.length("rpath").desc(), F.col("rule").asc()))
     return (j.withColumn("rn", F.row_number().over(w))
@@ -240,7 +239,7 @@ u as (
   from urls0
 ),
 j as (
-  select u.url, u.path as upath, r.rule, r.path as rpath
+  select u.url, r.rule, r.path as rpath
   from u left join rules r
     on u.host = r.host and starts_with(u.path, r.path)
 ),

@@ -244,9 +244,15 @@ def stream_cdx_fetch(spark: SparkSession, cdx_dir: str, output_dir: str,
     lines = (spark.readStream.format("text")
              .schema("cdx_line string").load(cdx_dir))
     rec = parse_cdx(lines)
+    # try_to_timestamp + null filter, NOT to_timestamp: one hostile
+    # index line with an unparseable timestamp would otherwise kill the
+    # query — and since the shard is then in the checkpointed batch,
+    # every restart re-crashes (a permanent poison pill)
     tasks = (rec.filter((F.col("status") == 200) & (F.col("mime") == mime))
              .withColumn("capture_ts",
-                         F.to_timestamp("ts", "yyyyMMddHHmmss"))
+                         F.try_to_timestamp(F.col("ts"),
+                                            F.lit("yyyyMMddHHmmss")))
+             .filter(F.col("capture_ts").isNotNull())
              .withWatermark("capture_ts", watermark)
              .dropDuplicatesWithinWatermark(["urlkey"])
              .select("urlkey", "url", "ts", "filename", "offset",

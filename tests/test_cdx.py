@@ -93,3 +93,32 @@ def test_stream_cdx_fetch(spark, sf_dir, tmp_path):
     # exactly-once: nothing new on a restart over the same input
     n2 = stream_cdx_fetch(spark, f"{d}/in", f"{d}/out", f"{d}/ck")
     assert n2 == 0
+
+
+REVISIT = ('com,example)/r 20240101120000 {"url": "https://example.com/r", '
+           '"mime": "warc/revisit", "status": "-", "digest": "d9", '
+           '"length": "n/a", "offset": "-", "filename": "seg-1.warc.gz"}')
+
+
+def test_parse_revisit_record_non_numeric_fields(spark):
+    """Real CC CDXJ revisit records carry status '-' — under ANSI mode
+    a plain cast would fail the task; try_cast yields nulls."""
+    out = cdx.parse_cdx(_lines(spark, [REVISIT])).collect()[0]
+    assert out.urlkey == "com,example)/r"
+    assert out.status is None and out.length is None and out.offset is None
+    assert out.mime == "warc/revisit"
+
+
+def test_stream_cdx_survives_poison_timestamp(spark, tmp_path):
+    """A line with an unparseable timestamp must be skipped, not wedge
+    the checkpointed stream forever."""
+    from lexor_spark.streaming import stream_cdx_fetch
+    poison = ('com,example)/p garbage {"url": "https://example.com/p", '
+              '"mime": "text/html", "status": "200", "digest": "d", '
+              '"length": "5", "offset": "0", "filename": "s.warc.gz"}')
+    d = str(tmp_path)
+    _lines(spark, [GOOD, poison]).write.mode("overwrite").text(f"{d}/in")
+    n = stream_cdx_fetch(spark, f"{d}/in", f"{d}/out", f"{d}/ck")
+    assert n == 1                           # GOOD emitted, poison dropped
+    out = spark.read.parquet(f"{d}/out").collect()
+    assert [r.urlkey for r in out] == ["com,example)/a"]

@@ -89,3 +89,14 @@ def test_train_partitioning_invariant(spark):
     b = {r.b: r.weight for r in
          classify.lr_train(docs.repartition(7), lbl).collect()}
     assert a == b
+
+
+def test_score_all_zero_weights_yields_half(spark):
+    """Class-symmetric corpus trains to all-zero weights; every doc
+    must still score sigmoid(0)=0.5, not vanish from the output."""
+    rows = [(0, "aaa bbb"), (1, "aaa bbb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = classify.lr_train(df, F.col("doc_id") == 0)
+    assert w.count() == 0                   # identical features cancel
+    out = {r.doc_id: r.prob for r in classify.lr_score(df, w).collect()}
+    assert out == {0: 0.5, 1: 0.5}

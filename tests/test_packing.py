@@ -60,3 +60,9 @@ def test_pack_sparse_ids(spark):
 def test_pack_budget_validation(spark):
     with pytest.raises(ValueError):
         packing.pack_bins(_docs(spark, [1]), budget=0)
+
+
+def test_pack_chunk_validation(spark):
+    for bad in (0, -2):
+        with pytest.raises(ValueError):
+            packing.pack_bins(_docs(spark, [1]), budget=4, chunk=bad)
