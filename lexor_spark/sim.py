@@ -761,15 +761,17 @@ def _pq_width(emb: DataFrame, m: int) -> int:
 def pq_codes(spark: SparkSession, sf_dir: str, m: int = PQ_SUBSPACES,
              k: int = PQ_CODEWORDS, iters: int = PQ_ITERS) -> DataFrame:
     """PQ-compress the embedding corpus: (vec_id, codes) with codes =
-    the M codeword ids in subspace order — the stored representation
-    (M·log2 K bits/vector) of the PQ index."""
+    the M codeword ids in subspace order, dash-joined to a string —
+    the stored representation (M·log2 K bits/vector) of the PQ index.
+    Emitted as a scalar string (not array<int>) so downstream
+    canonicalizers can sort on the column directly."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding")
     codes, _ = pq_encode(emb, m, k, iters)
     return (codes.groupBy("vec_id")
-            .agg(F.transform(
+            .agg(F.array_join(F.transform(
                 F.array_sort(F.collect_list(F.struct("sub", "cid"))),
-                lambda s: s.cid).alias("codes"))
+                lambda s: s.cid.cast("string")), "-").alias("codes"))
             .orderBy("vec_id"))
 
 
@@ -854,8 +856,8 @@ def pq_codes_sql(m: int = PQ_SUBSPACES, k: int = PQ_CODEWORDS,
                  iters: int = PQ_ITERS, width: int = 16) -> str:
     """Unrolled-CTE DuckDB mirror of :func:`pq_codes`."""
     return ("with " + ",\n".join(_pq_sql_parts(m, k, iters, width)) +
-            "\nselect vec_id, list(cid order by sub) as codes "
-            "from pfinal group by vec_id order by vec_id")
+            "\nselect vec_id, string_agg(cid::varchar, '-' order by sub) "
+            "as codes from pfinal group by vec_id order by vec_id")
 
 
 def ann_pq_sql(query_id: int = 0, topk: int = 10, m: int = PQ_SUBSPACES,

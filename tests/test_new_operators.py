@@ -517,8 +517,9 @@ def test_pq_codes_shape_and_range(spark):
     out = pq_codes(spark, SF).collect()
     assert len(out) == 500
     for r in out:
-        assert len(r["codes"]) == PQ_SUBSPACES
-        assert all(0 <= c < PQ_CODEWORDS for c in r["codes"])
+        codes = [int(c) for c in r["codes"].split("-")]
+        assert len(codes) == PQ_SUBSPACES
+        assert all(0 <= c < PQ_CODEWORDS for c in codes)
 
 
 def test_pq_adc_tracks_true_distance(spark):
