@@ -369,9 +369,13 @@ def _q_cdx_fetch_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROBOTS_URLS_SQL = """
 select 'https://site' || (doc_id % 97) || '.example' ||
-       case when doc_id % 4 = 0 then '/private/p' || doc_id
-            when doc_id % 4 = 1 then '/private/ok/p' || doc_id
-            when doc_id % 4 = 2 then '/pub/p' || doc_id
+       case when doc_id % 8 = 0 then '/private/p' || doc_id
+            when doc_id % 8 = 1 then '/private/ok/p' || doc_id
+            when doc_id % 8 = 2 then '/pub/p' || doc_id
+            when doc_id % 8 = 3 then '/files/doc' || doc_id || '.pdf'
+            when doc_id % 8 = 4 then '/files/doc' || doc_id || '.pdfx'
+            when doc_id % 8 = 5 then '/private/x' || doc_id || '/tmp'
+            when doc_id % 8 = 6 then '/nobots/p' || doc_id
             else '/' || source || '/p' || doc_id end as url
 from documents
 """
@@ -380,14 +384,21 @@ from documents
 def _robots_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
+    ds = d.cast("string")
     return docs.select(F.concat(
         F.lit("https://site"), (d % 97).cast("string"), F.lit(".example"),
-        F.when(d % 4 == 0, F.concat(F.lit("/private/p"), d.cast("string")))
-        .when(d % 4 == 1,
-              F.concat(F.lit("/private/ok/p"), d.cast("string")))
-        .when(d % 4 == 2, F.concat(F.lit("/pub/p"), d.cast("string")))
+        F.when(d % 8 == 0, F.concat(F.lit("/private/p"), ds))
+        .when(d % 8 == 1, F.concat(F.lit("/private/ok/p"), ds))
+        .when(d % 8 == 2, F.concat(F.lit("/pub/p"), ds))
+        .when(d % 8 == 3, F.concat(F.lit("/files/doc"), ds,
+                                   F.lit(".pdf")))
+        .when(d % 8 == 4, F.concat(F.lit("/files/doc"), ds,
+                                   F.lit(".pdfx")))
+        .when(d % 8 == 5, F.concat(F.lit("/private/x"), ds,
+                                   F.lit("/tmp")))
+        .when(d % 8 == 6, F.concat(F.lit("/nobots/p"), ds))
         .otherwise(F.concat(F.lit("/"), F.col("source"), F.lit("/p"),
-                            d.cast("string")))).alias("url"))
+                            ds))).alias("url"))
 
 
 def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +413,16 @@ def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Allow wins ties, no rule allows."""
     return (robots.robots_filter(_robots_urls_df(spark, sf_dir),
                                  robots.robots_fixture_df(spark, sf_dir))
+            .orderBy("url"))
+
+
+def _q_robots_filter_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP decision for a specific crawler token: the lexorbot group
+    shadows the star group on hosts that define one (RFC 9309 UA-group
+    selection), wildcard/anchored rules apply elsewhere."""
+    return (robots.robots_filter(_robots_urls_df(spark, sf_dir),
+                                 robots.robots_fixture_df(spark, sf_dir),
+                                 agent="LexorBot")
             .orderBy("url"))
 
 
@@ -876,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_fetch_list": _q_cdx_fetch_list,
         "robots_rules": _q_robots_rules,
         "robots_filter": _q_robots_filter,
+        "robots_filter_ua": _q_robots_filter_ua,
         "robots_sitemaps": _q_robots_sitemaps,
         "sitemap_entries": _q_sitemap_entries,
         "lr_weights": _q_lr_weights,
@@ -1044,6 +1066,12 @@ def oracle_sql() -> dict[str, str]:
                           + robots.robots_filter_sql(
                               _ROBOTS_URLS_SQL, robots.ROBOTS_FIXTURE_SQL)
                           + ") order by url"),
+        "robots_filter_ua": ("select * from ("
+                             + robots.robots_filter_sql(
+                                 _ROBOTS_URLS_SQL,
+                                 robots.ROBOTS_FIXTURE_SQL,
+                                 agent="LexorBot")
+                             + ") order by url"),
         "robots_sitemaps": ("select * from ("
                             + robots.robots_sitemaps_sql(
                                 robots.ROBOTS_FIXTURE_SQL)

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["extract_links", "pagerank", "pagerank_sql",
-           "fixture_edges", "FIXTURE_EDGES_SQL"]
+           "pagerank_links", "fixture_edges", "FIXTURE_EDGES_SQL"]
 
 
 LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string")
@@ -209,6 +209,37 @@ def pagerank_sql(edges_sql: str, iters: int = PR_ITERS,
     return ("with " + ",\n".join(parts)
             + f"\nselect v as node_id, r as rank from r{iters} "
             f"order by node_id")
+
+
+def pagerank_links(pages: DataFrame, iters: int = PR_ITERS,
+                   damping: float = PR_DAMPING) -> DataFrame:
+    """End-to-end link-graph ranking over KERNEL-extracted edges: per
+    page, every ``<a href>`` from :func:`extract_links`, absolute URLs
+    canonicalized (:func:`lexor_spark.urlfns.canonical_url` — tracking
+    params/fragments dropped so link variants collapse to one node)
+    and hashed to stable 64-bit node ids scan-side (``xxhash64``), then
+    :func:`pagerank` power iteration.  Returns (node_id, url, rank) —
+    node ids joined back to the canonical URL of corpus pages (external
+    link targets rank too but carry null url).  The whole chain is the
+    crawl-scheduling shape: mapInArrow extraction → scan-side
+    canonicalize+hash (no shuffle) → one src-keyed join + one dst sum
+    per round."""
+    from lexor_spark.urlfns import canonical_url
+
+    links = extract_links(pages)
+    canon_dst = canonical_url(F.col("abs_url"))
+    canon_src = canonical_url(F.col("url"))
+    edges = (links.select(F.xxhash64(canon_src).alias("src"),
+                          F.xxhash64(canon_dst).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    ranks = pagerank(edges, iters, damping)
+    urls = (pages.select(canonical_url(F.col("url")).alias("curl"))
+            .distinct()
+            .select(F.xxhash64("curl").alias("node_id"),
+                    F.col("curl").alias("url")))
+    return (ranks.join(urls, "node_id", "left")
+            .select("node_id", "url", "rank")
+            .orderBy(F.col("rank").desc(), "node_id"))
 
 
 def fixture_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,26 +5,33 @@ host's ``robots.txt``, collect the rule group that applies to the
 crawler, and allow/deny each candidate URL by the LONGEST matching
 rule path (ties: Allow wins) — the google/rep semantics (RFC 9309).
 
-This module implements the ``User-agent: *`` subset as pure relational
-operators so the DuckDB oracle can verify values:
+This module implements RFC 9309 as pure relational operators so the
+DuckDB oracle can verify values:
 
 * ``parse_robots``: bodies → per-host ``(rule, path)`` rows for the
-  star group.  Group structure (consecutive ``User-agent`` lines bind
-  to the rule block that follows) is recovered with two windows over
-  ``(host, line_no)`` — a robots file is a few hundred lines, so the
-  per-host window is trivially bounded.
-* ``robots_filter``: candidate URLs left-join the rule table on host
-  with a prefix-match condition; one per-URL window picks the longest
-  match (Allow before Disallow on equal length); URLs with no matching
-  rule are allowed.  The join key is the host (rule tables are tiny
-  next to the URL corpus — broadcastable when one crawl's hosts fit,
-  host-keyed shuffle otherwise) and the decision window partitions by
-  URL, so neither side ever concentrates a task.
+  group that applies to the crawler.  Group structure (consecutive
+  ``User-agent`` lines bind to the rule block that follows) is
+  recovered with two windows over ``(host, line_no)`` — a robots file
+  is a few hundred lines, so the per-host window is trivially bounded.
+  Group selection per RFC 9309 §2.2.1: with an ``agent`` product
+  token, the group(s) whose User-agent value is the LONGEST
+  case-insensitive prefix of the token win; same-specificity groups
+  are combined; ``*`` groups apply only when no specific group
+  matches.  ``agent=None`` (default) selects the ``*`` group.
+* ``robots_filter``: candidate URLs join the (broadcast) rule table on
+  host; rule paths are RFC-9309 patterns — ``*`` matches any char
+  sequence, a trailing ``$`` anchors end-of-path — compiled to Java/
+  RE2 regexes scan-side (plain-prefix rules keep a ``startswith``
+  fast path, no regex engine).  One per-URL window picks the most
+  specific match = most pattern octets (RFC 9309 §2.2.2), Allow wins
+  length ties; URLs with no matching rule (or no robots.txt) are
+  allowed.  The rules side is tiny next to the URL corpus, so it is
+  broadcast by default — no host-keyed shuffle, and a mega-host's
+  URL skew never concentrates a join task; the decision window
+  partitions by URL.
 
-RFC 9309 details deliberately out of scope (documented): wildcard
-``*``/``$`` patterns inside rule paths (prefix match only), per-agent
-group selection beyond ``*``, and crawl-delay.  No reference
-counterpart; format per the public RFC.
+Out of scope (documented): crawl-delay (non-standard).  No reference
+counterpart; format per the public RFC 9309.
 """
 
 from __future__ import annotations
@@ -44,10 +51,11 @@ __all__ = ["robots_fixture_df", "ROBOTS_FIXTURE_SQL", "parse_robots",
 # ---------------------------------------------------------------------------
 
 def robots_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(host, robots_txt) for every distinct fixture host: three rule
+    """(host, robots_txt) for every distinct fixture host: four rule
     shapes by host-class — a /private block with an Allow carve-out, a
-    deny-all-with-carve-out, and rules hidden in a non-star group (must
-    be ignored)."""
+    deny-all-with-carve-out, rules hidden in a non-star group (must be
+    ignored), and a wildcard class (``*``/trailing-``$`` patterns plus
+    a ``lexorbot`` group that shadows the star group for that agent)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hosts = (docs.select(
         (F.col("doc_id") % 97).alias("h"))
@@ -56,27 +64,35 @@ def robots_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(".example")).alias("host"),
                 F.col("h")))
     body = (
-        F.when(F.col("h") % 3 == 0, F.concat(
+        F.when(F.col("h") % 4 == 0, F.concat(
             F.lit("# fixture robots\nUser-agent: *\n"
                   "Disallow: /private\n"
                   "Allow: /private/ok\n\n"
                   "User-agent: evilbot\nDisallow: /\n")))
-        .when(F.col("h") % 3 == 1, F.concat(
+        .when(F.col("h") % 4 == 1, F.concat(
             F.lit("User-agent: archiver\nUser-agent: *\n"
                   "Disallow: /\n"
                   "Allow: /pub\n"
                   "Sitemap: https://"), F.col("host"),
             F.lit("/sitemap.xml\n")))
-        .otherwise(F.lit(
+        .when(F.col("h") % 4 == 2, F.lit(
             "User-agent: evilbot\nDisallow: /\n\n"
-            "User-agent: *\nDisallow:\n")))
+            "User-agent: *\nDisallow:\n"))
+        .otherwise(F.lit(
+            "User-agent: *\n"
+            "Disallow: /*.pdf$\n"
+            "Disallow: /private/*/tmp\n"
+            "Allow: /private\n\n"
+            "User-agent: lexorbot\n"
+            "Disallow: /nobots\n"
+            "Allow: /nobots/ok\n")))
     return hosts.select("host", body.alias("robots_txt"))
 
 
 ROBOTS_FIXTURE_SQL = """
 select 'site' || h || '.example' as host,
        case
-         when h % 3 = 0 then '# fixture robots
+         when h % 4 = 0 then '# fixture robots
 User-agent: *
 Disallow: /private
 Allow: /private/ok
@@ -84,17 +100,26 @@ Allow: /private/ok
 User-agent: evilbot
 Disallow: /
 '
-         when h % 3 = 1 then 'User-agent: archiver
+         when h % 4 = 1 then 'User-agent: archiver
 User-agent: *
 Disallow: /
 Allow: /pub
 Sitemap: https://site' || h || '.example/sitemap.xml
 '
-         else 'User-agent: evilbot
+         when h % 4 = 2 then 'User-agent: evilbot
 Disallow: /
 
 User-agent: *
 Disallow:
+'
+         else 'User-agent: *
+Disallow: /*.pdf$
+Disallow: /private/*/tmp
+Allow: /private
+
+User-agent: lexorbot
+Disallow: /nobots
+Allow: /nobots/ok
 '
        end as robots_txt
 from (select distinct doc_id % 97 as h from documents)
@@ -106,11 +131,17 @@ from (select distinct doc_id % 97 as h from documents)
 # ---------------------------------------------------------------------------
 
 def parse_robots(robots: DataFrame, host_col: str = "host",
-                 body_col: str = "robots_txt") -> DataFrame:
-    """(host, rule, path) for every Allow/Disallow in the star group.
-    ``rule`` is 'allow' | 'disallow'; empty-path rules (no-op per RFC)
-    are dropped.  Comments (#) and surrounding whitespace stripped;
-    field names case-insensitive."""
+                 body_col: str = "robots_txt",
+                 agent: str | None = None) -> DataFrame:
+    """(host, rule, path) for every Allow/Disallow in the group that
+    applies to ``agent`` (RFC 9309 §2.2.1): a group matches when its
+    User-agent value is a case-insensitive prefix of the agent product
+    token (specificity = value length) or is ``*`` (specificity 0,
+    used only when nothing specific matches); all groups at the
+    winning specificity are combined.  ``agent=None`` selects the
+    ``*`` group only.  ``rule`` is 'allow' | 'disallow'; empty-path
+    rules (no-op per RFC) are dropped.  Comments (#) and surrounding
+    whitespace stripped; field names case-insensitive."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"))
@@ -127,18 +158,34 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
                * (1 - F.lag(F.col("is_ua").cast("int"), 1, 0).over(w)))
     tagged = (tagged0.withColumn("new_grp", new_grp)
               .withColumn("gid", F.sum("new_grp").over(w)))
-    star = (F.max((F.col("is_ua") & (F.col("val") == "*")).cast("int"))
-            .over(Window.partitionBy("host", "gid")))
+    # UA-line specificity: '*' → 0; prefix-of-agent → len(value).
+    ml = F.when(F.col("is_ua") & (F.col("val") == "*"), F.lit(0))
+    if agent is not None:
+        ml = F.when(
+            F.col("is_ua") & (F.col("val") != "*")
+            & F.lit(agent.lower()).startswith(F.lower(F.col("val"))),
+            F.length("val")).otherwise(ml)
+    group_ml = F.max(ml).over(Window.partitionBy("host", "gid"))
+    best = F.max(group_ml).over(Window.partitionBy("host"))
     rule = F.when(F.lower("ln").startswith("allow:"), "allow").when(
         F.lower("ln").startswith("disallow:"), "disallow")
-    return (tagged.withColumn("star", star)
-            .filter((F.col("star") == 1) & ~F.col("is_ua")
+    return (tagged.withColumn("gml", group_ml).withColumn("best", best)
+            .filter(F.col("gml").isNotNull()
+                    & (F.col("gml") == F.col("best")) & ~F.col("is_ua")
                     & rule.isNotNull() & (F.col("val") != ""))
             .select("host", rule.alias("rule"), F.col("val").alias("path")))
 
 
 def parse_robots_sql(robots_sql: str, host_col: str = "host",
-                     body_col: str = "robots_txt") -> str:
+                     body_col: str = "robots_txt",
+                     agent: str | None = None) -> str:
+    if agent is None:
+        ml = "case when is_ua and val = '*' then 0 end"
+    else:
+        a = agent.lower().replace("'", "''")
+        ml = (f"case when is_ua and val <> '*' and "
+              f"starts_with('{a}', lower(val)) then length(val) "
+              f"when is_ua and val = '*' then 0 end")
     return f"""
 with bodies as ({robots_sql}),
 rawlines as (
@@ -171,18 +218,22 @@ grouped as (
          sum(new_grp) over (partition by host order by pos) as gid
   from marked
 ),
-starred as (
+matched as (
   select *,
-         max(case when is_ua and val = '*' then 1 else 0 end)
-           over (partition by host, gid) as star
+         max({ml}) over (partition by host, gid) as gml
   from grouped
+),
+ranked as (
+  select *,
+         max(gml) over (partition by host) as best
+  from matched
 )
 select host,
        case when lower(ln) like 'allow:%' then 'allow'
             else 'disallow' end as rule,
        val as path
-from starred
-where star = 1 and not is_ua and val <> ''
+from ranked
+where gml is not null and gml = best and not is_ua and val <> ''
   and (lower(ln) like 'allow:%' or lower(ln) like 'disallow:%')
 """
 
@@ -195,13 +246,37 @@ _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?"
 
 
+def _compile_rule_patterns(rules: DataFrame) -> DataFrame:
+    """Add ``rpattern`` (anchored Java/RE2 regex for the RFC-9309 rule
+    path: ``*`` → ``.*``, trailing ``$`` → end anchor, everything else
+    literal) and ``has_wild`` (plain-prefix rules skip the regex
+    engine entirely) to a (host, rule, path) rule table."""
+    p = F.col("path")
+    anchored = p.endswith("$")
+    body = F.when(anchored,
+                  p.substr(F.lit(1), F.length(p) - 1)).otherwise(p)
+    esc = F.regexp_replace(body, r"([\\^$.|?+()\[\]{}])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    rx = F.concat(F.lit("^"), wild,
+                  F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    return (rules.withColumn("rpattern", rx)
+            .withColumn("has_wild", p.contains("*") | anchored))
+
+
 def robots_filter(urls: DataFrame, robots: DataFrame,
-                  url_col: str = "url") -> DataFrame:
+                  url_col: str = "url", agent: str | None = None,
+                  broadcast_rules: bool = True) -> DataFrame:
     """(url, allowed, matched_rule, matched_path): REP decision per
-    candidate URL — longest matching star-group rule wins, Allow wins
-    length ties, no matching rule (or no robots.txt for the host)
-    allows."""
-    rules = parse_robots(robots)
+    candidate URL — most-octets matching rule of the agent's group
+    wins (RFC 9309 §2.2.2), Allow wins length ties, no matching rule
+    (or no robots.txt for the host) allows.  Rule paths are RFC-9309
+    patterns (``*`` wildcard, trailing ``$`` anchor); plain-prefix
+    rules keep a startswith fast path.  The rule table (one crawl's
+    hosts × a few rules) is broadcast by default, so a mega-host's
+    URL concentration never skews a shuffle."""
+    rules = _compile_rule_patterns(parse_robots(robots, agent=agent))
+    if broadcast_rules:
+        rules = F.broadcast(rules)
     u = urls.select(
         F.col(url_col).alias("url"),
         F.regexp_extract(F.col(url_col), _HOST_RE, 1).alias("host"),
@@ -210,8 +285,10 @@ def robots_filter(urls: DataFrame, robots: DataFrame,
                    "/").otherwise(
                 F.regexp_extract(F.col(url_col), _PATH_RE, 1)),
             F.lit("/")).alias("path"))
-    j = u.join(rules,
-               (u.host == rules.host) & u.path.startswith(rules.path),
+    match = F.when(rules.has_wild,
+                   F.regexp_like(u.path, rules.rpattern)).otherwise(
+        u.path.startswith(rules.path))
+    j = u.join(rules, (u.host == rules.host) & match,
                "left").select("url", "rule", rules.path.alias("rpath"))
     w = (Window.partitionBy("url")
          .orderBy(F.length("rpath").desc(), F.col("rule").asc()))
@@ -226,11 +303,23 @@ def robots_filter(urls: DataFrame, robots: DataFrame,
 
 
 def robots_filter_sql(urls_sql: str, robots_sql: str,
-                      url_col: str = "url") -> str:
-    rules = parse_robots_sql(robots_sql)
+                      url_col: str = "url",
+                      agent: str | None = None) -> str:
+    rules = parse_robots_sql(robots_sql, agent=agent)
     return f"""
 with urls0 as ({urls_sql}),
-rules as ({rules}),
+rules0 as ({rules}),
+rules as (
+  select host, rule, path,
+         '^' || regexp_replace(regexp_replace(
+             case when path like '%$'
+                  then substr(path, 1, length(path) - 1)
+                  else path end,
+             '([\\^$.|?+(){{}}\\[\\]])', '\\\\\\1', 'g'), '\\*', '.*', 'g')
+             || case when path like '%$' then '$' else '' end as rpattern,
+         (position('*' in path) > 0 or path like '%$') as has_wild
+  from rules0
+),
 u as (
   select {url_col} as url,
          regexp_extract({url_col}, '{_HOST_RE}', 1) as host,
@@ -241,7 +330,9 @@ u as (
 j as (
   select u.url, r.rule, r.path as rpath
   from u left join rules r
-    on u.host = r.host and starts_with(u.path, r.path)
+    on u.host = r.host and (case when r.has_wild
+                                 then regexp_matches(u.path, r.rpattern)
+                                 else starts_with(u.path, r.path) end)
 ),
 ranked as (
   select *,

@@ -123,8 +123,113 @@ def test_build_corpus_robots_stage(spark, sf_dir):
     assert len(c) + len(r) == n_pages
     assert len(set(c) | {x.url for x in r}) == n_pages
     denied = [x for x in r if x.stage == "robots"]
-    # host class h%3==1 disallows / (pages live under /srcN/): ~1/3
+    # host class h%4==1 disallows / (pages live under /srcN/): ~1/4
     assert len(denied) > 0
     from pyspark.sql import functions as F
     dec = rep.robots_filter(pages.select("url"), rb)
     assert len(denied) == dec.filter(~F.col("allowed")).count()
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 §5.2 longest-match examples (the RFC's own table) + §2.2.1
+# user-agent group selection
+# ---------------------------------------------------------------------------
+
+def _decide(spark, rules_body, url_path, agent=None):
+    body = "User-agent: *\n" + rules_body
+    out = robots.robots_filter(
+        _urls(spark, [f"https://h.example{url_path}"]),
+        _robots(spark, body), agent=agent).collect()[0]
+    return out.allowed
+
+
+def test_rfc_longest_match_table(spark):
+    """Every row of RFC 9309 §5.2's example table."""
+    cases = [
+        ("Allow: /p\nDisallow: /\n", "/page", True),
+        ("Allow: /folder\nDisallow: /folder\n", "/folder/page", True),
+        ("Allow: /page\nDisallow: /*.htm\n", "/page.htm", False),
+        ("Allow: /page\nDisallow: /*.ph\n", "/page.php5", True),
+        ("Allow: /$\nDisallow: /\n", "/", True),
+        ("Allow: /$\nDisallow: /\n", "/page.htm", False),
+    ]
+    for rules_body, path, want in cases:
+        got = _decide(spark, rules_body, path)
+        assert got == want, (rules_body, path, got)
+
+
+def test_wildcard_star_and_anchor(spark):
+    body = ("Disallow: /*.pdf$\n"
+            "Disallow: /private/*/tmp\n"
+            "Allow: /fish*.php\n"
+            "Disallow: /fish\n")
+    assert not _decide(spark, body, "/files/x.pdf")
+    assert _decide(spark, body, "/files/x.pdfx")       # $ anchors
+    assert not _decide(spark, body, "/private/a/tmp")
+    assert not _decide(spark, body, "/private/a/b/tmpz")  # * spans /
+    assert _decide(spark, body, "/fishcake.php")       # longer allow
+    assert not _decide(spark, body, "/fishcake.html")
+
+
+def test_dollar_mid_pattern_is_literal(spark):
+    body = "Disallow: /a$b\n"
+    assert not _decide(spark, body, "/a$b/c")
+    assert _decide(spark, body, "/ab/c")
+
+
+def test_ua_group_selection_longest_prefix(spark):
+    body = ("User-agent: *\nDisallow: /star\n\n"
+            "User-agent: lexor\nDisallow: /lexor\n\n"
+            "User-agent: lexorbot\nDisallow: /bot\n")
+    rules = {(r.rule, r.path) for r in robots.parse_robots(
+        _robots(spark, body), agent="LexorBot-News/1.0").collect()}
+    # longest prefix of the product token wins; star group shadowed
+    assert rules == {("disallow", "/bot")}
+    # unknown agent falls back to the star group
+    star = {(r.rule, r.path) for r in robots.parse_robots(
+        _robots(spark, body), agent="otherbot").collect()}
+    assert star == {("disallow", "/star")}
+
+
+def test_ua_same_specificity_groups_combine(spark):
+    body = ("User-agent: lexorbot\nDisallow: /a\n\n"
+            "User-agent: *\nDisallow: /x\n\n"
+            "User-agent: lexorbot\nDisallow: /b\n")
+    rules = {(r.rule, r.path) for r in robots.parse_robots(
+        _robots(spark, body), agent="lexorbot").collect()}
+    assert rules == {("disallow", "/a"), ("disallow", "/b")}
+
+
+def test_filter_agent_routes_to_ua_group(spark):
+    body = ("User-agent: *\nDisallow: /\n\n"
+            "User-agent: lexorbot\nDisallow: /nobots\nAllow: /nobots/ok\n")
+    out = {r.url: r.allowed for r in robots.robots_filter(
+        _urls(spark, ["https://h.example/anything",
+                      "https://h.example/nobots/x",
+                      "https://h.example/nobots/ok/x"]),
+        _robots(spark, body), agent="lexorbot").collect()}
+    assert out == {"https://h.example/anything": True,
+                   "https://h.example/nobots/x": False,
+                   "https://h.example/nobots/ok/x": True}
+
+
+def test_hot_host_skew_completes(spark):
+    """Degenerate skew probe: one mega-host carries 20k URLs against a
+    3-rule table (plus 50 cold hosts).  The broadcast rule join must
+    not concentrate a shuffle task — completes and decides exactly."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    urls = spark.range(n).select(
+        F.concat(F.lit("https://mega.example/"),
+                 F.when(F.col("id") % 2 == 0, "keep/").otherwise("drop/"),
+                 F.col("id").cast("string")).alias("url")).union(
+        spark.range(50).select(F.concat(
+            F.lit("https://cold"), F.col("id").cast("string"),
+            F.lit(".example/p")).alias("url")))
+    body = "User-agent: *\nDisallow: /drop\nAllow: /keep\nDisallow: /x\n"
+    rb = spark.createDataFrame(
+        [("mega.example", body)], "host string, robots_txt string")
+    dec = robots.robots_filter(urls, rb)
+    assert dec.filter(~F.col("allowed")).count() == n // 2
+    assert dec.count() == n + 50
