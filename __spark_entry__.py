@@ -322,6 +322,32 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.fixture_edges(spark, sf_dir))
 
 
+# The synthetic pages carry exactly two nav links each (/ and /about),
+# so the KERNEL-extracted edge list is SQL-reconstructible: page url ->
+# host root and host /about.  Canonicalization is the identity on these
+# URLs (no ports/params/fragments, hosts already lowercase).
+_PAGES_EDGES_SQL = """
+select 'https://site' || (doc_id % 97) || '.example/' || source
+         || '/p' || doc_id as src,
+       'https://site' || (doc_id % 97) || '.example/' as dst
+from documents
+union all
+select 'https://site' || (doc_id % 97) || '.example/' || source
+         || '/p' || doc_id as src,
+       'https://site' || (doc_id % 97) || '.example/about' as dst
+from documents
+"""
+
+
+def _q_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the REAL kernel-extracted link graph (mapInArrow
+    parse → canonical_url → xxhash64 node ids → power iteration),
+    value-oracled because the synthetic pages' link structure is
+    SQL-expressible.  The fixture-based `pagerank` stays as the
+    algorithm's direct oracle twin."""
+    return graph.pagerank_links(pages_df(spark, sf_dir))
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights: hashed uni+bigram bucket
     distributions, English slice as the target, whole corpus as raw."""
@@ -887,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         # corpus link graph PageRank (never driver-verified)
         "pagerank": _q_pagerank,
+        "pagerank_links": _q_pagerank_links,
         # late-round-3 operators (never driver-verified)
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
@@ -1037,6 +1064,12 @@ def oracle_sql() -> dict[str, str]:
                               f"from documents)")
                           + ") order by url"),
         "pagerank": graph.pagerank_sql(graph.FIXTURE_EDGES_SQL),
+        "pagerank_links": (
+            "select node_id as url, rank from ("
+            + graph.pagerank_sql("select * from ("
+                                 + _PAGES_EDGES_SQL
+                                 + ") where src <> dst")
+            + ") order by url"),
         "ann_ivfpq": sim.ann_ivfpq_sql(query_id=0, topk=10),
         "ann_recall": sim.ann_recall_sql(query_id=0, k=10),
         "dsir_weights": (dsir.dsir_weights_sql(

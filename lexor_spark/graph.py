@@ -217,10 +217,14 @@ def pagerank_links(pages: DataFrame, iters: int = PR_ITERS,
     page, every ``<a href>`` from :func:`extract_links`, absolute URLs
     canonicalized (:func:`lexor_spark.urlfns.canonical_url` — tracking
     params/fragments dropped so link variants collapse to one node)
-    and hashed to stable 64-bit node ids scan-side (``xxhash64``), then
-    :func:`pagerank` power iteration.  Returns (node_id, url, rank) —
-    node ids joined back to the canonical URL of corpus pages (external
-    link targets rank too but carry null url).  The whole chain is the
+    and hashed to stable 64-bit node ids scan-side (``xxhash64``) so
+    the per-round shuffles move 8-byte keys instead of URL strings,
+    then :func:`pagerank` power iteration.  Returns (url, rank) per
+    node — every node (corpus pages AND external link targets) is
+    joined back to its canonical URL for the readout, so the output is
+    engine-independent: a DuckDB oracle can reproduce it from the edge
+    list alone without Spark's xxhash64 (collisions are the usual
+    2^-64-per-pair negligible).  The whole chain is the
     crawl-scheduling shape: mapInArrow extraction → scan-side
     canonicalize+hash (no shuffle) → one src-keyed join + one dst sum
     per round."""
@@ -229,17 +233,17 @@ def pagerank_links(pages: DataFrame, iters: int = PR_ITERS,
     links = extract_links(pages)
     canon_dst = canonical_url(F.col("abs_url"))
     canon_src = canonical_url(F.col("url"))
+    curls = links.select(canon_src.alias("curl")).union(
+        links.select(canon_dst.alias("curl"))).distinct()
+    nodes = curls.select(F.xxhash64("curl").alias("node_id"),
+                         F.col("curl").alias("url"))
     edges = (links.select(F.xxhash64(canon_src).alias("src"),
                           F.xxhash64(canon_dst).alias("dst"))
              .filter(F.col("src") != F.col("dst")))
     ranks = pagerank(edges, iters, damping)
-    urls = (pages.select(canonical_url(F.col("url")).alias("curl"))
-            .distinct()
-            .select(F.xxhash64("curl").alias("node_id"),
-                    F.col("curl").alias("url")))
-    return (ranks.join(urls, "node_id", "left")
-            .select("node_id", "url", "rank")
-            .orderBy(F.col("rank").desc(), "node_id"))
+    return (ranks.join(nodes, "node_id")
+            .select("url", "rank")
+            .orderBy("url"))
 
 
 def fixture_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,3 +61,24 @@ def test_pagerank_deterministic(spark):
                  iters=2).collect()
     assert a == b
     assert len(a) == 500
+
+
+def test_pagerank_links_end_to_end(spark):
+    """Kernel extraction -> canonicalize -> hash -> pagerank, composed.
+    Every synthetic page links to its host root and /about, so the
+    node set is pages + 2 hubs per host, hubs soak up all link mass,
+    and spokes of one host tie exactly."""
+    from lexor_spark.graph import pagerank_links
+    from lexor_spark.pages import pages_df
+
+    out = pagerank_links(pages_df(spark, "/root/testdata/sf0.001"),
+                         iters=2).collect()
+    ranks = {r.url: r.rank for r in out}
+    hosts = {u.split("/")[2] for u in ranks}
+    assert len(out) == 500 + 2 * len(hosts)
+    assert all(u is not None for u in ranks)
+    roots = [u for u in ranks if u.endswith(".example/")]
+    spokes = [u for u in ranks if "/p" in u]
+    assert min(ranks[r] for r in roots) > max(ranks[s] for s in spokes)
+    # spokes are structurally identical (pure sinks' sources): equal rank
+    assert len({ranks[s] for s in spokes}) == 1
