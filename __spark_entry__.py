@@ -393,6 +393,21 @@ def _q_cdx_fetch_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("urlkey"))
 
 
+def _q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """urlkey-bucketed index storage + PRUNED point lookup: write the
+    fetch list partitioned by crc32(surt_host) % 16, then read back one
+    host's entries — the scan touches one partition directory
+    (PartitionFilters, EXPLAINS.md) and pushes the prefix filter into
+    row groups.  Values oracled against the unbucketed fetch list."""
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="sg_cdxidx_") + "/fetch"
+    cdx.write_fetch_list(
+        cdx.cdx_fetch_list(cdx.cdx_fixture_df(spark, sf_dir)), idx)
+    return (cdx.lookup_fetch(spark, idx, "example,site7)/")
+            .orderBy("urlkey"))
+
+
 _ROBOTS_URLS_SQL = """
 select 'https://site' || (doc_id % 97) || '.example' ||
        case when doc_id % 8 = 0 then '/private/p' || doc_id
@@ -922,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "cdx_parse": _q_cdx_parse,
         "cdx_fetch_list": _q_cdx_fetch_list,
+        "cdx_lookup": _q_cdx_lookup,
         "robots_rules": _q_robots_rules,
         "robots_filter": _q_robots_filter,
         "robots_filter_ua": _q_robots_filter_ua,
@@ -1091,6 +1107,10 @@ def oracle_sql() -> dict[str, str]:
         "cdx_fetch_list": ("select * from ("
                            + cdx.cdx_fetch_list_sql(cdx.CDX_FIXTURE_SQL)
                            + ") order by urlkey"),
+        "cdx_lookup": ("select * from ("
+                       + cdx.cdx_fetch_list_sql(cdx.CDX_FIXTURE_SQL)
+                       + ") where urlkey like 'example,site7)/%' "
+                       "order by urlkey"),
         "robots_rules": ("select * from ("
                          + robots.parse_robots_sql(
                              robots.ROBOTS_FIXTURE_SQL)

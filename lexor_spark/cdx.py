@@ -30,7 +30,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["cdx_fixture_df", "CDX_FIXTURE_SQL", "parse_cdx",
-           "parse_cdx_sql", "cdx_fetch_list", "cdx_fetch_list_sql"]
+           "parse_cdx_sql", "cdx_fetch_list", "cdx_fetch_list_sql",
+           "write_fetch_list", "lookup_fetch", "urlkey_bucket",
+           "N_URLKEY_BUCKETS"]
 
 
 # ---------------------------------------------------------------------------
@@ -219,3 +221,69 @@ ranked as (
 select urlkey, url, ts, filename, "offset", length
 from ranked where rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# urlkey-bucketed index storage + pruned point lookup
+# ---------------------------------------------------------------------------
+#
+# A fetch list stored as flat parquet forces every index lookup to scan
+# ALL shards — at a full crawl's ~10^10 lines that is the whole index
+# per query.  Common Crawl itself ships the CDX sharded by urlkey range
+# (cluster.idx) for exactly this reason.  Here the fetch list is written
+# PARTITIONED by a bucket of the SURT host, where the bucket function is
+# crc32(host) % n_buckets:
+#
+# * Spark computes it scan-side with the JVM ``crc32`` function (no UDF);
+# * the LOOKUP side recomputes the same bucket driver-side with
+#   ``zlib.crc32`` (both are CRC-32/ISO-HDLC over the UTF-8 bytes), so a
+#   point/prefix query filters on the partition column with a CONSTANT
+#   and Catalyst prunes to one directory (PartitionFilters in the scan,
+#   EXPLAINS.md), plus pushes the urlkey prefix filter into the
+#   row groups (PushedFilters: StringStartsWith).
+#
+# Bucket-by-hash (not by raw host) keeps directory cardinality fixed —
+# a real crawl has ~10^8 hosts, which as raw partition values would
+# explode the file count; n_buckets scales with the cluster instead.
+
+N_URLKEY_BUCKETS = 16
+
+
+def _surt_host(urlkey: Column) -> Column:
+    """SURT host of a urlkey: everything before the first ``)``."""
+    return F.substring_index(urlkey, ")", 1)
+
+
+def urlkey_bucket(host: str, n_buckets: int = N_URLKEY_BUCKETS) -> int:
+    """Driver-side mirror of the write-side bucket expression."""
+    import zlib
+    return zlib.crc32(host.encode("utf-8")) % n_buckets
+
+
+def write_fetch_list(fetch: DataFrame, out_dir: str,
+                     n_buckets: int = N_URLKEY_BUCKETS) -> None:
+    """Persist a fetch list partitioned by ``urlkey_bucket`` so point
+    lookups prune.  One shuffle-free pass: the bucket is a scan-side
+    projection; parquet lays one directory per bucket."""
+    (fetch
+     .withColumn("urlkey_bucket",
+                 F.pmod(F.crc32(_surt_host(F.col("urlkey"))),
+                        F.lit(n_buckets)).cast("int"))
+     .write.mode("overwrite")
+     .partitionBy("urlkey_bucket")
+     .parquet(out_dir))
+
+
+def lookup_fetch(spark: SparkSession, index_dir: str, urlkey_prefix: str,
+                 n_buckets: int = N_URLKEY_BUCKETS) -> DataFrame:
+    """Pruned lookup: all fetch entries whose urlkey starts with
+    ``urlkey_prefix``.  The prefix must include the full SURT host
+    (everything before ``)``), because the bucket is a function of the
+    host; the constant bucket filter prunes partitions, the prefix
+    filter pushes into parquet row groups."""
+    host = urlkey_prefix.split(")", 1)[0]
+    b = urlkey_bucket(host, n_buckets)
+    df = spark.read.parquet(index_dir)
+    return (df.filter((F.col("urlkey_bucket") == b)
+                      & F.col("urlkey").startswith(urlkey_prefix))
+            .select("urlkey", "url", "ts", "filename", "offset", "length"))

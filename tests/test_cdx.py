@@ -122,3 +122,49 @@ def test_stream_cdx_survives_poison_timestamp(spark, tmp_path):
     assert n == 1                           # GOOD emitted, poison dropped
     out = spark.read.parquet(f"{d}/out").collect()
     assert [r.urlkey for r in out] == ["com,example)/a"]
+
+
+# ---------------------------------------------------------------------------
+# urlkey-bucketed storage + pruned lookup
+# ---------------------------------------------------------------------------
+
+def test_bucketed_lookup_matches_unbucketed_filter(spark, sf_dir, tmp_path):
+    """The pruned lookup returns exactly the rows a full-scan prefix
+    filter over the unbucketed fetch list returns."""
+    fetch = cdx.cdx_fetch_list(cdx.cdx_fixture_df(spark, sf_dir))
+    idx = str(tmp_path / "fetch")
+    cdx.write_fetch_list(fetch, idx)
+    got = cdx.lookup_fetch(spark, idx, "example,site7)/").collect()
+    want = fetch.filter(F.col("urlkey").startswith("example,site7)/")).collect()
+    key = lambda r: (r.urlkey, r.ts)
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert len(got) > 0
+
+
+def test_bucket_mirror_matches_spark_crc32(spark):
+    """zlib.crc32 (driver-side constant) == F.crc32 (write-side column)
+    for SURT hosts — the identity the pruning depends on."""
+    hosts = [f"example,site{i}" for i in range(97)] + ["com,UPPER", "x,y"]
+    df = spark.createDataFrame([(h,) for h in hosts], ["h"])
+    rows = df.select("h", F.pmod(F.crc32(F.col("h")),
+                                 F.lit(cdx.N_URLKEY_BUCKETS))
+                     .cast("int").alias("b")).collect()
+    for r in rows:
+        assert r.b == cdx.urlkey_bucket(r.h), r.h
+
+
+def test_lookup_plan_prunes_partitions(spark, sf_dir, tmp_path):
+    """The physical scan must carry a constant PartitionFilter on
+    urlkey_bucket (directory pruning) and push the urlkey prefix into
+    row groups — not scan all buckets."""
+    fetch = cdx.cdx_fetch_list(cdx.cdx_fixture_df(spark, sf_dir))
+    idx = str(tmp_path / "fetch")
+    cdx.write_fetch_list(fetch, idx)
+    q = cdx.lookup_fetch(spark, idx, "example,site7)/")
+    import re
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    b = cdx.urlkey_bucket("example,site7")
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf, plan
+    assert re.search(rf"urlkey_bucket#\d+ = {b}\b", pf.group(1)), pf.group(1)
+    assert "StringStartsWith(urlkey,example,site7)/" in plan, plan
