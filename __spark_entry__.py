@@ -501,6 +501,16 @@ def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-boundary-respecting greedy first-fit packing (documents
+    never split); per-chunk sequential placement in applyInPandas +
+    chunk-offset prefix sum, mirrored exactly by the oracle's
+    recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (packing.pack_firstfit(docs, budget=2048, chunk=64)
+            .orderBy("doc_id"))
+
+
 def _q_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-corpus scoring under the trained classifier (weights
     broadcast, one per-doc agg)."""
@@ -946,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lr_weights": _q_lr_weights,
         "lr_scores": _q_lr_scores,
         "pack_bins": _q_pack_bins,
+        "pack_firstfit": _q_pack_firstfit,
     }
     # relational harness (SURVEY §2.3) — all 22 value-oracled; keep them
     # inside the driver's 50-entry window
@@ -1142,6 +1153,10 @@ def oracle_sql() -> dict[str, str]:
         "pack_bins": ("select * from ("
                       + packing.pack_bins_sql("documents", budget=2048)
                       + ") order by doc_id"),
+        "pack_firstfit": ("select * from ("
+                          + packing.pack_firstfit_sql("documents",
+                                                      budget=2048, chunk=64)
+                          + ") order by doc_id"),
     }
     out.update(RELATIONAL_SQL)
     return out

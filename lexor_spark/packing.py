@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from lexor_spark.textfns import SQL, token_count
 
-__all__ = ["pack_bins", "pack_bins_sql"]
+__all__ = ["pack_bins", "pack_bins_sql", "pack_firstfit",
+           "pack_firstfit_sql"]
 
 
 def pack_bins(docs: DataFrame, budget: int, chunk: int = 1_000_000,
@@ -113,4 +114,144 @@ select {id_col}, n_tokens, start_global,
        ((start_global + n_tokens - 1) // {budget})::bigint as bin_end,
        (start_global % {budget})::bigint as offset_in_bin
 from p
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc-boundary-respecting packing: greedy first-fit
+# ---------------------------------------------------------------------------
+#
+# The second standard placement: documents must NOT split across
+# training sequences (instruction tuning, contrastive pairs, any
+# objective where a truncated document is a corrupted example).  Greedy
+# first-fit in doc_id order: place each document into the FIRST open
+# bin with room, else open a new bin.  A document longer than the
+# budget gets a bin of its own (truncation is the trainer's decision,
+# not the packer's).
+#
+# Distribution contract: a global sequential first-fit is a recurrence
+# over the whole corpus — it does not exist at 10^12 documents.  The
+# standard compromise (and what every published packing pipeline does)
+# packs WITHIN bounded ranges: documents are range-chunked by
+# ``doc_id // chunk`` exactly like ``pack_bins``; each chunk packs
+# independently inside one ``applyInPandas`` group (per-chunk state is
+# bounded by the chunk width), and chunk-local bin ids are offset by a
+# prefix sum over per-chunk bin counts (one small window over
+# n_chunks rows).  The semantics are DETERMINISTIC given (doc_id order,
+# budget, chunk), so the DuckDB oracle mirrors them exactly with a
+# recursive CTE carrying the open-bin fill list — the oracle is the
+# same algorithm, not an approximation.
+
+def pack_firstfit(docs: DataFrame, budget: int, chunk: int = 1_000_000,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """(doc_id, n_tokens, bin_id, offset_in_bin) under greedy first-fit
+    with whole-document placement.  ``bin_id`` is global (chunk-offset
+    prefix sum); ``offset_in_bin`` is the token position where the
+    document starts inside its bin."""
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"pack_firstfit: budget must be positive, "
+                         f"got {budget}")
+    if chunk <= 0:
+        raise ValueError(f"pack_firstfit: chunk must be positive, "
+                         f"got {chunk}")
+    d = (docs.select(F.col(id_col),
+                     token_count(F.col(text_col)).cast("long")
+                     .alias("n_tokens"))
+         .filter(F.col("n_tokens") > 0)
+         .withColumn("_chunk", (F.col(id_col) / chunk).cast("long")))
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        fills: list[int] = []          # open-bin loads, bin order = open order
+        bins = []
+        offs = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for j, f in enumerate(fills):      # first open bin with room
+                if f + n <= budget:
+                    bins.append(j)
+                    offs.append(f)
+                    fills[j] = f + n
+                    break
+            else:                              # none fits: open a new bin
+                bins.append(len(fills))
+                offs.append(0)
+                fills.append(n)
+        pdf["bin_in_chunk"] = pd.Series(bins, dtype="int64")
+        pdf["offset_in_bin"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    schema = (f"{id_col} long, n_tokens long, _chunk long, "
+              f"bin_in_chunk long, offset_in_bin long")
+    packed = d.groupBy("_chunk").applyInPandas(pack, schema)
+    # level 2: global bin offset per chunk — one agg row per chunk, one
+    # window over n_chunks rows (bounded exactly like pack_bins)
+    counts = packed.groupBy("_chunk").agg(
+        (F.max("bin_in_chunk") + 1).alias("_nbins"))
+    wprev = (Window.orderBy("_chunk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    boff = counts.select(
+        "_chunk", F.coalesce(F.sum("_nbins").over(wprev),
+                             F.lit(0)).alias("_boff"))
+    return (packed.join(F.broadcast(boff), "_chunk")
+            .select(id_col, "n_tokens",
+                    (F.col("_boff") + F.col("bin_in_chunk")).alias("bin_id"),
+                    "offset_in_bin"))
+
+
+def pack_firstfit_sql(table: str, budget: int, chunk: int = 1_000_000,
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> str:
+    """Exact DuckDB mirror: the same greedy first-fit as a recursive
+    CTE whose state column is the open-bin fill list (one recursion
+    step places row ``rn`` of EVERY chunk — depth = widest chunk)."""
+    tc = SQL.TOKEN_COUNT.format(c=text_col)
+    return f"""
+with recursive d as (
+  select {id_col}, n_tokens, chk,
+         row_number() over (partition by chk order by {id_col}) as rn
+  from (select {id_col}, ({tc})::bigint as n_tokens,
+               ({id_col} // {chunk})::bigint as chk
+        from {table})
+  where n_tokens > 0
+),
+steps as (
+  select chk, rn, {id_col}, n_tokens,
+         0::bigint as bin_in_chunk, 0::bigint as offset_in_bin,
+         [n_tokens]::bigint[] as fills
+  from d where rn = 1
+  union all
+  select d.chk, d.rn, d.{id_col}, d.n_tokens,
+         coalesce(x.idx - 1, len(s.fills))::bigint,
+         case when x.idx is null then 0
+              else s.fills[x.idx] end::bigint,
+         case when x.idx is null then list_append(s.fills, d.n_tokens)
+              else s.fills[1:x.idx-1] || [s.fills[x.idx] + d.n_tokens]
+                   || s.fills[x.idx+1:]
+         end
+  from steps s
+  join d on d.chk = s.chk and d.rn = s.rn + 1
+  cross join lateral (
+    -- nullif: this DuckDB's array_position yields 0 (not NULL) when
+    -- nothing matches; normalize so "no open bin fits" is NULL
+    select nullif(array_position(
+             list_transform(s.fills, f -> f + d.n_tokens <= {budget}),
+             true), 0) as idx) x
+),
+counts as (
+  select chk, max(bin_in_chunk) + 1 as nbins from steps group by chk
+),
+offs as (
+  select chk, coalesce(sum(nbins) over (order by chk
+                                        rows between unbounded preceding
+                                        and 1 preceding), 0)::bigint as boff
+  from counts
+)
+select s.{id_col}, s.n_tokens,
+       (o.boff + s.bin_in_chunk)::bigint as bin_id,
+       s.offset_in_bin
+from steps s join offs o using (chk)
 """

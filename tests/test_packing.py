@@ -66,3 +66,81 @@ def test_pack_chunk_validation(spark):
     for bad in (0, -2):
         with pytest.raises(ValueError):
             packing.pack_bins(_docs(spark, [1]), budget=4, chunk=bad)
+
+
+# ---------------------------------------------------------------------------
+# greedy first-fit (doc-boundary-respecting) packing
+# ---------------------------------------------------------------------------
+
+def _firstfit_ref(toks, budget):
+    """Plain-Python sequential first-fit — the semantics being
+    distributed (single chunk == this exactly)."""
+    fills, out = [], []
+    for i, n in enumerate(toks):
+        for j, f in enumerate(fills):
+            if f + n <= budget:
+                out.append((i, n, j, f))
+                fills[j] = f + n
+                break
+        else:
+            out.append((i, n, len(fills), 0))
+            fills.append(n)
+    return out
+
+
+def test_firstfit_single_chunk_matches_sequential(spark):
+    """With every doc in one chunk, the distributed placement IS the
+    sequential first-fit."""
+    toks = [3, 9, 1, 4, 6, 2, 8, 5, 7, 10, 2, 3]
+    got = sorted((r.doc_id, r.n_tokens, r.bin_id, r.offset_in_bin)
+                 for r in packing.pack_firstfit(
+                     _docs(spark, toks), budget=12, chunk=1000).collect())
+    assert got == _firstfit_ref(toks, 12)
+
+
+def test_firstfit_respects_doc_boundaries(spark):
+    """No multi-document bin exceeds the budget, and offsets tile each
+    bin without overlap."""
+    toks = [5, 11, 2, 7, 3, 3, 9, 1, 6, 4, 8, 2, 12, 1]
+    rows = packing.pack_firstfit(_docs(spark, toks), budget=12,
+                                 chunk=5).collect()
+    bins = {}
+    for r in rows:
+        bins.setdefault(r.bin_id, []).append(r)
+    for b, docs in bins.items():
+        docs.sort(key=lambda r: r.offset_in_bin)
+        if len(docs) > 1:
+            assert sum(d.n_tokens for d in docs) <= 12
+        pos = 0
+        for d in docs:
+            assert d.offset_in_bin == pos      # densely tiled, no overlap
+            pos += d.n_tokens
+
+
+def test_firstfit_oversized_doc_gets_own_bin(spark):
+    """A document longer than the budget opens a bin alone."""
+    toks = [3, 50, 4]
+    rows = {r.doc_id: r for r in packing.pack_firstfit(
+        _docs(spark, toks), budget=10, chunk=1000).collect()}
+    big = rows[1]
+    assert big.offset_in_bin == 0
+    assert all(r.bin_id != big.bin_id for i, r in rows.items() if i != 1)
+
+
+def test_firstfit_chunks_pack_independently(spark):
+    """Chunk boundaries reset the open-bin state; global bin ids are
+    the prefix-sum offsets of per-chunk bin counts."""
+    toks = [6, 6, 6, 6]                    # budget 12: pairs pack together
+    got = sorted((r.doc_id, r.bin_id, r.offset_in_bin)
+                 for r in packing.pack_firstfit(
+                     _docs(spark, toks), budget=12, chunk=2).collect())
+    # chunk 0 = docs 0,1 -> bin 0; chunk 1 = docs 2,3 -> bin 1
+    assert got == [(0, 0, 0), (1, 0, 6), (2, 1, 0), (3, 1, 6)]
+
+
+def test_firstfit_validation(spark):
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            packing.pack_firstfit(_docs(spark, [1]), budget=bad)
+        with pytest.raises(ValueError):
+            packing.pack_firstfit(_docs(spark, [1]), budget=4, chunk=bad)
