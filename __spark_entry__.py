@@ -600,8 +600,12 @@ def _q_styled_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction pipeline under the 'training_text' NodeWriter-rule
     registry (`kernel/styles.py` — visible link targets, image
     placeholders, table-omission markers; reference NodeWriter contract
-    `writer.py:54-99`, per-style dispatch `writer.py:419-445`)."""
-    out = extract_pages(pages_df(spark, sf_dir), style="training_text")
+    `writer.py:54-99`, per-style dispatch `writer.py:419-445`).  The
+    spec carries explicit parameters (the reference's
+    ``target[style:param=val]`` CLI surface, ref `to.py:51-131`) —
+    defaults made explicit, so values equal the bare-name style."""
+    out = extract_pages(pages_df(spark, sf_dir),
+                        style="training_text:links=on,tables=omit")
     return (out.select("url", F.md5("text").alias("styled_md5"),
                        "n_chars_out", "ok")
             .orderBy("url"))

@@ -28,10 +28,11 @@ def main(argv: list[str] | None = None) -> int:
                          "byte-pinned)")
     ap.add_argument("--indent", default="", metavar="STR",
                     help="prefix every output line with STR (text target)")
-    ap.add_argument("--style", default=None, metavar="NAME",
-                    help="named W2 writer-rule style for the text target "
-                         "(kernel/styles.py, e.g. 'training_text'); the "
-                         "reference's style-plugin selection surface")
+    ap.add_argument("--style", default=None, metavar="NAME[:k=v,...]",
+                    help="named W2 writer-rule style for the text target, "
+                         "with optional parameters (kernel/styles.py, e.g. "
+                         "'training_text:links=off,tables=keep'); the "
+                         "reference's target[style:param=val] CLI surface")
     args = ap.parse_args(argv)
 
     if args.source == "-":
@@ -78,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
             from lexor_spark.kernel.styles import style_rules
             try:
                 style_rules(args.style)
-            except KeyError as exc:
+            except (KeyError, ValueError) as exc:
                 print(f"lexor_spark: {exc.args[0]}", file=sys.stderr)
                 return 2
         res = extract_document(data, args.source, args.width, args.indent,

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from lexor_spark.kernel.writerrules import WriterRule
 
-__all__ = ["STYLES", "style_rules"]
+__all__ = ["STYLES", "style_rules", "parse_style_spec"]
 
 
 class _LinkTarget(WriterRule):
@@ -88,21 +88,77 @@ def _iter_cells(table):
             stack.extend(kids)
 
 
-STYLES: dict[str, dict[str, WriterRule]] = {
-    "training_text": {
-        "a": _LinkTarget(),
-        "img": _ImagePlaceholder(),
-        "table": _TableOmit(),
-    },
+def _flag(params: dict, key: str, default: str) -> bool:
+    v = params.pop(key, default)
+    if v not in ("on", "off"):
+        raise ValueError(
+            f"style parameter {key!r} must be on/off, got {v!r}")
+    return v == "on"
+
+
+def _training_text(params: dict) -> dict[str, WriterRule]:
+    """``training_text[:links=on|off,images=on|off,tables=omit|keep]``
+    — each hook is individually switchable; ``tables=keep`` leaves the
+    default table rendition instead of the placeholder."""
+    rules: dict[str, WriterRule] = {}
+    if _flag(params, "links", "on"):
+        rules["a"] = _LinkTarget()
+    if _flag(params, "images", "on"):
+        rules["img"] = _ImagePlaceholder()
+    tables = params.pop("tables", "omit")
+    if tables not in ("omit", "keep"):
+        raise ValueError(
+            f"style parameter 'tables' must be omit/keep, got {tables!r}")
+    if tables == "omit":
+        rules["table"] = _TableOmit()
+    return rules
+
+
+# style name → factory(params) → rule registry.  The reference's CLI
+# accepts ``target[style:param=val]`` (`/root/reference/lexor/command/
+# to.py:51-131` splits the style token on ``:`` and forwards the params
+# to the style plugin); here the same spec grammar selects a factory
+# and its keyword parameters.
+STYLES: dict[str, object] = {
+    "training_text": _training_text,
 }
 
 
-def style_rules(name: str) -> dict[str, WriterRule]:
-    """Resolve a style name to its rule registry (raises KeyError with
-    the available names — driver-side validation fails fast)."""
+def parse_style_spec(spec: str) -> tuple[str, dict[str, str]]:
+    """``name[:key=val[,key=val...]]`` → (name, params).  The spec is a
+    plain string end-to-end — it pickles into Arrow-batch UDF closures
+    and resolves worker-side, same as a bare style name."""
+    name, sep, rest = spec.partition(":")
+    name = name.strip()
+    params: dict[str, str] = {}
+    if sep:
+        for kv in rest.split(","):
+            kv = kv.strip()
+            if not kv:
+                continue
+            k, eq, v = kv.partition("=")
+            if not eq or not k.strip():
+                raise ValueError(
+                    f"bad style parameter {kv!r} in {spec!r} "
+                    f"(expected key=val)")
+            params[k.strip()] = v.strip()
+    return name, params
+
+
+def style_rules(spec: str) -> dict[str, WriterRule]:
+    """Resolve a style spec (``name`` or ``name:key=val,...``) to its
+    rule registry (KeyError lists the available names, ValueError flags
+    bad parameters — driver-side validation fails fast)."""
+    name, params = parse_style_spec(spec)
     try:
-        return STYLES[name]
+        factory = STYLES[name]
     except KeyError:
         raise KeyError(
             f"unknown writer style {name!r}; available: "
             f"{sorted(STYLES)}") from None
+    rules = factory(params)            # factories pop what they accept
+    if params:
+        raise ValueError(
+            f"unknown parameter(s) {sorted(params)} for style "
+            f"{name!r}")
+    return rules

@@ -78,3 +78,84 @@ def test_cli_style_flag(tmp_path, capsys):
     assert "docs </d>" in out and "[table: 1 cells]" in out
     assert main([str(f), "to", "text", "--style", "nope"]) == 2
     assert "unknown writer style" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# parameterized style specs (name:key=val,...)
+# ---------------------------------------------------------------------------
+
+def test_style_params_switch_hooks_off():
+    res = extract_document(PAGE, style="training_text:links=off")
+    assert "</docs/guide>" not in res.text        # link hook disabled
+    assert "[image: sales chart]" in res.text      # others untouched
+    assert "[table: 4 cells]" in res.text
+
+
+def test_style_params_tables_keep():
+    res = extract_document(PAGE, style="training_text:tables=keep")
+    assert "[table:" not in res.text
+    assert "h1" in res.text                        # default table rendition
+    assert "</docs/guide>" in res.text
+
+
+def test_style_params_combined():
+    res = extract_document(
+        PAGE, style="training_text:links=off,images=off,tables=keep")
+    # all hooks off == the default rendition (modulo the keep-styled
+    # converter path, which COPYs style-keyed tags; with no rules the
+    # registry is empty so nothing is keyed)
+    assert "</docs/guide>" not in res.text
+    assert "[image:" not in res.text
+    assert "[table:" not in res.text
+
+
+def test_style_param_validation():
+    from lexor_spark.kernel.styles import parse_style_spec
+    assert parse_style_spec("training_text:links=off,tables=keep") == (
+        "training_text", {"links": "off", "tables": "keep"})
+    assert parse_style_spec("training_text") == ("training_text", {})
+    with pytest.raises(ValueError, match="key=val"):
+        style_rules("training_text:links")
+    with pytest.raises(ValueError, match="on/off"):
+        style_rules("training_text:links=maybe")
+    with pytest.raises(ValueError, match="unknown parameter"):
+        style_rules("training_text:nosuch=1")
+    with pytest.raises(KeyError, match="training_text"):
+        style_rules("nope:links=off")
+
+
+def test_cli_style_with_params(tmp_path, capsys):
+    from lexor_spark.__main__ import main
+    f = tmp_path / "p.html"
+    f.write_text('<main><p><a href="/d">docs</a></p>'
+                 "<table><tr><td>x</td></tr></table></main>")
+    assert main([str(f), "to", "text",
+                 "--style", "training_text:tables=keep"]) == 0
+    out = capsys.readouterr().out
+    assert "docs </d>" in out and "[table:" not in out and "x" in out
+    assert main([str(f), "to", "text",
+                 "--style", "training_text:bogus=1"]) == 2
+    assert "unknown parameter" in capsys.readouterr().err
+
+
+def test_extract_pages_parameterized_style(spark):
+    """A parameterized spec travels as a plain string into the Arrow
+    batch UDF and resolves worker-side; per-row output equals the
+    serial kernel under the same spec."""
+    from lexor_spark.job import extract_pages
+    rows = [("u1", PAGE.encode()), ("u2", b"<main><p>plain</p></main>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    spec = "training_text:links=off,tables=keep"
+    got = {r.url: r.text for r in
+           extract_pages(df, style=spec).select("url", "text").collect()}
+    for url, html in rows:
+        assert got[url] == extract_document(html, url, style=spec).text
+    assert "</docs/guide>" not in got["u1"] and "h1" in got["u1"]
+
+
+def test_extract_pages_bad_style_param_fails_driver_side(spark):
+    from lexor_spark.job import extract_pages
+    df = spark.createDataFrame([("u", b"<p>x</p>")],
+                               "url string, html binary")
+    with pytest.raises(ValueError, match="unknown parameter"):
+        extract_pages(df, style="training_text:bogus=1")
