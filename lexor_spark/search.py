@@ -123,7 +123,7 @@ order by bm25 desc, {id_col} limit {k}
 
 
 def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id", salt: int = 0) -> DataFrame:
     """Top-``k`` tf-idf keywords per document: (doc_id, term, rank,
     score) with smoothed idf ``ln((N + 1) / (df + 1)) + 1`` and
     deterministic ties (rounded score desc, then term).
@@ -131,7 +131,15 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
     Plan shape at scale: explode → one (doc, term) map-side-combinable
     tf agg; df is a term-keyed agg OVER the tf table (vocabulary-sized,
     far smaller than the corpus); N is a 1-row broadcast.  The ranking
-    window partitions by doc_id — per-document, so never skewed."""
+    window partitions by doc_id — per-document, so never skewed.
+
+    The tf⋈df term join has HOT KEYS by construction: a stopword's df
+    row joins against one tf row per document that contains it — one
+    key, ~n_docs rows.  AQE skew-split absorbs moderate cases; for a
+    corpus where that is the straggler, ``salt=R`` replicates each df
+    row R ways and routes tf rows by ``pmod(hash(doc_id), R)``, bounding
+    any term's per-task row count to n_docs/R.  Values are identical
+    for every salt (pinned by test_search_dsir.py)."""
     from pyspark.sql import Window
     toks = (docs.select(F.col(id_col),
                         F.explode(F.split(normalize_text(F.col(text_col)),
@@ -142,7 +150,15 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
     nn = docs.agg(F.count("*").cast("double").alias("n"))
     score = F.round(
         F.col("tf") * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1), 4)
-    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(nn))
+    if salt > 1:
+        dfreq = dfreq.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        tf = tf.withColumn(
+            "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt)))
+        joined = tf.join(dfreq, ["term", "_salt"])
+    else:
+        joined = tf.join(dfreq, "term")
+    scored = (joined.crossJoin(F.broadcast(nn))
               .select(id_col, "term", score.alias("score")))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
     return (scored.select(id_col, "term",

@@ -233,3 +233,24 @@ def test_hot_host_skew_completes(spark):
     dec = robots.robots_filter(urls, rb)
     assert dec.filter(~F.col("allowed")).count() == n // 2
     assert dec.count() == n + 50
+
+
+def test_hot_host_rules_join_is_broadcast(spark):
+    """The rule-table side of the host join must be a broadcast — a
+    mega-host's URL concentration then never becomes a shuffle key."""
+    from pyspark.sql import functions as F
+
+    urls = spark.range(1000).select(
+        F.concat(F.lit("https://mega.example/p"),
+                 F.col("id").cast("string")).alias("url"))
+    rb = spark.createDataFrame(
+        [("mega.example", "User-agent: *\nDisallow: /p1\n")],
+        "host string, robots_txt string")
+    plan = (robots.robots_filter(urls, rb)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # escape hatch keeps the shuffle join available for a rules table
+    # too large to broadcast
+    plan2 = (robots.robots_filter(urls, rb, broadcast_rules=False)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert plan2  # still plans (values pinned equal by the oracle)

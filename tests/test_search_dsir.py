@@ -287,3 +287,22 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = {r.doc_id: r.term for r in
            search.tfidf_keywords(df, k=1).collect()}
     assert top[0] == "rare"
+
+
+def test_tfidf_salted_join_identical_values(spark):
+    """One term in EVERY document (the degenerate stopword key): the
+    salted term join must return byte-identical rankings to the plain
+    join — salting is routing, not semantics."""
+    rows = [(i, "en",
+             f"the the the unique{i} unique{i} shared{i % 7}")
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    plain = sorted((r.doc_id, r.term, r.rank, r.score) for r in
+                   search.tfidf_keywords(df, k=3).collect())
+    salted = sorted((r.doc_id, r.term, r.rank, r.score) for r in
+                    search.tfidf_keywords(df, k=3, salt=8).collect())
+    assert plain == salted
+    # the hot key 'the' is df=3000; every doc still ranks it below its
+    # unique term (idf ~ 0 for a term in every doc)
+    top = {d: t for d, t, r, _ in plain if r == 1}
+    assert top[0] == "unique0"
