@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lexor_spark import (bpe, cdx, chunking, classify, dedup,  # noqa: E402
-                         dsir, graph, lm, multimodal, packing, robots,
-                         sampling, search, sim, textfns, urlfns)
+                         dsir, frontier, graph, lm, multimodal, packing,
+                         robots, sampling, search, sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_pages, normalize_html, partition_metrics)
 from lexor_spark.pages import pages_df  # noqa: E402
@@ -391,6 +391,35 @@ def _q_cdx_fetch_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WARC fetch list: 200/text-html captures, latest per urlkey."""
     return (cdx.cdx_fetch_list(cdx.cdx_fixture_df(spark, sf_dir))
             .orderBy("urlkey"))
+
+
+def _q_cdx_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl incremental diff: latest digest per urlkey in
+    two snapshot indexes, full-outer-joined on urlkey →
+    added/gone/changed/same — the re-crawl driver (only added/changed
+    need fetching)."""
+    return cdx.cdx_diff(cdx.cdx_snapshot_df(spark, sf_dir, "old"),
+                        cdx.cdx_snapshot_df(spark, sf_dir, "new")) \
+        .orderBy("urlkey")
+
+
+def _q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay directives of the star UA group per host (the
+    politeness input to the fetch scheduler); group selection shares
+    the RFC 9309 machinery with robots_rules."""
+    return (robots.crawl_delays(robots.robots_fixture_df(spark, sf_dir))
+            .orderBy("host"))
+
+
+def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware dispatch schedule over the CDX fetch list:
+    host-pinned worker (md5-hash), per-host slot sequence, token-bucket
+    dispatch times from the robots Crawl-delay table."""
+    fetch = cdx.cdx_fetch_list(cdx.cdx_fixture_df(spark, sf_dir))
+    delays = robots.crawl_delays(robots.robots_fixture_df(spark, sf_dir))
+    return (frontier.fetch_schedule(fetch, delays, default_delay=1.0,
+                                    n_workers=8)
+            .orderBy("host", "slot"))
 
 
 def _q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,75 +940,50 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  67 queries are
-    value-oracled, so 17 must sit past the window.  Allocation rule:
-    every entry NEVER hash-verified by a driver CORRECTNESS file goes
-    inside the window (31 such: 18 relational/sim entries that missed
-    both prior windows + the 13 late-round-3 operators), then entries
-    whose code changed since their last green driver record (lm_score,
-    chunking, the shingle/textfns perf subtree, SemDeDup caps, two-phase
-    domain_cap…); rotated OUT are exactly the queries hash-green in a
-    prior driver file AND unchanged since — still verified every round
-    by scripts/check_oracles.py (66/66 green locally this round)."""
+    the first 50 entries), rows-only entries after.  74 queries are
+    value-oracled, so 24 must sit past the window.  Round-4 allocation:
+
+    1. never driver-hash-verified, or changed since their last green
+       driver record (18): the r03 red row (pq_codes, re-shaped), the
+       new r4 operators (cdx_lookup, cdx_diff, crawl_delays,
+       fetch_schedule, pack_firstfit), the post-r03-driver additions
+       (pagerank_links, robots_filter_ua), every query whose module
+       changed after its r03 verification (robots.py r3-tail wildcards
+       + r4 crawl-delay fixture -> robots_*/sitemap_entries; graph.py
+       r3-tail -> pagerank; search.py r4 salt -> tfidf_keywords,
+       bm25_search; packing.py r4 -> pack_bins; cdx.py r4 ->
+       cdx_parse, cdx_fetch_list);
+    2. the 17 queries whose last driver verification is r01/r02
+       (VERDICT r3 'Next round' #10: rotate them back through);
+    3. 15 r03-green refresh slots for the heaviest shared-code families
+       (textfns/lm/sim subtrees).
+
+    Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample
+    + the 20 r03-green unchanged relational entries — every one
+    hash-verified by the r03 driver file, i.e. within the last two
+    rounds; all 74 still verified locally every round by
+    scripts/check_oracles.py."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # changed since their last green driver record — keep visible
-        "chunk_passages": _q_chunk_passages,
-        "repetition_stats": _q_repetition_stats,
-        "span_dedup": _q_span_dedup,
-        "lm_score": _q_lm_score,
-        "minhash_signature": _q_minhash_sig,
-        "dedup_lsh_pairs": _q_lsh_pairs,
-        # never driver-verified: similarity/ANN tail
-        "ann_ivf": _q_ann_ivf,
+        # -- group 1: never driver-verified / changed since last green --
         "pq_codes": _q_pq_codes,
-        "ann_pq": _q_ann_pq,
-        "ann_ivfpq": _q_ann_ivfpq,
-        "ann_recall": _q_ann_recall,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "semantic_dedup": _q_semantic_dedup,
-        # URL/domain hygiene (domain_cap re-shaped r3; canonical new r3)
-        "domain_cap": _q_domain_cap,
-        "url_canonical": _q_url_canonical,
-        # corpus link graph PageRank (never driver-verified)
-        "pagerank": _q_pagerank,
-        "pagerank_links": _q_pagerank_links,
-        # late-round-3 operators (never driver-verified)
-        "dsir_weights": _q_dsir_weights,
-        "dsir_sample": _q_dsir_sample,
-        "bm25_search": _q_bm25_search,
-        "temperature_sample": _q_temperature_sample,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "cdx_parse": _q_cdx_parse,
-        "cdx_fetch_list": _q_cdx_fetch_list,
         "cdx_lookup": _q_cdx_lookup,
+        "pack_firstfit": _q_pack_firstfit,
+        "pagerank_links": _q_pagerank_links,
+        "robots_filter_ua": _q_robots_filter_ua,
         "robots_rules": _q_robots_rules,
         "robots_filter": _q_robots_filter,
-        "robots_filter_ua": _q_robots_filter_ua,
         "robots_sitemaps": _q_robots_sitemaps,
         "sitemap_entries": _q_sitemap_entries,
-        "lr_weights": _q_lr_weights,
-        "lr_scores": _q_lr_scores,
+        "pagerank": _q_pagerank,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "bm25_search": _q_bm25_search,
         "pack_bins": _q_pack_bins,
-        "pack_firstfit": _q_pack_firstfit,
-    }
-    # relational harness (SURVEY §2.3) — all 22 value-oracled; keep them
-    # inside the driver's 50-entry window
-    out.update(RELATIONAL_QUERIES)
-    # prior-green unchanged relational entries move toward the tail via
-    # pop + re-insert; counts: 30 (dict above) + 19 remaining relational
-    # = 49, so supplier_only_nations re-enters as slot 50 — the last
-    # in-window entry (r01-green, harmless) — and pricing_summary /
-    # parts_shipped (prior-green, unchanged) land past the window
-    _son = out.pop("supplier_only_nations")
-    _ps = out.pop("pricing_summary")
-    _psh = out.pop("parts_shipped")
-    out.update({
-        "supplier_only_nations": _son,
-        "pricing_summary": _ps,
-        "parts_shipped": _psh,
-        # rotated past the window: hash-green in a prior driver
-        # CORRECTNESS file (r01 and/or r02) and unchanged since; still
-        # value-oracled (scripts/check_oracles.py verifies all 66)
+        "cdx_parse": _q_cdx_parse,
+        "cdx_fetch_list": _q_cdx_fetch_list,
+        "cdx_diff": _q_cdx_diff,
+        "crawl_delays": _q_crawl_delays,
+        "fetch_schedule": _q_fetch_schedule,
+        # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
         "simhash": _q_simhash,
@@ -995,6 +999,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "url_stats": _q_url_stats,
         "url_filter": _q_url_filter,
+        # -- group 3: r03-green refresh (shared-code families) --
+        "chunk_passages": _q_chunk_passages,
+        "repetition_stats": _q_repetition_stats,
+        "span_dedup": _q_span_dedup,
+        "lm_score": _q_lm_score,
+        "minhash_signature": _q_minhash_sig,
+        "dedup_lsh_pairs": _q_lsh_pairs,
+        "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "ann_recall": _q_ann_recall,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
+        "domain_cap": _q_domain_cap,
+        "url_canonical": _q_url_canonical,
+        "dsir_weights": _q_dsir_weights,
+    }
+    # group 2 continued: pricing_summary / parts_shipped (r01/r02-green,
+    # rotated back in) complete the 50-entry window
+    rel = dict(RELATIONAL_QUERIES)
+    out["pricing_summary"] = rel.pop("pricing_summary")
+    out["parts_shipped"] = rel.pop("parts_shipped")
+    # ---- window boundary: the 50 entries above are driver-recorded ----
+    # rotated past the window: r03-green and unchanged since (the 20
+    # remaining relational entries + lr_scores); still value-oracled by
+    # scripts/check_oracles.py every round
+    out.update(rel)
+    out.update({
+        "lr_scores": _q_lr_scores,
+        "dsir_sample": _q_dsir_sample,
+        "temperature_sample": _q_temperature_sample,
+        "lr_weights": _q_lr_weights,
         # extraction (kernel; rows-only check — not ANSI-SQL-expressible)
         "extract_pages": _q_extract_pages,
         "extract_metrics": _q_extract_metrics,
@@ -1126,6 +1162,21 @@ def oracle_sql() -> dict[str, str]:
                        + cdx.cdx_fetch_list_sql(cdx.CDX_FIXTURE_SQL)
                        + ") where urlkey like 'example,site7)/%' "
                        "order by urlkey"),
+        "cdx_diff": ("select * from ("
+                     + cdx.cdx_diff_sql(cdx.cdx_snapshot_sql("old"),
+                                        cdx.cdx_snapshot_sql("new"))
+                     + ") order by urlkey"),
+        "crawl_delays": ("select * from ("
+                         + robots.crawl_delays_sql(
+                             robots.ROBOTS_FIXTURE_SQL)
+                         + ") order by host"),
+        "fetch_schedule": ("select * from ("
+                           + frontier.fetch_schedule_sql(
+                               cdx.cdx_fetch_list_sql(cdx.CDX_FIXTURE_SQL),
+                               robots.crawl_delays_sql(
+                                   robots.ROBOTS_FIXTURE_SQL),
+                               default_delay=1.0, n_workers=8)
+                           + ") order by host, slot"),
         "robots_rules": ("select * from ("
                          + robots.parse_robots_sql(
                              robots.ROBOTS_FIXTURE_SQL)

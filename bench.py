@@ -76,8 +76,9 @@ def timed(make_df) -> float:
 def main() -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
-    from lexor_spark import (bpe, dedup, dsir, lm, packing,  # noqa: F401
-                             robots, sampling, search, sim, textfns)
+    from lexor_spark import (bpe, cdx, dedup, dsir, frontier,  # noqa: F401
+                             lm, packing, robots, sampling, search, sim,
+                             textfns)
     from lexor_spark.job import extract_pages, partition_metrics
     from lexor_spark.pages import materialized_pages
     from lexor_spark.queries import RELATIONAL_QUERIES
@@ -140,6 +141,14 @@ def main() -> None:
         "tfidf_keywords": lambda: search.tfidf_keywords(docs, k=3),
         "pack_bins": lambda: packing.pack_bins(docs, budget=2048,
                                                chunk=4096),
+        "pack_firstfit": lambda: packing.pack_firstfit(docs, budget=2048,
+                                                       chunk=4096),
+        "cdx_diff": lambda: cdx.cdx_diff(
+            cdx.cdx_snapshot_df(spark, SF_DIR, "old"),
+            cdx.cdx_snapshot_df(spark, SF_DIR, "new")),
+        "fetch_schedule": lambda: frontier.fetch_schedule(
+            cdx.cdx_fetch_list(cdx.cdx_fixture_df(spark, SF_DIR)),
+            robots.crawl_delays(robots.robots_fixture_df(spark, SF_DIR))),
         "robots_filter": lambda: robots.robots_filter(
             docs.select(F.concat(
                 F.lit("https://site"),

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 __all__ = ["cdx_fixture_df", "CDX_FIXTURE_SQL", "parse_cdx",
            "parse_cdx_sql", "cdx_fetch_list", "cdx_fetch_list_sql",
            "write_fetch_list", "lookup_fetch", "urlkey_bucket",
-           "N_URLKEY_BUCKETS"]
+           "N_URLKEY_BUCKETS", "cdx_diff", "cdx_diff_sql",
+           "cdx_snapshot_df", "cdx_snapshot_sql"]
 
 
 # ---------------------------------------------------------------------------
@@ -287,3 +288,140 @@ def lookup_fetch(spark: SparkSession, index_dir: str, urlkey_prefix: str,
     return (df.filter((F.col("urlkey_bucket") == b)
                       & F.col("urlkey").startswith(urlkey_prefix))
             .select("urlkey", "url", "ts", "filename", "offset", "length"))
+
+
+# ---------------------------------------------------------------------------
+# crawl-over-crawl snapshot diff
+# ---------------------------------------------------------------------------
+
+def _latest_with_digest(lines: DataFrame, mime: str,
+                        line_col: str) -> DataFrame:
+    """Latest successful capture per urlkey, KEEPING the payload digest
+    (the fetch list drops it; the diff is digest-driven)."""
+    from pyspark.sql import Window
+    rec = parse_cdx(lines, line_col=line_col)
+    kept = rec.filter((F.col("status") == 200) & (F.col("mime") == mime))
+    w = (Window.partitionBy("urlkey")
+         .orderBy(F.desc("ts"), F.desc("offset")))
+    return (kept.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("urlkey", "url", "ts", "digest"))
+
+
+def cdx_diff(old_lines: DataFrame, new_lines: DataFrame,
+             mime: str = "text/html",
+             line_col: str = "cdx_line") -> DataFrame:
+    """(urlkey, url, change, old_digest, new_digest) between two crawl
+    snapshots' CDX indexes: ``added`` (urlkey only in new), ``gone``
+    (only in old), ``changed`` (digest moved), ``same``.  The incremental
+    re-crawl driver: only ``added``/``changed`` rows need fetching and
+    re-extraction, which at Common-Crawl cadence is a small fraction of
+    the index.  One urlkey-keyed full outer join — both sides shuffle
+    on the same key, co-partitioned; per-urlkey row counts are tiny, so
+    no skew."""
+    o = _latest_with_digest(old_lines, mime, line_col)
+    n = _latest_with_digest(new_lines, mime, line_col)
+    on = o.select(F.col("urlkey"), F.col("url").alias("o_url"),
+                  F.col("digest").alias("old_digest"))
+    nn = n.select(F.col("urlkey"), F.col("url").alias("n_url"),
+                  F.col("digest").alias("new_digest"))
+    j = on.join(nn, "urlkey", "full_outer")
+    change = (F.when(F.col("old_digest").isNull(), "added")
+              .when(F.col("new_digest").isNull(), "gone")
+              .when(F.col("old_digest") != F.col("new_digest"), "changed")
+              .otherwise("same"))
+    return j.select(
+        "urlkey",
+        F.coalesce(F.col("n_url"), F.col("o_url")).alias("url"),
+        change.alias("change"), "old_digest", "new_digest")
+
+
+def _latest_with_digest_sql(lines_sql: str, mime: str,
+                            line_col: str) -> str:
+    inner = parse_cdx_sql(lines_sql, line_col=line_col)
+    return f"""
+select urlkey, url, ts, digest from (
+  select *, row_number() over (partition by urlkey
+                               order by ts desc, "offset" desc) as rn
+  from ({inner}) where status = 200 and mime = '{mime}'
+) where rn = 1
+"""
+
+
+def cdx_diff_sql(old_sql: str, new_sql: str, mime: str = "text/html",
+                 line_col: str = "cdx_line") -> str:
+    o = _latest_with_digest_sql(old_sql, mime, line_col)
+    n = _latest_with_digest_sql(new_sql, mime, line_col)
+    return f"""
+with o as ({o}), n as ({n})
+select coalesce(n.urlkey, o.urlkey) as urlkey,
+       coalesce(n.url, o.url) as url,
+       case when o.digest is null then 'added'
+            when n.digest is null then 'gone'
+            when o.digest <> n.digest then 'changed'
+            else 'same' end as change,
+       o.digest as old_digest, n.digest as new_digest
+from o full outer join n on o.urlkey = n.urlkey
+"""
+
+
+def cdx_snapshot_df(spark: SparkSession, sf_dir: str,
+                    which: str) -> DataFrame:
+    """Deterministic two-crawl fixture: the 'old' snapshot misses every
+    7th doc (they appear later → ``added``), the 'new' snapshot misses
+    every 5th (→ ``gone``) and re-digests every 3rd (content moved →
+    ``changed``); everything else is ``same``."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    if which == "old":
+        docs = docs.filter(d % 7 != 6)
+        ts = F.lit("20240115120000")
+        digest = F.md5(F.col("text"))
+    elif which == "new":
+        docs = docs.filter(d % 5 != 4)
+        ts = F.lit("20240315120000")
+        digest = F.md5(F.when(d % 3 == 0, F.concat(F.col("text"),
+                                                   F.lit("v2")))
+                       .otherwise(F.col("text")))
+    else:
+        raise ValueError(f"which must be 'old'|'new', got {which!r}")
+    host = F.concat(F.lit("site"), (d % 97).cast("string"),
+                    F.lit(".example"))
+    urlkey = F.concat(F.lit("example,site"), (d % 97).cast("string"),
+                      F.lit(")/"), F.col("source"), F.lit("/p"),
+                      d.cast("string"))
+    url = F.concat(F.lit("https://"), host, F.lit("/"), F.col("source"),
+                   F.lit("/p"), d.cast("string"))
+    line = F.concat(
+        urlkey, F.lit(" "), ts, F.lit(" "),
+        F.lit('{"url": "'), url,
+        F.lit('", "mime": "text/html", "status": "200", "digest": "'),
+        digest,
+        F.lit('", "length": "'), F.length("text").cast("string"),
+        F.lit('", "offset": "'), ((d * 977) % 100000).cast("string"),
+        F.lit('", "filename": "crawl-data/seg-'), (d % 10).cast("string"),
+        F.lit('.warc.gz"}'))
+    return docs.select(line.alias("cdx_line"))
+
+
+def cdx_snapshot_sql(which: str) -> str:
+    if which == "old":
+        flt, ts, dg = "doc_id % 7 <> 6", "20240115120000", "md5(text)"
+    elif which == "new":
+        flt, ts = "doc_id % 5 <> 4", "20240315120000"
+        dg = ("md5(case when doc_id % 3 = 0 then text || 'v2' "
+              "else text end)")
+    else:
+        raise ValueError(f"which must be 'old'|'new', got {which!r}")
+    return f"""
+select 'example,site' || (doc_id % 97) || ')/' || source || '/p'
+         || doc_id || ' {ts} ' ||
+       '{{"url": "https://site' || (doc_id % 97) || '.example/'
+         || source || '/p' || doc_id ||
+       '", "mime": "text/html", "status": "200", "digest": "' || {dg} ||
+       '", "length": "' || length(text) ||
+       '", "offset": "' || ((doc_id * 977) % 100000) ||
+       '", "filename": "crawl-data/seg-' || (doc_id % 10)
+         || '.warc.gz"}}' as cdx_line
+from documents where {flt}
+"""

@@ -30,8 +30,11 @@ DuckDB oracle can verify values:
   URL skew never concentrates a join task; the decision window
   partitions by URL.
 
-Out of scope (documented): crawl-delay (non-standard).  No reference
-counterpart; format per the public RFC 9309.
+* ``crawl_delays``: the de-facto ``Crawl-delay`` politeness extension
+  (RFC 9309 §2.2.4 custom-rule slot), selected with the same UA-group
+  machinery; feeds the fetch scheduler (`frontier.py`).
+
+No reference counterpart; format per the public RFC 9309.
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["robots_fixture_df", "ROBOTS_FIXTURE_SQL", "parse_robots",
+           "crawl_delays", "crawl_delays_sql",
            "parse_robots_sql", "robots_filter", "robots_filter_sql",
            "robots_sitemaps", "robots_sitemaps_sql", "sitemap_entries",
            "sitemap_entries_sql", "sitemap_fixture_df",
@@ -67,16 +71,18 @@ def robots_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("h") % 4 == 0, F.concat(
             F.lit("# fixture robots\nUser-agent: *\n"
                   "Disallow: /private\n"
-                  "Allow: /private/ok\n\n"
+                  "Allow: /private/ok\n"
+                  "Crawl-delay: 2\n\n"
                   "User-agent: evilbot\nDisallow: /\n")))
         .when(F.col("h") % 4 == 1, F.concat(
             F.lit("User-agent: archiver\nUser-agent: *\n"
                   "Disallow: /\n"
                   "Allow: /pub\n"
+                  "Crawl-delay: 1.5\n"
                   "Sitemap: https://"), F.col("host"),
             F.lit("/sitemap.xml\n")))
         .when(F.col("h") % 4 == 2, F.lit(
-            "User-agent: evilbot\nDisallow: /\n\n"
+            "User-agent: evilbot\nDisallow: /\nCrawl-delay: 99\n\n"
             "User-agent: *\nDisallow:\n"))
         .otherwise(F.lit(
             "User-agent: *\n"
@@ -85,7 +91,8 @@ def robots_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "Allow: /private\n\n"
             "User-agent: lexorbot\n"
             "Disallow: /nobots\n"
-            "Allow: /nobots/ok\n")))
+            "Allow: /nobots/ok\n"
+            "Crawl-delay: 0.5\n")))
     return hosts.select("host", body.alias("robots_txt"))
 
 
@@ -96,6 +103,7 @@ select 'site' || h || '.example' as host,
 User-agent: *
 Disallow: /private
 Allow: /private/ok
+Crawl-delay: 2
 
 User-agent: evilbot
 Disallow: /
@@ -104,10 +112,12 @@ Disallow: /
 User-agent: *
 Disallow: /
 Allow: /pub
+Crawl-delay: 1.5
 Sitemap: https://site' || h || '.example/sitemap.xml
 '
          when h % 4 = 2 then 'User-agent: evilbot
 Disallow: /
+Crawl-delay: 99
 
 User-agent: *
 Disallow:
@@ -120,6 +130,7 @@ Allow: /private
 User-agent: lexorbot
 Disallow: /nobots
 Allow: /nobots/ok
+Crawl-delay: 0.5
 '
        end as robots_txt
 from (select distinct doc_id % 97 as h from documents)
@@ -130,18 +141,16 @@ from (select distinct doc_id % 97 as h from documents)
 # parser
 # ---------------------------------------------------------------------------
 
-def parse_robots(robots: DataFrame, host_col: str = "host",
-                 body_col: str = "robots_txt",
-                 agent: str | None = None) -> DataFrame:
-    """(host, rule, path) for every Allow/Disallow in the group that
-    applies to ``agent`` (RFC 9309 §2.2.1): a group matches when its
-    User-agent value is a case-insensitive prefix of the agent product
-    token (specificity = value length) or is ``*`` (specificity 0,
-    used only when nothing specific matches); all groups at the
-    winning specificity are combined.  ``agent=None`` selects the
-    ``*`` group only.  ``rule`` is 'allow' | 'disallow'; empty-path
-    rules (no-op per RFC) are dropped.  Comments (#) and surrounding
-    whitespace stripped; field names case-insensitive."""
+def _group_lines(robots: DataFrame, host_col: str, body_col: str,
+                 agent: str | None) -> DataFrame:
+    """Directive lines of the UA group(s) that apply to ``agent`` (RFC
+    9309 §2.2.1): a group matches when its User-agent value is a
+    case-insensitive prefix of the agent product token (specificity =
+    value length) or is ``*`` (specificity 0, used only when nothing
+    specific matches); all groups at the winning specificity are
+    combined.  ``agent=None`` selects the ``*`` group only.  Returns
+    (host, ln, val) for every non-UA line of the winning group(s);
+    comments (#) and surrounding whitespace stripped."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"))
@@ -167,18 +176,45 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
             F.length("val")).otherwise(ml)
     group_ml = F.max(ml).over(Window.partitionBy("host", "gid"))
     best = F.max(group_ml).over(Window.partitionBy("host"))
-    rule = F.when(F.lower("ln").startswith("allow:"), "allow").when(
-        F.lower("ln").startswith("disallow:"), "disallow")
     return (tagged.withColumn("gml", group_ml).withColumn("best", best)
             .filter(F.col("gml").isNotNull()
-                    & (F.col("gml") == F.col("best")) & ~F.col("is_ua")
-                    & rule.isNotNull() & (F.col("val") != ""))
+                    & (F.col("gml") == F.col("best")) & ~F.col("is_ua"))
+            .select("host", "ln", "val"))
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt",
+                 agent: str | None = None) -> DataFrame:
+    """(host, rule, path) for every Allow/Disallow in the group that
+    applies to ``agent`` (group selection: `_group_lines`, RFC 9309
+    §2.2.1).  ``rule`` is 'allow' | 'disallow'; empty-path rules
+    (no-op per RFC) are dropped; field names case-insensitive."""
+    g = _group_lines(robots, host_col, body_col, agent)
+    rule = F.when(F.lower("ln").startswith("allow:"), "allow").when(
+        F.lower("ln").startswith("disallow:"), "disallow")
+    return (g.filter(rule.isNotNull() & (F.col("val") != ""))
             .select("host", rule.alias("rule"), F.col("val").alias("path")))
 
 
-def parse_robots_sql(robots_sql: str, host_col: str = "host",
-                     body_col: str = "robots_txt",
-                     agent: str | None = None) -> str:
+def crawl_delays(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt",
+                 agent: str | None = None) -> DataFrame:
+    """(host, delay_s) from the agent's winning group's ``Crawl-delay``
+    directives (the de-facto politeness extension every major crawler
+    honors; not in RFC 9309 but in its §2.2.4 custom-rule slot).
+    Non-numeric values are dropped (try_cast), multiple directives per
+    host take the MAX — the conservative (most polite) reading."""
+    g = _group_lines(robots, host_col, body_col, agent)
+    d = (g.filter(F.lower("ln").startswith("crawl-delay:"))
+         .select("host", F.col("val").try_cast("double").alias("delay_s"))
+         .filter(F.col("delay_s").isNotNull() & (F.col("delay_s") >= 0)))
+    return d.groupBy("host").agg(F.max("delay_s").alias("delay_s"))
+
+
+def _group_lines_sql(robots_sql: str, host_col: str, body_col: str,
+                     agent: str | None) -> str:
+    """CTE chain mirroring `_group_lines`; exposes `ranked` with
+    (host, ln, val, is_ua, gml, best)."""
     if agent is None:
         ml = "case when is_ua and val = '*' then 0 end"
     else:
@@ -227,7 +263,28 @@ ranked as (
   select *,
          max(gml) over (partition by host) as best
   from matched
-)
+)"""
+
+
+def crawl_delays_sql(robots_sql: str, host_col: str = "host",
+                     body_col: str = "robots_txt",
+                     agent: str | None = None) -> str:
+    prefix = _group_lines_sql(robots_sql, host_col, body_col, agent)
+    return f"""{prefix}
+select host, max(try_cast(val as double)) as delay_s
+from ranked
+where gml is not null and gml = best and not is_ua
+  and lower(ln) like 'crawl-delay:%'
+  and try_cast(val as double) >= 0
+group by host
+"""
+
+
+def parse_robots_sql(robots_sql: str, host_col: str = "host",
+                     body_col: str = "robots_txt",
+                     agent: str | None = None) -> str:
+    prefix = _group_lines_sql(robots_sql, host_col, body_col, agent)
+    return f"""{prefix}
 select host,
        case when lower(ln) like 'allow:%' then 'allow'
             else 'disallow' end as rule,

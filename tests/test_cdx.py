@@ -168,3 +168,42 @@ def test_lookup_plan_prunes_partitions(spark, sf_dir, tmp_path):
     assert pf, plan
     assert re.search(rf"urlkey_bucket#\d+ = {b}\b", pf.group(1)), pf.group(1)
     assert "StringStartsWith(urlkey,example,site7)/" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# crawl-over-crawl snapshot diff
+# ---------------------------------------------------------------------------
+
+def test_cdx_diff_classifies_changes(spark):
+    def line(key, ts, digest):
+        return (f'{key} {ts} {{"url": "https://x/{key}", '
+                f'"mime": "text/html", "status": "200", '
+                f'"digest": "{digest}", "length": "5", "offset": "0", '
+                f'"filename": "s.warc.gz"}}')
+    old = _lines(spark, [line("com,a)/1", "20240101000000", "d1"),
+                         line("com,a)/2", "20240101000000", "d2"),
+                         line("com,a)/3", "20240101000000", "d3"),
+                         # stale capture must lose to the newer one
+                         line("com,a)/3", "20230101000000", "stale")])
+    new = _lines(spark, [line("com,a)/1", "20240301000000", "d1"),
+                         line("com,a)/3", "20240301000000", "d3x"),
+                         line("com,a)/4", "20240301000000", "d4")])
+    got = {r.urlkey: r.change for r in cdx.cdx_diff(old, new).collect()}
+    assert got == {"com,a)/1": "same", "com,a)/2": "gone",
+                   "com,a)/3": "changed", "com,a)/4": "added"}
+
+
+def test_cdx_diff_matches_oracle(spark, sf_dir):
+    import duckdb
+    got = sorted((r.urlkey, r.change) for r in cdx.cdx_diff(
+        cdx.cdx_snapshot_df(spark, sf_dir, "old"),
+        cdx.cdx_snapshot_df(spark, sf_dir, "new")).collect())
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    want = sorted(con.sql(
+        "select urlkey, change from ("
+        + cdx.cdx_diff_sql(cdx.cdx_snapshot_sql("old"),
+                           cdx.cdx_snapshot_sql("new"))
+        + ")").fetchall())
+    assert got == [tuple(w) for w in want] and len(got) > 0

@@ -254,3 +254,56 @@ def test_hot_host_rules_join_is_broadcast(spark):
     plan2 = (robots.robots_filter(urls, rb, broadcast_rules=False)
              ._jdf.queryExecution().executedPlan().toString())
     assert plan2  # still plans (values pinned equal by the oracle)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-delay (politeness extension, same UA-group machinery)
+# ---------------------------------------------------------------------------
+
+CD_BODY = """User-agent: googlebot
+Crawl-delay: 10
+
+User-agent: archiver
+User-agent: *
+Disallow: /private
+Crawl-delay: 2.5
+Crawl-delay: 1
+
+User-agent: evilbot
+Crawl-delay: 99
+"""
+
+
+def _cd(spark, body, agent=None):
+    df = spark.createDataFrame([("h.example", body)],
+                               "host string, robots_txt string")
+    return {r.host: r.delay_s
+            for r in robots.crawl_delays(df, agent=agent).collect()}
+
+
+def test_crawl_delay_star_group(spark):
+    # star group selected; two directives -> conservative max
+    assert _cd(spark, CD_BODY) == {"h.example": 2.5}
+
+
+def test_crawl_delay_ua_group_wins(spark):
+    assert _cd(spark, CD_BODY, agent="googlebot") == {"h.example": 10.0}
+    # archiver names the same group as * -> same delays
+    assert _cd(spark, CD_BODY, agent="archiver/2.0") == {"h.example": 2.5}
+
+
+def test_crawl_delay_malformed_and_negative_dropped(spark):
+    body = "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -5\n"
+    assert _cd(spark, body) == {}
+
+
+def test_crawl_delay_matches_oracle(spark, sf_dir):
+    import duckdb
+    got = {r.host: r.delay_s for r in robots.crawl_delays(
+        robots.robots_fixture_df(spark, sf_dir)).collect()}
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    want = dict(con.sql(robots.crawl_delays_sql(
+        robots.ROBOTS_FIXTURE_SQL)).fetchall())
+    assert got == want and len(got) > 0
