@@ -348,6 +348,75 @@ def _q_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_links(pages_df(spark, sf_dir))
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (fixed rounds, max-normalized) over the
+    deterministic fixture graph — pagerank's oracle-twin recipe."""
+    return graph.hits(graph.fixture_edges(spark, sf_dir))
+
+
+def _q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target over KERNEL-extracted
+    <a> elements — value-oracled because the synthetic pages carry
+    exactly two nav anchors each ('Home' → /, 'About »' → /about), so
+    the expected aggregate is SQL-reconstructible (the
+    `pagerank_links` trick)."""
+    return graph.anchor_texts(pages_df(spark, sf_dir))
+
+
+# Per-target anchor aggregate the synthetic nav structure implies: each
+# page contributes ('Home', host root) and ('About »', host /about) —
+# the » entity is decoded by the kernel's anchor-text walk.
+_ANCHOR_TEXTS_SQL = """
+with l as (
+  select 'https://site' || (doc_id % 97) || '.example/' as target,
+         'Home' as anchor from documents
+  union all
+  select 'https://site' || (doc_id % 97) || '.example/about',
+         'About »' from documents
+),
+pa as (select target, anchor, count(*) as n from l group by 1, 2),
+r as (select target, anchor, n,
+             row_number() over (partition by target
+                                order by n desc, anchor) as rn,
+             sum(n) over (partition by target) as tot,
+             count(*) over (partition by target) as nd
+      from pa)
+select target, tot::bigint as n_links, nd as n_distinct_anchors,
+       anchor as top_anchor
+from r where rn = 1 order by target
+"""
+
+
+def _docs_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the deterministic url column — the host-level
+    curation input shape (url, lang, n_chars)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://site"),
+        F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"),
+        F.col("doc_id").cast("string"))
+    return docs.select("doc_id", url.alias("url"), "lang", "n_chars")
+
+
+_DOCS_URLS_TABLE = (f"(select doc_id, {_URL_SQL} as url, lang, n_chars "
+                    f"from documents)")
+
+
+def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host content-quality aggregates + keep verdict (RefinedWeb
+    host-level curation signal)."""
+    return urlfns.host_quality(_docs_urls_df(spark, sf_dir),
+                               min_docs=2, min_avg_chars=300.0)
+
+
+def _q_host_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs surviving the host-level quality filter (aggregate once,
+    broadcast the kept-host set back)."""
+    return urlfns.host_filter_docs(_docs_urls_df(spark, sf_dir),
+                                   min_docs=2, min_avg_chars=300.0)
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights: hashed uni+bigram bucket
     distributions, English slice as the target, whole corpus as raw."""
@@ -940,13 +1009,14 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  74 queries are
-    value-oracled, so 24 must sit past the window.  Round-4 allocation:
+    the first 50 entries), rows-only entries after.  78 queries are
+    value-oracled, so 28 must sit past the window.  Round-4 allocation:
 
     1. never driver-hash-verified, or changed since their last green
-       driver record (18): the r03 red row (pq_codes, re-shaped), the
+       driver record (22): the r03 red row (pq_codes, re-shaped), the
        new r4 operators (cdx_lookup, cdx_diff, crawl_delays,
-       fetch_schedule, pack_firstfit), the post-r03-driver additions
+       fetch_schedule, pack_firstfit, hits, anchor_texts, host_quality,
+       host_filter_docs), the post-r03-driver additions
        (pagerank_links, robots_filter_ua), every query whose module
        changed after its r03 verification (robots.py r3-tail wildcards
        + r4 crawl-delay fixture -> robots_*/sitemap_entries; graph.py
@@ -955,13 +1025,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        cdx_parse, cdx_fetch_list);
     2. the 17 queries whose last driver verification is r01/r02
        (VERDICT r3 'Next round' #10: rotate them back through);
-    3. 15 r03-green refresh slots for the heaviest shared-code families
-       (textfns/lm/sim subtrees).
+    3. 11 r03-green refresh slots for the heaviest shared-code families
+       (textfns/lm/sim subtrees); chunk_passages/span_dedup/ann_ivf/
+       ann_recall gave their r4 slots to the four new operators (all
+       four r03-driver-green; their subtrees unchanged since — the
+       sim.py r4 delta is the pq_codes select, whose shared
+       _pq_sql_parts code stays covered in-window by ann_pq/ann_ivfpq).
 
     Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample
     + the 20 r03-green unchanged relational entries — every one
     hash-verified by the r03 driver file, i.e. within the last two
-    rounds; all 74 still verified locally every round by
+    rounds; all 78 still verified locally every round by
     scripts/check_oracles.py."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- group 1: never driver-verified / changed since last green --
@@ -983,6 +1057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_diff": _q_cdx_diff,
         "crawl_delays": _q_crawl_delays,
         "fetch_schedule": _q_fetch_schedule,
+        "hits": _q_hits,
+        "anchor_texts": _q_anchor_texts,
+        "host_quality": _q_host_quality,
+        "host_filter_docs": _q_host_filter_docs,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
@@ -1000,16 +1078,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": _q_url_stats,
         "url_filter": _q_url_filter,
         # -- group 3: r03-green refresh (shared-code families) --
-        "chunk_passages": _q_chunk_passages,
         "repetition_stats": _q_repetition_stats,
-        "span_dedup": _q_span_dedup,
         "lm_score": _q_lm_score,
         "minhash_signature": _q_minhash_sig,
         "dedup_lsh_pairs": _q_lsh_pairs,
-        "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
-        "ann_recall": _q_ann_recall,
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
         "domain_cap": _q_domain_cap,
@@ -1027,6 +1101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py every round
     out.update(rel)
     out.update({
+        "chunk_passages": _q_chunk_passages,
+        "span_dedup": _q_span_dedup,
+        "ann_ivf": _q_ann_ivf,
+        "ann_recall": _q_ann_recall,
         "lr_scores": _q_lr_scores,
         "dsir_sample": _q_dsir_sample,
         "temperature_sample": _q_temperature_sample,
@@ -1131,6 +1209,12 @@ def oracle_sql() -> dict[str, str]:
                               f"from documents)")
                           + ") order by url"),
         "pagerank": graph.pagerank_sql(graph.FIXTURE_EDGES_SQL),
+        "hits": graph.hits_sql(graph.FIXTURE_EDGES_SQL),
+        "anchor_texts": _ANCHOR_TEXTS_SQL,
+        "host_quality": urlfns.host_quality_sql(
+            _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),
+        "host_filter_docs": urlfns.host_filter_docs_sql(
+            _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),
         "pagerank_links": (
             "select node_id as url, rank from ("
             + graph.pagerank_sql("select * from ("

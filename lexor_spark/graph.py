@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["extract_links", "pagerank", "pagerank_sql",
-           "pagerank_links", "fixture_edges", "FIXTURE_EDGES_SQL"]
+           "pagerank_links", "hits", "hits_sql", "anchor_texts",
+           "fixture_edges", "FIXTURE_EDGES_SQL"]
 
 
 LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string")
@@ -209,6 +210,131 @@ def pagerank_sql(edges_sql: str, iters: int = PR_ITERS,
     return ("with " + ",\n".join(parts)
             + f"\nselect v as node_id, r as rank from r{iters} "
             f"order by node_id")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (fixed rounds, value-oracled)
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 5
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """Kleinberg's HITS over a (src, dst) edge DataFrame: ``iters``
+    alternating power-iteration rounds of auth(v) = Σ_{u→v} hub(u) and
+    hub(u) = Σ_{u→v} auth(v), each half-step scaled by the MAX score
+    (the standard [0,1] normalization — and unlike an L1 sum, a max of
+    round-6 doubles is exactly order-independent, which is what lets a
+    DuckDB mirror reproduce the values bit-for-bit).  Contributions and
+    scores round to 6 decimals every half-step, the
+    `pagerank`/`kmeans` fixed-round determinism recipe.
+
+    Plan shape at 10^12 edges — the `pagerank` shape twice per round:
+    the auth half-step is one src-keyed join (edges ⋈ hubs, both
+    co-partitionable on src) + one map-side-combinable sum keyed on
+    dst; the hub half-step mirrors it dst→src.  The max is a 1-row
+    all-reduce broadcast back (1×1 crossJoin, the `dsir` shape); scores
+    are ``localCheckpoint``-ed per round so the plan stays flat.
+    Returns (node_id, auth, hub) — nodes with no in-edges have auth 0,
+    no out-edges hub 0.
+    """
+    edges = edges.select("src", "dst").localCheckpoint()
+    nodes = (edges.select(F.col("src").alias("v"))
+             .union(edges.select(F.col("dst").alias("v")))
+             .distinct().localCheckpoint())
+    hub = nodes.select("v", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(iters):
+        araw = (edges.join(hub, edges.src == hub.v)
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.round(F.sum("h"), 6).alias("s")))
+        amax = araw.agg(F.max("s").alias("m"))
+        auth = (nodes.join(araw, "v", "left").crossJoin(amax)
+                .select("v", F.round(
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.col("m"),
+                    6).alias("a"))
+                .localCheckpoint())
+        hraw = (edges.join(auth, edges.dst == auth.v)
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.round(F.sum("a"), 6).alias("s")))
+        hmax = hraw.agg(F.max("s").alias("m"))
+        hub = (nodes.join(hraw, "v", "left").crossJoin(hmax)
+               .select("v", F.round(
+                   F.coalesce(F.col("s"), F.lit(0.0)) / F.col("m"),
+                   6).alias("h"))
+               .localCheckpoint())
+    return (nodes.join(auth, "v").join(hub, "v")
+            .select(F.col("v").alias("node_id"),
+                    F.col("a").alias("auth"), F.col("h").alias("hub"))
+            .orderBy("node_id"))
+
+
+def hits_sql(edges_sql: str, iters: int = HITS_ITERS) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`hits` over an edge CTE body
+    (a SELECT producing (src, dst))."""
+    # each CTE is referenced exactly ONCE downstream (the max is a
+    # window over the coalesced join result, not a separate aggregate
+    # CTE) — a twice-referenced CTE per round would double the inlined
+    # scan tree each iteration and blow up the planner exponentially
+    parts = [
+        f"e as ({edges_sql})",
+        "nodes as (select src as v from e union select dst from e)",
+        "h0 as (select v, 1.0::double as h from nodes)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"ar{t} as (select e.dst as v, round(sum(h.h), 6) as s\n"
+            f"  from e join h{t} h on e.src = h.v group by e.dst)")
+        parts.append(
+            f"a{t + 1} as (select v, round(s / max(s) over (), 6) as a "
+            f"from (\n  select nodes.v, coalesce(ar.s, 0.0) as s\n"
+            f"  from nodes left join ar{t} ar on ar.v = nodes.v))")
+        parts.append(
+            f"hr{t} as (select e.src as v, round(sum(a.a), 6) as s\n"
+            f"  from e join a{t + 1} a on e.dst = a.v group by e.src)")
+        parts.append(
+            f"h{t + 1} as (select v, round(s / max(s) over (), 6) as h "
+            f"from (\n  select nodes.v, coalesce(hr.s, 0.0) as s\n"
+            f"  from nodes left join hr{t} hr on hr.v = nodes.v))")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect a{iters}.v as node_id, a{iters}.a as auth, "
+            f"h{iters}.h as hub\nfrom a{iters} "
+            f"join h{iters} on h{iters}.v = a{iters}.v\norder by node_id")
+
+
+def anchor_texts(pages: DataFrame, salt_buckets: int = 256) -> DataFrame:
+    """Anchor-text aggregation per link TARGET — the classic web-corpus
+    relevance signal (anchor text describes the page it points AT;
+    reference: anchor-text indexing as in Brin & Page 1998 §2.2 /
+    MS MARCO-style anchor corpora).  Kernel-extracted ``<a>`` elements
+    (:func:`extract_links`) → canonical target URL → per-target:
+    in-link count, distinct anchor strings, and the single most common
+    non-empty anchor (ties broken lexicographically, so the output is
+    deterministic).
+
+    Plan shape at 10^12 edges: mapInArrow extraction (salted, the
+    `extract_pages` shape) → ONE dst-keyed two-level aggregate —
+    count per (target, anchor) (map-side combinable; a mega-target's
+    rows spread over (target, anchor) sub-keys first, the same
+    two-phase idea as `domain_cap`) → max_by per target.  Hot targets
+    (every page links "/") never serialize through one task until the
+    per-anchor counts — already tiny — meet in phase 2."""
+    from lexor_spark.urlfns import canonical_url
+
+    links = extract_links(pages, salt_buckets)
+    tgt = (links.select(
+        canonical_url(F.col("abs_url")).alias("target"),
+        F.col("anchor"))
+        .filter(F.col("anchor") != ""))
+    per_anchor = (tgt.groupBy("target", "anchor")
+                  .agg(F.count("*").alias("n")))
+    return (per_anchor.groupBy("target")
+            .agg(F.sum("n").alias("n_links"),
+                 F.count("*").alias("n_distinct_anchors"),
+                 F.min_by("anchor", F.struct(
+                     (-F.col("n")).alias("neg_n"),
+                     F.col("anchor"))).alias("top_anchor"))
+            .orderBy("target"))
 
 
 def pagerank_links(pages: DataFrame, iters: int = PR_ITERS,

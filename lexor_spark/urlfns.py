@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["host_of", "domain_of", "path_of", "path_depth", "is_https",
            "url_stats", "domain_cap", "url_filter", "url_filter_sql",
+           "host_quality", "host_quality_sql",
+           "host_filter_docs", "host_filter_docs_sql",
            "canonical_url", "url_canonicalize", "url_canonicalize_sql",
            "SQL_URL"]
 
@@ -104,6 +106,82 @@ def domain_cap(pages: DataFrame, k: int, url_col: str = "url",
         .filter(F.col("rn") <= k)
         .select("domain", url_col, "rn")
     )
+
+
+def host_quality(docs: DataFrame, min_docs: int = 2,
+                 min_avg_chars: float = 100.0,
+                 url_col: str = "url") -> DataFrame:
+    """Per-HOST content-quality aggregates over a documents table that
+    carries (url, lang, n_chars) — the host-level curation signal
+    (RefinedWeb / C4 keep whole sites, not single pages: a host whose
+    pages are uniformly short or too few is boilerplate/parked-domain
+    shaped).  One map-side-combinable hash aggregate keyed on host —
+    no window, no join; at 10^12 docs the combiner reduces each
+    partition to its distinct hosts before the shuffle.  ``kept`` is
+    the host-level verdict (≥ min_docs pages AND avg length ≥
+    min_avg_chars) that :func:`host_filter_docs` applies back to rows.
+    """
+    u = F.col(url_col)
+    return (docs
+            .select(host_of(u).alias("host"), "lang", "n_chars")
+            .groupBy("host")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.sum("n_chars").alias("total_chars"))
+            .withColumn("kept",
+                        (F.col("n_docs") >= min_docs)
+                        & (F.col("avg_chars") >= min_avg_chars))
+            .orderBy("host"))
+
+
+def host_quality_sql(table: str, url_expr: str, min_docs: int = 2,
+                     min_avg_chars: float = 100.0) -> str:
+    """DuckDB mirror of :func:`host_quality` (``url_expr`` is the SQL
+    expression producing the url column from ``table``)."""
+    host = (f"lower(regexp_extract({url_expr}, "
+            f"'{_HOST_RE}', 1))")
+    return (
+        f"select {host} as host, count(*) as n_docs, "
+        f"count(distinct lang) as n_langs, "
+        f"round(avg(n_chars), 4) as avg_chars, "
+        f"sum(n_chars)::bigint as total_chars, "
+        f"(count(*) >= {min_docs} and round(avg(n_chars), 4) >= "
+        f"{min_avg_chars}) as kept "
+        f"from {table} group by 1 order by host")
+
+
+def host_filter_docs(docs: DataFrame, min_docs: int = 2,
+                     min_avg_chars: float = 100.0,
+                     url_col: str = "url") -> DataFrame:
+    """Row-level application of the host-level verdict: keep documents
+    whose HOST passes :func:`host_quality` — aggregate once, then join
+    the (small) kept-host set back to the doc table.  The kept-host
+    side is hosts-not-docs sized, so it is explicitly ``broadcast`` —
+    the filter-back is shuffle-free for the big side, and a mega-host's
+    million rows never concentrate anywhere (each scan task probes the
+    broadcast hash table locally).  Returns (doc_id, host) kept rows.
+    """
+    hosts = (host_quality(docs, min_docs, min_avg_chars, url_col)
+             .filter("kept").select("host"))
+    u = F.col(url_col)
+    return (docs.select("doc_id", host_of(u).alias("host"))
+            .join(F.broadcast(hosts), "host")
+            .select("doc_id", "host")
+            .orderBy("doc_id"))
+
+
+def host_filter_docs_sql(table: str, url_expr: str, min_docs: int = 2,
+                         min_avg_chars: float = 100.0) -> str:
+    """DuckDB mirror of :func:`host_filter_docs`."""
+    host = f"lower(regexp_extract({url_expr}, '{_HOST_RE}', 1))"
+    return (
+        f"with hq as (select {host} as host from {table} "
+        f"group by 1 having count(*) >= {min_docs} "
+        f"and round(avg(n_chars), 4) >= {min_avg_chars}), "
+        f"d as (select doc_id, {host} as host from {table}) "
+        f"select d.doc_id, d.host from d join hq using (host) "
+        f"order by d.doc_id")
 
 
 def url_filter(pages: DataFrame, blocked_domains: list[str] = (),

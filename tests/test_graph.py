@@ -82,3 +82,70 @@ def test_pagerank_links_end_to_end(spark):
     assert min(ranks[r] for r in roots) > max(ranks[s] for s in spokes)
     # spokes are structurally identical (pure sinks' sources): equal rank
     assert len({ranks[s] for s in spokes}) == 1
+
+
+def test_hits_star_hub_authority(spark):
+    """1,2,3 -> 0 and 0 -> 1: node 0 is the sole authority (auth 1.0),
+    node 1 both points at it (hub) and receives from it (auth); 2,3 are
+    pure symmetric hubs."""
+    from lexor_spark.graph import hits
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long")
+    got = {r.node_id: (r.auth, r.hub) for r in hits(edges, iters=3).collect()}
+    assert got[0][0] == 1.0            # max-normalized top authority
+    assert got[2] == got[3]            # symmetric hubs tie exactly
+    assert got[2][1] == 1.0            # they are the top hubs
+    assert got[0][1] > 0               # 0 -> 1 gives node 0 some hub score
+    assert got[2][0] == 0.0            # nothing points at 2/3: auth 0
+    assert got[1][0] > 0               # 0 -> 1: node 1 has authority
+
+
+def test_hits_deterministic_and_matches_numpy(spark):
+    """Fixed-round HITS equals a plain numpy power iteration with the
+    same round-6 schedule on the fixture graph."""
+    import numpy as np
+
+    from lexor_spark.graph import fixture_edges, hits
+    edges_df = fixture_edges(spark, "/root/testdata/sf0.001")
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for s, d in edges:
+        adj[idx[s], idx[d]] = 1.0
+    h = np.ones(n)
+    for _ in range(2):
+        a = np.round(adj.T @ np.round(h, 6), 6)
+        a = np.round(a / a.max(), 6)
+        h = np.round(adj @ a, 6)
+        h = np.round(h / h.max(), 6)
+    got = hits(edges_df, iters=2).collect()
+    assert len(got) == n
+    for r in got:
+        assert abs(r.auth - a[idx[r.node_id]]) < 2e-6, r
+        assert abs(r.hub - h[idx[r.node_id]]) < 2e-6, r
+    assert got == hits(edges_df, iters=2).collect()
+
+
+def test_anchor_texts_aggregation_and_ties(spark):
+    """Counts, distinct anchors, and the (count desc, text asc)
+    tie-break; entity decode flows through the kernel anchor walk."""
+    from lexor_spark.graph import anchor_texts
+
+    def page(url, *links):
+        body = "".join(f'<a href="{h}">{t}</a>' for h, t in links)
+        return (url, bytearray(f"<html><body>{body}</body></html>".encode()))
+
+    rows = [
+        page("https://a.example/1", ("/t", "Zeta"), ("/t", "Alpha")),
+        page("https://a.example/2", ("/t", "Alpha"), ("/t", "Zeta")),
+        page("https://a.example/3", ("/t", "Mid"), ("/u", "B &amp; C")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.target: r for r in anchor_texts(df).collect()}
+    t = got["https://a.example/t"]
+    # Alpha and Zeta tie at 2 links each; lexicographically smaller wins
+    assert (t.n_links, t.n_distinct_anchors, t.top_anchor) == (5, 3, "Alpha")
+    u = got["https://a.example/u"]
+    assert (u.n_links, u.n_distinct_anchors, u.top_anchor) == (1, 1, "B & C")

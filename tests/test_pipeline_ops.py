@@ -160,3 +160,32 @@ def test_url_canonicalize_rules(spark):
     got = {r.url: r.canon_url
            for r in urlfns.url_canonicalize(df).collect()}
     assert got == cases
+
+
+def test_host_quality_and_filter(spark):
+    """Host-level aggregates + verdict, and the row-level filter-back:
+    host a (3 long docs) kept; host b (2 short) fails avg_chars; host c
+    (1 long doc) fails min_docs."""
+    rows = [
+        (0, "https://a.example/p0", "en", 400),
+        (1, "https://a.example/p1", "de", 200),
+        (2, "https://a.example/p2", "en", 300),
+        (3, "https://b.example/p3", "en", 50),
+        (4, "https://b.example/p4", "en", 60),
+        (5, "https://c.example/p5", "fr", 999),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, lang string, n_chars long")
+    hq = {r.host: r for r in urlfns.host_quality(
+        df, min_docs=2, min_avg_chars=100.0).collect()}
+    assert hq["a.example"].n_docs == 3
+    assert hq["a.example"].n_langs == 2
+    assert hq["a.example"].avg_chars == 300.0
+    assert hq["a.example"].total_chars == 900
+    assert hq["a.example"].kept is True
+    assert hq["b.example"].kept is False      # avg 55 < 100
+    assert hq["c.example"].kept is False      # 1 doc < min_docs
+    kept = urlfns.host_filter_docs(df, min_docs=2,
+                                   min_avg_chars=100.0).collect()
+    assert [(r.doc_id, r.host) for r in kept] == [
+        (0, "a.example"), (1, "a.example"), (2, "a.example")]
