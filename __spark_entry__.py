@@ -173,6 +173,50 @@ order by doc_id
 """
 
 
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021 Table
+    A1): ten per-row signals + the AND keep verdict, all scan-side
+    higher-order-function / regex expressions — at 10^12 docs this is a
+    map-only pass, no shuffle.  The corpus text is single-line, so the
+    query derives a deterministic multi-line variant (bullet lines on
+    doc_id%5, an ellipsis teaser on doc_id%7, one repeated slice) in
+    BOTH engines so the line-shape rules are actually exercised."""
+    docs = dedup._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    ml = F.concat(
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+               F.lit("• item one\n• item two\n")).otherwise(F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+               F.lit("read more...\n")).otherwise(F.lit("")),
+        F.substring("text", 1, 150), F.lit("\n"),
+        F.substring("text", 1, 60), F.lit("\n"),
+        F.substring("text", 151, 1_000_000))
+    sigs = textfns.gopher_signals(ml)
+    kept = F.expr(" and ".join(p for _, p in textfns.GOPHER_KEEP_RULE))
+    return (docs.select("doc_id",
+                        *[v.alias(k) for k, v in sigs.items()])
+            .withColumn("kept", kept)
+            .orderBy("doc_id"))
+
+
+_GOPHER_ML = (
+    "((case when doc_id % 5 = 0 then '• item one' || chr(10) || "
+    "'• item two' || chr(10) else '' end) || "
+    "(case when doc_id % 7 = 0 then 'read more...' || chr(10) "
+    "else '' end) || "
+    "substr(text, 1, 150) || chr(10) || substr(text, 1, 60) || chr(10) "
+    "|| substr(text, 151))")
+
+
+def _gopher_filter_sql() -> str:
+    sigs = textfns.SQL.gopher_signals("mlt")
+    cols = ",\n       ".join(f"{e} as {k}" for k, e in sigs.items())
+    pred = " and ".join(p for _, p in textfns.GOPHER_KEEP_RULE)
+    return (f"with t as (select doc_id, {_GOPHER_ML} as mlt "
+            f"from documents),\n"
+            f"s as (select doc_id,\n       {cols}\nfrom t)\n"
+            f"select *, ({pred}) as kept from s order by doc_id")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_dedup(docs).orderBy("fp")
@@ -793,6 +837,15 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ).orderBy("doc_id")
 
 
+def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing: per-language thirds of the LM
+    score distribution, cut on distinct score VALUES (order-independent
+    → exactly mirrorable).  The only window runs over the distinct
+    (lang, rounded-score) table, never over documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm.lm_buckets(docs, train=docs.filter(F.col("lang") == "en"))
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.span_dedup(docs).orderBy("doc_id")
@@ -1009,14 +1062,15 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  78 queries are
-    value-oracled, so 28 must sit past the window.  Round-4 allocation:
+    the first 50 entries), rows-only entries after.  80 queries are
+    value-oracled, so 30 must sit past the window.  Round-4 allocation:
 
     1. never driver-hash-verified, or changed since their last green
-       driver record (22): the r03 red row (pq_codes, re-shaped), the
+       driver record (24): the r03 red row (pq_codes, re-shaped), the
        new r4 operators (cdx_lookup, cdx_diff, crawl_delays,
        fetch_schedule, pack_firstfit, hits, anchor_texts, host_quality,
-       host_filter_docs), the post-r03-driver additions
+       host_filter_docs, gopher_filter, lm_buckets), the
+       post-r03-driver additions
        (pagerank_links, robots_filter_ua), every query whose module
        changed after its r03 verification (robots.py r3-tail wildcards
        + r4 crawl-delay fixture -> robots_*/sitemap_entries; graph.py
@@ -1025,18 +1079,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        cdx_parse, cdx_fetch_list);
     2. the 17 queries whose last driver verification is r01/r02
        (VERDICT r3 'Next round' #10: rotate them back through);
-    3. 11 r03-green refresh slots for the heaviest shared-code families
+    3. 9 r03-green refresh slots for the heaviest shared-code families
        (textfns/lm/sim subtrees); chunk_passages/span_dedup/ann_ivf/
-       ann_recall gave their r4 slots to the four new operators (all
-       four r03-driver-green; their subtrees unchanged since — the
-       sim.py r4 delta is the pq_codes select, whose shared
-       _pq_sql_parts code stays covered in-window by ann_pq/ann_ivfpq).
+       ann_recall gave their r4 slots to the four crawl/host operators
+       and minhash_signature/dedup_lsh_pairs theirs to
+       gopher_filter/lm_buckets (all r03-driver-green; their dedup.py
+       subtree is unchanged since, and the sim.py r4 delta is the
+       pq_codes select, whose shared _pq_sql_parts code stays covered
+       in-window by ann_pq/ann_ivfpq).
 
-    Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample
-    + the 20 r03-green unchanged relational entries — every one
-    hash-verified by the r03 driver file, i.e. within the last two
-    rounds; all 78 still verified locally every round by
-    scripts/check_oracles.py."""
+    Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample,
+    minhash_signature, dedup_lsh_pairs + the 20 r03-green unchanged
+    relational entries — every one hash-verified by the r03 driver
+    file, i.e. within the last two rounds; all 80 still verified
+    locally every round by scripts/check_oracles.py."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- group 1: never driver-verified / changed since last green --
         "pq_codes": _q_pq_codes,
@@ -1061,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
+        "gopher_filter": _q_gopher_filter,
+        "lm_buckets": _q_lm_buckets,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
@@ -1080,8 +1138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 3: r03-green refresh (shared-code families) --
         "repetition_stats": _q_repetition_stats,
         "lm_score": _q_lm_score,
-        "minhash_signature": _q_minhash_sig,
-        "dedup_lsh_pairs": _q_lsh_pairs,
         "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -1101,6 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py every round
     out.update(rel)
     out.update({
+        "minhash_signature": _q_minhash_sig,
+        "dedup_lsh_pairs": _q_lsh_pairs,
         "chunk_passages": _q_chunk_passages,
         "span_dedup": _q_span_dedup,
         "ann_ivf": _q_ann_ivf,
@@ -1168,6 +1226,9 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": dedup.span_dedup_sql("documents") + " order by doc_id",
         "lm_score": lm.lm_score_sql("documents", train_pred="lang = 'en'")
                      + " order by doc_id",
+        "lm_buckets": lm.lm_buckets_sql("documents",
+                                        train_pred="lang = 'en'"),
+        "gopher_filter": _gopher_filter_sql(),
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from lexor_spark.textfns import SQL, _let, normalize_text
 
-__all__ = ["lm_score", "lm_score_sql"]
+__all__ = ["lm_score", "lm_score_sql", "lm_buckets", "lm_buckets_sql"]
 
 
 def _bigrams(col: Column) -> Column:
@@ -80,6 +80,94 @@ def lm_score(docs: DataFrame, train: Optional[DataFrame] = None,
     return (j.groupBy(id_col)
             .agg(F.round(F.avg(F.log(p)), 4).alias("lm_score"),
                  F.count("*").alias("n_bigrams")))
+
+
+def lm_buckets(docs: DataFrame, train: Optional[DataFrame] = None,
+               text_col: str = "text", id_col: str = "doc_id",
+               lang_col: str = "lang") -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019
+    §4.4): per LANGUAGE, rank documents by LM score and cut the
+    distribution in thirds — ``head`` = the third most like the
+    reference LM (highest mean log-prob here), ``tail`` = the least.
+    CCNet trains downstream models on head/middle and drops tail.
+
+    Buckets are assigned by SCORE VALUE, not row position: the head
+    cutoff is the highest score whose descending cumulative count
+    reaches ⌈n/3⌉, so tied scores always land in the same bucket and
+    the result is order-independent (exactly reproducible in DuckDB —
+    a row_number cut would depend on engine sort stability).
+
+    Plan shape at 10^12 docs: scoring is :func:`lm_score` (broadcast
+    model, scan-side); the distribution step aggregates to the
+    DISTINCT (lang, score) table first — lm_score rounds to 4
+    decimals, so that table is at most ~langs × tens-of-thousands of
+    rows regardless of corpus size — and the only window runs over it,
+    never over documents.  Cutoffs (2 values/lang) broadcast back;
+    bucket assignment is a scan-side comparison.  The same two-level
+    trick as ``domain_cap``.
+    """
+    from pyspark.sql import Window
+
+    # scored feeds BOTH the cutoff branch and the final assignment —
+    # materialize once (the pagerank/hits recipe) or the whole
+    # broadcast-LM scoring pipeline runs twice
+    scored = (lm_score(docs, train, text_col, id_col)
+              .join(docs.select(id_col, lang_col), id_col)
+              .localCheckpoint())
+    per = (scored.groupBy(lang_col, "lm_score")
+           .agg(F.count("*").alias("c")))
+    w = (Window.partitionBy(lang_col)
+         .orderBy(F.desc("lm_score"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per.select(
+        lang_col, "lm_score",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(lang_col)).alias("n"))
+    cuts = cum.groupBy(lang_col).agg(
+        F.max(F.when(F.col("cum") * 3 >= F.col("n"),
+                     F.col("lm_score"))).alias("c_head"),
+        F.max(F.when(F.col("cum") * 3 >= 2 * F.col("n"),
+                     F.col("lm_score"))).alias("c_mid"))
+    bucket = (F.when(F.col("lm_score") >= F.col("c_head"), "head")
+              .when(F.col("lm_score") >= F.col("c_mid"), "middle")
+              .otherwise("tail"))
+    return (scored.join(F.broadcast(cuts), lang_col)
+            .select(id_col, lang_col, "lm_score",
+                    bucket.alias("bucket"))
+            .orderBy(id_col))
+
+
+def lm_buckets_sql(table: str, train_pred: str = "true",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   lang_col: str = "lang") -> str:
+    """DuckDB mirror of :func:`lm_buckets` (value-for-value: the score
+    comes from :func:`lm_score_sql`, the cuts from the same
+    distinct-score cumulative rule)."""
+    return f"""
+with s as (
+  select sc.{id_col}, d.{lang_col}, sc.lm_score
+  from ({lm_score_sql(table, train_pred, text_col, id_col)}) sc
+  join {table} d using ({id_col})
+),
+per as (select {lang_col}, lm_score, count(*)::bigint as c
+        from s group by 1, 2),
+cum as (select {lang_col}, lm_score,
+               sum(c) over (partition by {lang_col}
+                            order by lm_score desc
+                            rows unbounded preceding) as cum,
+               sum(c) over (partition by {lang_col}) as n
+        from per),
+cuts as (select {lang_col},
+                max(case when cum * 3 >= n then lm_score end) as c_head,
+                max(case when cum * 3 >= 2 * n then lm_score end) as c_mid
+         from cum group by 1)
+select s.{id_col}, s.{lang_col}, s.lm_score,
+       case when s.lm_score >= cuts.c_head then 'head'
+            when s.lm_score >= cuts.c_mid then 'middle'
+            else 'tail' end as bucket
+from s join cuts using ({lang_col})
+order by s.{id_col}
+"""
 
 
 def lm_score_sql(table: str, train_pred: str = "true",

@@ -21,6 +21,7 @@ __all__ = [
     "token_count", "word_count", "normalize_text", "fingerprint",
     "lang_id", "lang_id_ngram", "quality_score",
     "dup_line_fraction", "dup_line_char_fraction", "top_bigram_fraction",
+    "gopher_signals", "GOPHER_KEEP_RULE",
     "redact_pii", "pii_count",
     "SQL",
 ]
@@ -258,6 +259,85 @@ def top_bigram_fraction(col: Column) -> Column:
     return _let(F.array_sort(_bigrams(col)), _frac)
 
 
+# -- Gopher document-quality rule set (Rae et al. 2021, Table A1) -----------
+# The published MassiveWeb filter: word-count band, mean-word-length band,
+# symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+# fraction, stop-word requirement, plus the repetition thresholds above.
+# Every signal is a per-row higher-order-function / regex expression —
+# filtering 10^12 documents stays a map-only scan with no shuffle — and
+# every expression has an exact DuckDB mirror (SQL.gopher_signals).
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_BULLET_RE = r"^(•|‣|▪|\* |- )"
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+# (signal, keep-predicate) in Table A1 order; the keep verdict is the AND.
+GOPHER_KEEP_RULE: list[tuple[str, str]] = [
+    ("n_words", "n_words between 50 and 100000"),
+    ("mean_word_len", "mean_word_len between 3.0 and 10.0"),
+    ("symbol_ratio", "symbol_ratio <= 0.1"),
+    ("bullet_frac", "bullet_frac <= 0.9"),
+    ("ellipsis_frac", "ellipsis_frac <= 0.3"),
+    ("alpha_word_frac", "alpha_word_frac >= 0.8"),
+    ("n_stop", "n_stop >= 2"),
+    ("dup_line_frac", "dup_line_frac <= 0.3"),
+    ("dup_line_char_frac", "dup_line_char_frac <= 0.2"),
+    ("top_bigram_frac", "top_bigram_frac <= 0.2"),
+]
+
+
+def gopher_signals(col: Column) -> dict[str, Column]:
+    """The ten Gopher rule signals as named Columns (rounded to 4 so
+    the DuckDB mirror is value-identical); combine with
+    :data:`GOPHER_KEEP_RULE` for the keep verdict.  Tokens are
+    whitespace runs (the paper's 'words'); lines are non-empty trimmed
+    lines, as in the repetition filters above."""
+    def _sig(toks: Column) -> Column:
+        n = F.greatest(F.size(toks), F.lit(1))
+        mean_wl = F.round(
+            F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+            .cast("double") / n, 4)
+        alpha = F.round(
+            F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+            .cast("double") / n, 4)
+        return F.struct(F.size(toks).alias("nw"), mean_wl.alias("mw"),
+                        alpha.alias("aw"))
+
+    tok_sig = _let(F.filter(F.split(col, r"\s+"), lambda x: x != ""), _sig)
+
+    def _line_sig(lines: Column) -> Column:
+        n = F.greatest(F.size(lines), F.lit(1))
+        bullet = F.round(
+            F.size(F.filter(lines, lambda x: x.rlike(_BULLET_RE)))
+            .cast("double") / n, 4)
+        ell = F.round(
+            F.size(F.filter(lines, lambda x: x.rlike(_ELLIPSIS_RE)))
+            .cast("double") / n, 4)
+        return F.struct(bullet.alias("b"), ell.alias("e"))
+
+    line_sig = _let(_lines(col), _line_sig)
+    symbols = (F.regexp_count(col, F.lit("#"))
+               + F.regexp_count(col, F.lit(r"(\.\.\.|…)")))
+    n_stop = sum(
+        (F.when(F.regexp_count(F.lower(col),
+                               F.lit(r"\b" + w + r"\b")) > 0, 1)
+         .otherwise(0))
+        for w in GOPHER_STOPS)
+    return {
+        "n_words": tok_sig.nw,
+        "mean_word_len": tok_sig.mw,
+        "symbol_ratio": F.round(
+            symbols.cast("double") / F.greatest(tok_sig.nw, F.lit(1)), 4),
+        "bullet_frac": line_sig.b,
+        "ellipsis_frac": line_sig.e,
+        "alpha_word_frac": tok_sig.aw,
+        "n_stop": n_stop,
+        "dup_line_frac": dup_line_fraction(col),
+        "dup_line_char_frac": dup_line_char_fraction(col),
+        "top_bigram_frac": top_bigram_fraction(col),
+    }
+
+
 # --- PII redaction (the C4/RefinedWeb scrub stage) -------------------------
 # Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB) parse
 # identically: no lookaround, no backreferences.  Applied email → IPv4 →
@@ -389,6 +469,40 @@ class SQL:
                f"from unnest({bg}) as _u(g) group by g))")
         return (f"round(coalesce({top}, 0)::double "
                 f"/ greatest(len({bg}), 1), 4)")
+
+    @classmethod
+    def gopher_signals(cls, c: str) -> dict[str, str]:
+        """DuckDB mirrors of :func:`gopher_signals`, same keys."""
+        toks = f"list_filter(regexp_split_to_array({c}, '\\s+'), x -> x != '')"
+        nw = f"len({toks})"
+        n = f"greatest({nw}, 1)"
+        mean_wl = (f"round(coalesce(list_sum(list_transform({toks}, "
+                   f"x -> length(x))), 0)::double / {n}, 4)")
+        alpha = (f"round(len(list_filter({toks}, "
+                 f"x -> regexp_matches(x, '[A-Za-z]')))::double / {n}, 4)")
+        lines = cls.lines(c)
+        ln = f"greatest(len({lines}), 1)"
+        bullet = (f"round(len(list_filter({lines}, x -> regexp_matches(x, "
+                  f"'{_BULLET_RE}')))::double / {ln}, 4)")
+        ell = (f"round(len(list_filter({lines}, x -> regexp_matches(x, "
+               f"'{_ELLIPSIS_RE}')))::double / {ln}, 4)")
+        symbols = (f"(len(regexp_extract_all({c}, '#')) + "
+                   f"len(regexp_extract_all({c}, '(\\.\\.\\.|…)')))")
+        n_stop = " + ".join(
+            f"(case when regexp_matches(lower({c}), '\\b{w}\\b') "
+            f"then 1 else 0 end)" for w in GOPHER_STOPS)
+        return {
+            "n_words": nw,
+            "mean_word_len": mean_wl,
+            "symbol_ratio": f"round({symbols}::double / {n}, 4)",
+            "bullet_frac": bullet,
+            "ellipsis_frac": ell,
+            "alpha_word_frac": alpha,
+            "n_stop": f"({n_stop})",
+            "dup_line_frac": cls.dup_line_fraction(c),
+            "dup_line_char_frac": cls.dup_line_char_fraction(c),
+            "top_bigram_frac": cls.top_bigram_fraction(c),
+        }
 
     @classmethod
     def quality_score(cls, c: str) -> str:

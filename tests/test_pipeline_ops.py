@@ -189,3 +189,72 @@ def test_host_quality_and_filter(spark):
                                    min_avg_chars=100.0).collect()
     assert [(r.doc_id, r.host) for r in kept] == [
         (0, "a.example"), (1, "a.example"), (2, "a.example")]
+
+
+# -- Gopher rule set (Rae et al. 2021 Table A1) -------------------------------
+
+def test_gopher_signals_values(spark):
+    good = ("The quick brown fox jumps over the lazy dog and then "
+            "returns home to rest with a friend that it met. ") * 4
+    bullets = "• one\n• two\n• three\n• four"
+    dots = "read...\nmore...\nstill...\nhere"
+    symbols = "# # # # tag"
+    df = _docs(spark, [good, bullets, dots, symbols])
+    sigs = textfns.gopher_signals(F.col("text"))
+    rows = (df.select("doc_id", *[v.alias(k) for k, v in sigs.items()])
+            .orderBy("doc_id").collect())
+    g = rows[0]
+    assert 50 <= g.n_words <= 100_000
+    assert 3.0 <= g.mean_word_len <= 10.0
+    assert g.symbol_ratio == 0.0
+    assert g.bullet_frac == 0.0 and g.ellipsis_frac == 0.0
+    assert g.alpha_word_frac == 1.0
+    assert g.n_stop >= 2           # the/and/to/that/with all present
+    b = rows[1]
+    assert b.bullet_frac == 1.0    # every line starts with a bullet
+    d = rows[2]
+    assert d.ellipsis_frac == 0.75  # 3 of 4 lines end with ...
+    s = rows[3]
+    assert s.symbol_ratio == 0.8   # 4 '#' over 5 words
+    assert s.n_stop == 0
+
+
+def test_gopher_keep_verdict(spark):
+    good = ("The quick brown fox jumps over the lazy dog and then "
+            "returns home to rest with a friend that it met. ") * 4
+    short = "too short to keep"
+    df = _docs(spark, [good, short])
+    sigs = textfns.gopher_signals(F.col("text"))
+    kept = F.expr(" and ".join(p for _, p in textfns.GOPHER_KEEP_RULE))
+    rows = (df.select("doc_id", *[v.alias(k) for k, v in sigs.items()])
+            .withColumn("kept", kept).orderBy("doc_id").collect())
+    assert rows[0].kept is True
+    assert rows[1].kept is False   # fails the 50-word floor
+
+
+def test_lm_buckets_thirds_and_score_order(spark):
+    """9 en docs with distinct scores split exactly 3/3/3; every head
+    score >= every middle score >= every tail score; ties by VALUE land
+    in one bucket (the single de doc is its own head)."""
+    from lexor_spark.lm import lm_buckets
+    texts = ["aaaa bbbb", "the cat sat", "the the the", "zz qq xx",
+             "hello world", "the dog ran", "mmmm nnnn", "prose like text",
+             "common words here"]
+    rows = ([(i, t, "en") for i, t in enumerate(texts)]
+            + [(99, "der hund", "de")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = lm_buckets(docs).collect()
+    en = [r for r in out if r.lang == "en"]
+    by_bucket = {b: [r.lm_score for r in en if r.bucket == b]
+                 for b in ("head", "middle", "tail")}
+    sizes = {b: len(v) for b, v in by_bucket.items()}
+    assert sum(sizes.values()) == 9
+    assert sizes["head"] >= 3 and sizes["head"] + sizes["middle"] >= 6
+    if by_bucket["middle"]:
+        assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    if by_bucket["tail"]:
+        assert min(by_bucket["middle"] or by_bucket["head"]) >= max(
+            by_bucket["tail"])
+    de = [r for r in out if r.lang == "de"]
+    assert len(de) == 1 and de[0].bucket == "head"
+    assert out == lm_buckets(docs).collect()
