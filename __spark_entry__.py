@@ -461,6 +461,44 @@ def _q_host_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    min_docs=2, min_avg_chars=300.0)
 
 
+def _q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level boilerplate line removal: lines repeated across a
+    host's pages (nav, footer) are template and get stripped; unique
+    content survives.  The corpus text is single-line, so the query
+    derives a deterministic multi-line variant in BOTH engines: every
+    page of a host shares a nav line and a per-host footer (stripped),
+    doc_id%50 pages carry a rare line (kept — below min_pages)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hostn = F.pmod(F.col("doc_id"), F.lit(97)).cast("string")
+    ml = F.concat(
+        F.lit("Home | About | Contact\n"),
+        F.substring("text", 1, 120), F.lit("\n"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(50)) == 0,
+               F.lit("SPECIAL OFFER today only\n")).otherwise(F.lit("")),
+        F.substring("text", 121, 1_000_000), F.lit("\n"),
+        F.lit("(c) site"), hostn, F.lit(".example legal"))
+    url = F.concat(F.lit("https://site"), hostn, F.lit(".example/"),
+                   F.col("source"), F.lit("/p"),
+                   F.col("doc_id").cast("string"))
+    v = docs.select("doc_id", url.alias("url"), ml.alias("text"))
+    return dedup.host_boilerplate(v).orderBy("doc_id")
+
+
+_HOSTBP_ML = (
+    "('Home | About | Contact' || chr(10) || substr(text, 1, 120) || "
+    "chr(10) || (case when doc_id % 50 = 0 then "
+    "'SPECIAL OFFER today only' || chr(10) else '' end) || "
+    "substr(text, 121) || chr(10) || "
+    "'(c) site' || (doc_id % 97) || '.example legal')")
+
+
+def _host_boilerplate_sql() -> str:
+    inner = (f"(select doc_id, {_URL_SQL} as url, {_HOSTBP_ML} as text "
+             f"from documents)")
+    return (dedup.host_boilerplate_sql(inner, "url")
+            + " order by doc_id")
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights: hashed uni+bigram bucket
     distributions, English slice as the target, whole corpus as raw."""
@@ -1062,15 +1100,15 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  80 queries are
-    value-oracled, so 30 must sit past the window.  Round-4 allocation:
+    the first 50 entries), rows-only entries after.  81 queries are
+    value-oracled, so 31 must sit past the window.  Round-4 allocation:
 
     1. never driver-hash-verified, or changed since their last green
-       driver record (24): the r03 red row (pq_codes, re-shaped), the
+       driver record (25): the r03 red row (pq_codes, re-shaped), the
        new r4 operators (cdx_lookup, cdx_diff, crawl_delays,
        fetch_schedule, pack_firstfit, hits, anchor_texts, host_quality,
-       host_filter_docs, gopher_filter, lm_buckets), the
-       post-r03-driver additions
+       host_filter_docs, gopher_filter, lm_buckets, host_boilerplate),
+       the post-r03-driver additions
        (pagerank_links, robots_filter_ua), every query whose module
        changed after its r03 verification (robots.py r3-tail wildcards
        + r4 crawl-delay fixture -> robots_*/sitemap_entries; graph.py
@@ -1079,19 +1117,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        cdx_parse, cdx_fetch_list);
     2. the 17 queries whose last driver verification is r01/r02
        (VERDICT r3 'Next round' #10: rotate them back through);
-    3. 9 r03-green refresh slots for the heaviest shared-code families
+    3. 8 r03-green refresh slots for the heaviest shared-code families
        (textfns/lm/sim subtrees); chunk_passages/span_dedup/ann_ivf/
-       ann_recall gave their r4 slots to the four crawl/host operators
-       and minhash_signature/dedup_lsh_pairs theirs to
-       gopher_filter/lm_buckets (all r03-driver-green; their dedup.py
-       subtree is unchanged since, and the sim.py r4 delta is the
-       pq_codes select, whose shared _pq_sql_parts code stays covered
-       in-window by ann_pq/ann_ivfpq).
+       ann_recall gave their r4 slots to the four crawl/host operators,
+       minhash_signature/dedup_lsh_pairs theirs to
+       gopher_filter/lm_buckets, and dsir_weights its to
+       host_boilerplate (all r03-driver-green; the dedup.py r4 delta is
+       host_boilerplate itself, whose shared line/posexplode machinery
+       is covered in-window by the new entry plus repetition_stats; the
+       sim.py r4 delta is the pq_codes select, whose shared
+       _pq_sql_parts code stays covered in-window by ann_pq/ann_ivfpq).
 
     Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample,
-    minhash_signature, dedup_lsh_pairs + the 20 r03-green unchanged
-    relational entries — every one hash-verified by the r03 driver
-    file, i.e. within the last two rounds; all 80 still verified
+    minhash_signature, dedup_lsh_pairs, dsir_weights + the 20 r03-green
+    unchanged relational entries — every one hash-verified by the r03
+    driver file, i.e. within the last two rounds; all 81 still verified
     locally every round by scripts/check_oracles.py."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- group 1: never driver-verified / changed since last green --
@@ -1119,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_filter_docs": _q_host_filter_docs,
         "gopher_filter": _q_gopher_filter,
         "lm_buckets": _q_lm_buckets,
+        "host_boilerplate": _q_host_boilerplate,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
@@ -1144,7 +1185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "domain_cap": _q_domain_cap,
         "url_canonical": _q_url_canonical,
-        "dsir_weights": _q_dsir_weights,
     }
     # group 2 continued: pricing_summary / parts_shipped (r01/r02-green,
     # rotated back in) complete the 50-entry window
@@ -1157,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py every round
     out.update(rel)
     out.update({
+        "dsir_weights": _q_dsir_weights,
         "minhash_signature": _q_minhash_sig,
         "dedup_lsh_pairs": _q_lsh_pairs,
         "chunk_passages": _q_chunk_passages,
@@ -1229,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_buckets": lm.lm_buckets_sql("documents",
                                         train_pred="lang = 'en'"),
         "gopher_filter": _gopher_filter_sql(),
+        "host_boilerplate": _host_boilerplate_sql(),
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",

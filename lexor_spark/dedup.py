@@ -30,7 +30,8 @@ from lexor_spark.textfns import SQL, fingerprint, normalize_text
 __all__ = [
     "shingles", "exact_dedup", "minhash_signature", "lsh_pairs",
     "jaccard_pairs", "simhash_df", "decontam_overlap", "span_dedup",
-    "dup_clusters", "SHINGLE_N", "MINHASH_K", "LSH_BANDS", "SPAN_WORDS",
+    "host_boilerplate", "dup_clusters",
+    "SHINGLE_N", "MINHASH_K", "LSH_BANDS", "SPAN_WORDS",
 ]
 
 SHINGLE_N = 3       # word 3-grams
@@ -465,6 +466,112 @@ select {id_col},
            list(block order by pos) filter (where n_docs < {min_df}), ' '),
          '') as text_dedup
 from j group by {id_col}
+"""
+
+
+def host_boilerplate(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", url_col: str = "url",
+                     min_pages: int = 3, max_frac: float = 0.5) -> DataFrame:
+    """Site-level boilerplate line removal: a line that appears on many
+    pages of the SAME host (nav bars, cookie banners, footers,
+    "related articles" blocks) is template, not content — drop it from
+    every page of that host while keeping each page's unique text.
+    This is the host-conditional complement of :func:`span_dedup`
+    (which is corpus-global): "© example.com all rights reserved" is
+    boilerplate on example.com even if no other host ever emits it.
+    Public method: trafilatura/jusText-style site-level template
+    detection; CCNet and RefinedWeb both describe per-site repeated-
+    paragraph stripping as an extraction post-pass.
+
+    Semantics: lines are non-empty trimmed lines (textfns rules); a
+    line is boilerplate on host H iff it occurs on ≥ ``min_pages``
+    distinct pages of H AND on ≥ ``max_frac`` of H's pages.  Output
+    per doc: host, total lines, boilerplate lines dropped, and the
+    cleaned text (surviving lines joined by newline, original order).
+
+    Plan shape at 10^12 docs: the line table is one posexplode (no
+    shuffle); the line-frequency agg shuffles on (host, line-hash) —
+    map-side combinable, so a footer on 10M pages of one host arrives
+    at its reducer as one partial row per map task, not 10M rows; the
+    per-host page count is a hosts-sized agg joined into the (host,
+    hash) frequency table (host key, AQE-skew-splittable); the join
+    back to lines reuses the SAME (host, hash) partitioning as the
+    frequency agg (exchange reuse); one final groupBy on the doc id
+    reassembles.  Nothing is corpus-quadratic and no window runs over
+    documents."""
+    from lexor_spark.textfns import _lines
+    from lexor_spark.urlfns import host_of
+
+    docs = _spread(docs)
+    base = docs.select(F.col(id_col), host_of(F.col(url_col)).alias("host"),
+                       _lines(F.col(text_col)).alias("_ls"))
+    lines = (base.select(id_col, "host",
+                         F.posexplode_outer("_ls").alias("pos", "line"))
+             .withColumn("h", F.md5(F.coalesce("line", F.lit("")))))
+    pages = base.groupBy("host").agg(F.count("*").alias("n_pages"))
+    freq = (lines.filter(F.col("line").isNotNull())
+            .groupBy("host", "h")
+            .agg(F.countDistinct(id_col).alias("n_docs_line")))
+    boiler = (freq.join(pages, "host")
+              .filter((F.col("n_docs_line") >= min_pages)
+                      & (F.col("n_docs_line")
+                         >= F.col("n_pages") * F.lit(max_frac)))
+              .select("host", "h", F.lit(True).alias("is_boiler")))
+    j = lines.join(boiler, ["host", "h"], "left")
+    kept = F.when(F.col("is_boiler").isNull() & F.col("line").isNotNull(),
+                  F.struct("pos", "line")).otherwise(F.lit(None))
+    return (j.groupBy(id_col)
+            .agg(F.first("host").alias("host"),
+                 F.sum(F.col("line").isNotNull().cast("long"))
+                  .alias("n_lines"),
+                 F.sum(F.coalesce(F.col("is_boiler"), F.lit(False))
+                       .cast("long")).alias("n_boiler"),
+                 F.concat_ws("\n", F.transform(
+                     F.array_sort(F.collect_list(kept)),
+                     lambda s: s.line)).alias("text_clean")))
+
+
+def host_boilerplate_sql(table: str, url_expr: str, text_col: str = "text",
+                         id_col: str = "doc_id", min_pages: int = 3,
+                         max_frac: float = 0.5) -> str:
+    """DuckDB mirror of :func:`host_boilerplate` (``url_expr`` is the
+    SQL expression producing the url column from ``table``)."""
+    from lexor_spark.urlfns import _HOST_RE
+    ln = SQL.lines(text_col)
+    host = f"lower(regexp_extract({url_expr}, '{_HOST_RE}', 1))"
+    return f"""
+with base as (
+  select {id_col}, {host} as host, {ln} as ls from {table}
+),
+lines as (
+  select {id_col}, host, pos, ls[pos] as line
+  from (select {id_col}, host, ls,
+               unnest(generate_series(1, greatest(len(ls), 1))) as pos
+        from base)
+  where pos <= len(ls)
+),
+pages as (select host, count(*) as n_pages from base group by 1),
+freq as (select host, md5(line) as h,
+                count(distinct {id_col}) as n_docs_line
+         from lines group by 1, 2),
+boiler as (select freq.host, h from freq join pages using (host)
+           where n_docs_line >= {min_pages}
+             and n_docs_line >= n_pages * {max_frac}),
+j as (select l.{id_col}, l.host, l.pos, l.line,
+             (b.h is not null) as is_boiler
+      from lines l left join boiler b
+        on l.host = b.host and md5(l.line) = b.h)
+select d.{id_col},
+       any_value(d.host) as host,
+       coalesce(sum(case when j.line is not null then 1 else 0 end), 0)::bigint
+         as n_lines,
+       coalesce(sum(case when j.is_boiler then 1 else 0 end), 0)::bigint
+         as n_boiler,
+       coalesce(array_to_string(
+           list(j.line order by j.pos) filter (where not j.is_boiler), chr(10)),
+         '') as text_clean
+from base d left join j using ({id_col})
+group by d.{id_col}
 """
 
 

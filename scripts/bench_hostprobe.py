@@ -28,7 +28,8 @@ import sys
 import time
 
 SPIN_SECONDS = float(os.environ.get("HOSTPROBE_SECONDS", "20"))
-LEVELS = (4, 16)
+LEVELS = tuple(int(x) for x in
+               os.environ.get("HOSTPROBE_LEVELS", "4,16").split(","))
 
 
 def _spin(seconds: float, q: mp.Queue) -> None:
@@ -78,7 +79,7 @@ def main() -> None:
         res = json.loads(line)
         results.setdefault(cores, []).append(res["spins_per_sec"])
         print(line, flush=True)
-    lo, hi = LEVELS
+    lo, hi = LEVELS[0], LEVELS[-1]
     med = {c: round(sum(v) / len(v), 1) for c, v in results.items()}
     ratio = med[hi] / med[lo]
     print(json.dumps({

@@ -258,3 +258,54 @@ def test_lm_buckets_thirds_and_score_order(spark):
     de = [r for r in out if r.lang == "de"]
     assert len(de) == 1 and de[0].bucket == "head"
     assert out == lm_buckets(docs).collect()
+
+
+# -- host-level boilerplate line removal --------------------------------------
+
+def _site_docs(spark):
+    rows = []
+    for i in range(6):
+        host = "a.example" if i < 4 else "b.example"
+        text = (f"Home | About\nunique {i}\n"
+                f"(c) {host}")
+        rows.append((i, f"https://{host}/p{i}", text))
+    rows.append((9, "https://c.example/x", "Home | About\nlone page"))
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_host_boilerplate_strips_site_template(spark):
+    out = {r.doc_id: r for r in
+           dedup.host_boilerplate(_site_docs(spark), min_pages=3,
+                                  max_frac=0.5).collect()}
+    # a.example (4 pages): nav + footer on all pages -> stripped
+    assert out[0].n_lines == 3 and out[0].n_boiler == 2
+    assert out[0].text_clean == "unique 0"
+    # b.example (2 pages): below min_pages -> nothing stripped
+    assert out[4].n_boiler == 0
+    assert out[4].text_clean.count("\n") == 2
+    # single-page host: untouched even though its nav line is shared
+    # corpus-wide (the rule is host-conditional, not global)
+    assert out[9].n_boiler == 0 and "Home | About" in out[9].text_clean
+
+
+def test_host_boilerplate_frac_threshold(spark):
+    # line on 3 of 6 pages of one host: passes min_pages but sits at
+    # exactly the 0.5 fraction boundary (>=) -> boilerplate
+    rows = [(i, "https://h.example/p%d" % i,
+             ("promo line\n" if i < 3 else "") + f"content {i}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r.doc_id: r for r in
+           dedup.host_boilerplate(df, min_pages=3, max_frac=0.5).collect()}
+    assert out[0].text_clean == "content 0" and out[0].n_boiler == 1
+    assert out[5].n_boiler == 0
+
+
+def test_host_boilerplate_empty_doc_survives(spark):
+    df = spark.createDataFrame(
+        [(0, "https://e.example/a", ""), (1, "https://e.example/b", "  \n ")],
+        "doc_id long, url string, text string")
+    out = {r.doc_id: r for r in dedup.host_boilerplate(df).collect()}
+    assert len(out) == 2
+    assert out[0].n_lines == 0 and out[0].text_clean == ""
+    assert out[1].n_lines == 0 and out[1].text_clean == ""
