@@ -217,6 +217,34 @@ def _gopher_filter_sql() -> str:
             f"select *, ({pred}) as kept from s order by doc_id")
 
 
+_SCRIPT_ML_SQL = (
+    "(text || repeat((case when doc_id % 4 = 1 then ' Привет мир' "
+    "when doc_id % 4 = 2 then ' 你好世界' "
+    "when doc_id % 4 = 3 then ' مرحبا بالعالم' else '' end), "
+    "cast((doc_id % 5) * 40 as int)))")
+
+
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script character histogram + dominant script per doc.
+    The corpus text is Latin-only, so the query mixes in deterministic
+    Cyrillic/CJK/Arabic snippets (repeated doc_id-proportionally so
+    dominance actually flips on some docs) in BOTH engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ml = F.expr(_SCRIPT_ML_SQL)
+    sigs = textfns.script_profile(ml)
+    return (docs.select("doc_id",
+                        *[v.alias(k) for k, v in sigs.items()])
+            .orderBy("doc_id"))
+
+
+def _script_profile_sql() -> str:
+    sigs = textfns.SQL.script_profile("mlt")
+    cols = ",\n       ".join(f"{e} as {k}" for k, e in sigs.items())
+    return (f"with t as (select doc_id, {_SCRIPT_ML_SQL} as mlt "
+            f"from documents)\n"
+            f"select doc_id,\n       {cols}\nfrom t order by doc_id")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_dedup(docs).orderBy("fp")
@@ -1100,15 +1128,15 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  81 queries are
-    value-oracled, so 31 must sit past the window.  Round-4 allocation:
+    the first 50 entries), rows-only entries after.  82 queries are
+    value-oracled, so 32 must sit past the window.  Round-4 allocation:
 
     1. never driver-hash-verified, or changed since their last green
-       driver record (25): the r03 red row (pq_codes, re-shaped), the
+       driver record (26): the r03 red row (pq_codes, re-shaped), the
        new r4 operators (cdx_lookup, cdx_diff, crawl_delays,
        fetch_schedule, pack_firstfit, hits, anchor_texts, host_quality,
-       host_filter_docs, gopher_filter, lm_buckets, host_boilerplate),
-       the post-r03-driver additions
+       host_filter_docs, gopher_filter, lm_buckets, host_boilerplate,
+       script_profile), the post-r03-driver additions
        (pagerank_links, robots_filter_ua), every query whose module
        changed after its r03 verification (robots.py r3-tail wildcards
        + r4 crawl-delay fixture -> robots_*/sitemap_entries; graph.py
@@ -1117,22 +1145,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        cdx_parse, cdx_fetch_list);
     2. the 17 queries whose last driver verification is r01/r02
        (VERDICT r3 'Next round' #10: rotate them back through);
-    3. 8 r03-green refresh slots for the heaviest shared-code families
+    3. 7 r03-green refresh slots for the heaviest shared-code families
        (textfns/lm/sim subtrees); chunk_passages/span_dedup/ann_ivf/
        ann_recall gave their r4 slots to the four crawl/host operators,
        minhash_signature/dedup_lsh_pairs theirs to
-       gopher_filter/lm_buckets, and dsir_weights its to
-       host_boilerplate (all r03-driver-green; the dedup.py r4 delta is
-       host_boilerplate itself, whose shared line/posexplode machinery
-       is covered in-window by the new entry plus repetition_stats; the
-       sim.py r4 delta is the pq_codes select, whose shared
-       _pq_sql_parts code stays covered in-window by ann_pq/ann_ivfpq).
+       gopher_filter/lm_buckets, and dsir_weights/semantic_dedup theirs
+       to host_boilerplate/script_profile (all r03-driver-green; the
+       dedup.py r4 delta is host_boilerplate itself, whose shared
+       line/posexplode machinery is covered in-window by the new entry
+       plus repetition_stats; the sim.py r4 delta is the pq_codes
+       select, whose shared _pq_sql_parts code stays covered in-window
+       by ann_pq/ann_ivfpq, and kmeans_clusters keeps the shared
+       k-means CTE family in-window for semantic_dedup).
 
     Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample,
-    minhash_signature, dedup_lsh_pairs, dsir_weights + the 20 r03-green
-    unchanged relational entries — every one hash-verified by the r03
-    driver file, i.e. within the last two rounds; all 81 still verified
-    locally every round by scripts/check_oracles.py."""
+    minhash_signature, dedup_lsh_pairs, dsir_weights, semantic_dedup +
+    the 20 r03-green unchanged relational entries — every one
+    hash-verified by the r03 driver file, i.e. within the last two
+    rounds; all 82 still verified locally every round by
+    scripts/check_oracles.py."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- group 1: never driver-verified / changed since last green --
         "pq_codes": _q_pq_codes,
@@ -1160,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "lm_buckets": _q_lm_buckets,
         "host_boilerplate": _q_host_boilerplate,
+        "script_profile": _q_script_profile,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
@@ -1182,7 +1214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
         "kmeans_clusters": _q_kmeans_clusters,
-        "semantic_dedup": _q_semantic_dedup,
         "domain_cap": _q_domain_cap,
         "url_canonical": _q_url_canonical,
     }
@@ -1198,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(rel)
     out.update({
         "dsir_weights": _q_dsir_weights,
+        "semantic_dedup": _q_semantic_dedup,
         "minhash_signature": _q_minhash_sig,
         "dedup_lsh_pairs": _q_lsh_pairs,
         "chunk_passages": _q_chunk_passages,
@@ -1271,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
                                         train_pred="lang = 'en'"),
         "gopher_filter": _gopher_filter_sql(),
         "host_boilerplate": _host_boilerplate_sql(),
+        "script_profile": _script_profile_sql(),
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",

@@ -22,6 +22,7 @@ __all__ = [
     "lang_id", "lang_id_ngram", "quality_score",
     "dup_line_fraction", "dup_line_char_fraction", "top_bigram_fraction",
     "gopher_signals", "GOPHER_KEEP_RULE",
+    "script_profile", "SCRIPT_RANGES",
     "redact_pii", "pii_count",
     "SQL",
 ]
@@ -137,6 +138,49 @@ def lang_id_ngram(col: Column) -> Column:
         cond = (counts[lang] == top) & (counts[lang] > 0)
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return expr.otherwise(F.lit("und"))
+
+
+# Unicode-script character ranges (Unicode block literals — the same
+# UTF-8 pattern string is handed to Spark's Java regex and DuckDB's
+# RE2, so counts match bit-for-bit without \p{Script=...} dialect
+# differences).  Coverage is the major web scripts; chars outside every
+# range (digits, punctuation, space) are excluded from the base.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+}
+
+
+def script_profile(col: Column) -> dict[str, Column]:
+    """Per-script letter fractions + dominant script — the writing-
+    system signal a multilingual web pipeline routes on (fastText-style
+    lang-id confidence is unreliable exactly when the script is mixed,
+    so the script histogram is the standard pre-filter).  Returns named
+    Columns ``{script}_frac`` (fraction of script-classified letters,
+    rounded 4), ``n_script_chars``, and ``script`` (argmax, ties by
+    dict order, 'und' when no script char occurs).  Pure per-row
+    regexp_count expressions — map-only at any corpus size."""
+    counts = {s: F.regexp_count(col, F.lit(f"[{r}]"))
+              for s, r in SCRIPT_RANGES.items()}
+    total = sum(counts.values())
+    out: dict[str, Column] = {}
+    for s, c in counts.items():
+        out[f"{s}_frac"] = F.round(
+            c.cast("double") / F.greatest(total, F.lit(1)), 4)
+    out["n_script_chars"] = total.cast("long")
+    top = F.greatest(*counts.values())
+    expr = None
+    for s in SCRIPT_RANGES:
+        cond = (counts[s] == top) & (counts[s] > 0)
+        expr = (F.when(cond, F.lit(s)) if expr is None
+                else expr.when(cond, F.lit(s)))
+    out["script"] = expr.otherwise(F.lit("und"))
+    return out
 
 
 def quality_score(col: Column) -> Column:
@@ -503,6 +547,24 @@ class SQL:
             "dup_line_char_frac": cls.dup_line_char_fraction(c),
             "top_bigram_frac": cls.top_bigram_fraction(c),
         }
+
+    @classmethod
+    def script_profile(cls, c: str) -> dict[str, str]:
+        """DuckDB mirrors of :func:`script_profile` (same UTF-8 range
+        literals handed to RE2, same keys)."""
+        counts = {s: f"len(regexp_extract_all({c}, '[{r}]'))"
+                  for s, r in SCRIPT_RANGES.items()}
+        total = "(" + " + ".join(counts.values()) + ")"
+        out = {f"{s}_frac":
+               f"round({cnt}::double / greatest({total}, 1), 4)"
+               for s, cnt in counts.items()}
+        out["n_script_chars"] = f"{total}::bigint"
+        top = "greatest(" + ", ".join(counts.values()) + ")"
+        chain = " ".join(
+            f"when {counts[s]} = {top} and {counts[s]} > 0 then '{s}'"
+            for s in SCRIPT_RANGES)
+        out["script"] = f"(case {chain} else 'und' end)"
+        return out
 
     @classmethod
     def quality_score(cls, c: str) -> str:

@@ -309,3 +309,35 @@ def test_host_boilerplate_empty_doc_survives(spark):
     assert len(out) == 2
     assert out[0].n_lines == 0 and out[0].text_clean == ""
     assert out[1].n_lines == 0 and out[1].text_clean == ""
+
+
+# -- unicode-script profiling -------------------------------------------------
+
+def test_script_profile_dominant_and_fracs(spark):
+    texts = [
+        "plain english text",
+        "Привет мир как дела сегодня",
+        "你好世界欢迎光临",
+        "mixed Привет text here",     # latin letters outnumber cyrillic
+        "12345 ... !!!",              # no script chars at all
+    ]
+    sigs = textfns.script_profile(F.col("text"))
+    rows = (_docs(spark, texts)
+            .select("doc_id", *[v.alias(k) for k, v in sigs.items()])
+            .orderBy("doc_id").collect())
+    assert rows[0].script == "latin" and rows[0].latin_frac == 1.0
+    assert rows[1].script == "cyrillic" and rows[1].cyrillic_frac == 1.0
+    assert rows[2].script == "cjk" and rows[2].cjk_frac == 1.0
+    assert rows[3].script == "latin"
+    assert 0.0 < rows[3].cyrillic_frac < 0.5
+    assert rows[4].script == "und" and rows[4].n_script_chars == 0
+
+
+def test_script_profile_tie_breaks_by_range_order(spark):
+    # one latin + one cyrillic letter: tie -> first dict entry wins
+    rows = (_docs(spark, ["aб"])
+            .select(*[v.alias(k) for k, v in
+                      textfns.script_profile(F.col("text")).items()])
+            .collect())
+    assert rows[0].script == "latin"
+    assert rows[0].latin_frac == 0.5 and rows[0].cyrillic_frac == 0.5
