@@ -245,6 +245,64 @@ def _script_profile_sql() -> str:
             f"select doc_id,\n       {cols}\nfrom t order by doc_id")
 
 
+def _q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page index/canonical directives through the REAL kernel
+    parse: deterministic <head> blocks (robots metas on doc_id%3/%4,
+    canonical on %2, two hreflang alternates on %5) are injected
+    around the corpus text, parsed by extract_directives, and the
+    DuckDB mirror reconstructs the expected outputs from the same
+    doc_id rules — the anchor_texts/pagerank_links trick: a value
+    oracle that fails if the kernel mis-parses a single page."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.pmod(did, F.lit(3)) == 0,
+               F.lit('<meta name="robots" content="NOINDEX, follow">'))
+         .otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(4)) == 0,
+               F.lit('<meta name="ROBOTS" content="nofollow">'))
+         .otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(2)) == 0,
+               F.concat(F.lit('<link rel="canonical" href="/c/'),
+                        did.cast("string"), F.lit('">')))
+         .otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(5)) == 0,
+               F.lit('<link rel="alternate" hreflang="de" href="/de">'
+                     '<link rel="alternate" hreflang="fr" href="/fr">'))
+         .otherwise(F.lit("")),
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"))
+    url = F.concat(
+        F.lit("https://site"),
+        F.pmod(did, F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"),
+        did.cast("string"))
+    pages = docs.select(url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return graph.extract_directives(pages).orderBy("url")
+
+
+def _page_directives_sql() -> str:
+    return f"""
+with d as (select doc_id, {_URL_SQL} as url from documents),
+e as (select url,
+  (case when doc_id % 3 = 0 and doc_id % 4 = 0
+        then 'noindex, follow,nofollow'
+        when doc_id % 3 = 0 then 'noindex, follow'
+        when doc_id % 4 = 0 then 'nofollow' end) as meta_robots,
+  (doc_id % 3 = 0) as noindex,
+  (doc_id % 4 = 0) as nofollow,
+  (case when doc_id % 2 = 0 then '/c/' || doc_id end) as canonical,
+  (case when doc_id % 2 = 0 then
+     'https://site' || (doc_id % 97) || '.example/c/' || doc_id
+   end) as canonical_abs,
+  (case when doc_id % 5 = 0 then 2 else 0 end) as n_hreflang
+from d)
+select * from e order by url
+"""
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_dedup(docs).orderBy("fp")
@@ -1128,15 +1186,15 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  82 queries are
-    value-oracled, so 32 must sit past the window.  Round-4 allocation:
+    the first 50 entries), rows-only entries after.  83 queries are
+    value-oracled, so 33 must sit past the window.  Round-4 allocation:
 
     1. never driver-hash-verified, or changed since their last green
-       driver record (26): the r03 red row (pq_codes, re-shaped), the
+       driver record (27): the r03 red row (pq_codes, re-shaped), the
        new r4 operators (cdx_lookup, cdx_diff, crawl_delays,
        fetch_schedule, pack_firstfit, hits, anchor_texts, host_quality,
        host_filter_docs, gopher_filter, lm_buckets, host_boilerplate,
-       script_profile), the post-r03-driver additions
+       script_profile, page_directives), the post-r03-driver additions
        (pagerank_links, robots_filter_ua), every query whose module
        changed after its r03 verification (robots.py r3-tail wildcards
        + r4 crawl-delay fixture -> robots_*/sitemap_entries; graph.py
@@ -1145,24 +1203,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        cdx_parse, cdx_fetch_list);
     2. the 17 queries whose last driver verification is r01/r02
        (VERDICT r3 'Next round' #10: rotate them back through);
-    3. 7 r03-green refresh slots for the heaviest shared-code families
+    3. 6 r03-green refresh slots for the heaviest shared-code families
        (textfns/lm/sim subtrees); chunk_passages/span_dedup/ann_ivf/
        ann_recall gave their r4 slots to the four crawl/host operators,
        minhash_signature/dedup_lsh_pairs theirs to
-       gopher_filter/lm_buckets, and dsir_weights/semantic_dedup theirs
-       to host_boilerplate/script_profile (all r03-driver-green; the
-       dedup.py r4 delta is host_boilerplate itself, whose shared
-       line/posexplode machinery is covered in-window by the new entry
-       plus repetition_stats; the sim.py r4 delta is the pq_codes
-       select, whose shared _pq_sql_parts code stays covered in-window
-       by ann_pq/ann_ivfpq, and kmeans_clusters keeps the shared
-       k-means CTE family in-window for semantic_dedup).
+       gopher_filter/lm_buckets, dsir_weights/semantic_dedup theirs
+       to host_boilerplate/script_profile, and ann_pq its to
+       page_directives (all r03-driver-green; the dedup.py r4 delta is
+       host_boilerplate itself, whose shared line/posexplode machinery
+       is covered in-window by the new entry plus repetition_stats; the
+       sim.py r4 delta is the pq_codes select, whose shared
+       _pq_sql_parts code stays covered in-window by pq_codes +
+       ann_ivfpq, and kmeans_clusters keeps the shared k-means CTE
+       family in-window for semantic_dedup).
 
     Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample,
-    minhash_signature, dedup_lsh_pairs, dsir_weights, semantic_dedup +
-    the 20 r03-green unchanged relational entries — every one
+    minhash_signature, dedup_lsh_pairs, dsir_weights, semantic_dedup,
+    ann_pq + the 20 r03-green unchanged relational entries — every one
     hash-verified by the r03 driver file, i.e. within the last two
-    rounds; all 82 still verified locally every round by
+    rounds; all 83 still verified locally every round by
     scripts/check_oracles.py."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- group 1: never driver-verified / changed since last green --
@@ -1192,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets": _q_lm_buckets,
         "host_boilerplate": _q_host_boilerplate,
         "script_profile": _q_script_profile,
+        "page_directives": _q_page_directives,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
@@ -1211,7 +1271,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 3: r03-green refresh (shared-code families) --
         "repetition_stats": _q_repetition_stats,
         "lm_score": _q_lm_score,
-        "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
         "kmeans_clusters": _q_kmeans_clusters,
         "domain_cap": _q_domain_cap,
@@ -1230,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({
         "dsir_weights": _q_dsir_weights,
         "semantic_dedup": _q_semantic_dedup,
+        "ann_pq": _q_ann_pq,
         "minhash_signature": _q_minhash_sig,
         "dedup_lsh_pairs": _q_lsh_pairs,
         "chunk_passages": _q_chunk_passages,
@@ -1304,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _gopher_filter_sql(),
         "host_boilerplate": _host_boilerplate_sql(),
         "script_profile": _script_profile_sql(),
+        "page_directives": _page_directives_sql(),
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",

@@ -34,9 +34,9 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["extract_links", "pagerank", "pagerank_sql",
-           "pagerank_links", "hits", "hits_sql", "anchor_texts",
-           "fixture_edges", "FIXTURE_EDGES_SQL"]
+__all__ = ["extract_links", "extract_directives", "pagerank",
+           "pagerank_sql", "pagerank_links", "hits", "hits_sql",
+           "anchor_texts", "fixture_edges", "FIXTURE_EDGES_SQL"]
 
 
 LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string")
@@ -127,6 +127,95 @@ def _links_batches(batches: Iterator[pa.RecordBatch]
     finally:
         if gc_was_enabled:
             gc.enable()
+
+
+DIRECTIVES_SCHEMA = ("url string, meta_robots string, noindex boolean, "
+                     "nofollow boolean, canonical string, "
+                     "canonical_abs string, n_hreflang int")
+
+_DIRECTIVES_ARROW = pa.schema([
+    ("url", pa.string()), ("meta_robots", pa.string()),
+    ("noindex", pa.bool_()), ("nofollow", pa.bool_()),
+    ("canonical", pa.string()), ("canonical_abs", pa.string()),
+    ("n_hreflang", pa.int32()),
+])
+
+
+def _directives_batches(batches: Iterator[pa.RecordBatch]
+                        ) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.htmlparser import parse_html
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _DIRECTIVES_ARROW.names}
+            for url, html in zip(urls, htmls):
+                robots: list[str] = []
+                canonical = None
+                n_hreflang = 0
+                doc = None
+                try:
+                    doc, _ = parse_html(
+                        bytes(html or b"").decode("utf-8",
+                                                  errors="replace"), url)
+                    for el in doc.get_nodes_by_name("meta"):
+                        a = el.attrs or {}
+                        if (a.get("name") or "").strip().lower() == "robots":
+                            robots.append((a.get("content") or "")
+                                          .strip().lower())
+                    for el in doc.get_nodes_by_name("link"):
+                        a = el.attrs or {}
+                        rel = (a.get("rel") or "").strip().lower()
+                        href = a.get("href")
+                        if rel == "canonical" and href and canonical is None:
+                            canonical = href
+                        elif rel == "alternate" and a.get("hreflang"):
+                            n_hreflang += 1
+                except Exception:
+                    pass
+                finally:
+                    if doc is not None:
+                        dispose(doc)
+                combined = ",".join(r for r in robots if r) or None
+                toks = {t.strip() for t in (combined or "").split(",")}
+                cols["url"].append(url)
+                cols["meta_robots"].append(combined)
+                cols["noindex"].append(bool({"noindex", "none"} & toks))
+                cols["nofollow"].append(bool({"nofollow", "none"} & toks))
+                cols["canonical"].append(canonical)
+                cols["canonical_abs"].append(
+                    _resolve(url, canonical) if canonical else None)
+                cols["n_hreflang"].append(n_hreflang)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_DIRECTIVES_ARROW.field(n).type)
+                 for n in _DIRECTIVES_ARROW.names], schema=_DIRECTIVES_ARROW)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def extract_directives(pages: DataFrame, salt_buckets: int = 256,
+                       partitions: Optional[int] = None) -> DataFrame:
+    """Per-page crawl/index directives, one row per page: combined
+    ``<meta name=robots>`` content (multiple metas comma-joined, as
+    crawlers union them), the derived ``noindex``/``nofollow`` verdicts
+    (``none`` implies both, per the Google/REP meta-tag docs — the
+    page-level complement of robots.txt, which gates FETCHING while
+    these gate INDEXING/link-following), the first
+    ``<link rel=canonical>`` (first-wins, the documented crawler
+    behavior for conflicting canonicals) with its absolute resolution,
+    and the ``hreflang`` alternate count.  Same fused one-pass
+    ``mapInArrow`` plan as :func:`extract_links` — at 10^12 pages this
+    adds zero shuffles beyond the salted exchange it shares with every
+    kernel pass."""
+    from lexor_spark.job import _salted_pages
+    salted = _salted_pages(pages, salt_buckets, partitions)
+    return salted.mapInArrow(_directives_batches, DIRECTIVES_SCHEMA)
 
 
 def extract_links(pages: DataFrame, salt_buckets: int = 256,

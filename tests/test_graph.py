@@ -149,3 +149,45 @@ def test_anchor_texts_aggregation_and_ties(spark):
     assert (t.n_links, t.n_distinct_anchors, t.top_anchor) == (5, 3, "Alpha")
     u = got["https://a.example/u"]
     assert (u.n_links, u.n_distinct_anchors, u.top_anchor) == (1, 1, "B & C")
+
+
+def test_extract_directives(spark):
+    """Meta-robots union (none => both verdicts), first-canonical-wins,
+    relative canonical resolution, hreflang count, headless/NULL pages
+    survive with null directives."""
+    from lexor_spark.graph import extract_directives
+
+    rows = [
+        ("https://a.example/x/page",
+         b'<html><head>'
+         b'<meta NAME="Robots" content="NOINDEX, follow">'
+         b'<meta name="robots" content="nofollow">'
+         b'<link rel="canonical" href="/c/1">'
+         b'<link rel="canonical" href="/c/IGNORED">'
+         b'<link rel="alternate" hreflang="de" href="/de">'
+         b'<link rel="alternate" hreflang="fr" href="/fr">'
+         b'</head><body>hi</body></html>'),
+        ("https://b.example/", b'<html><head>'
+         b'<meta name="robots" content="none"></head></html>'),
+        ("https://c.example/",
+         b'<html><head><link rel="CANONICAL" href="https://other/x">'
+         b'</head></html>'),
+        ("https://d.example/", b"<p>no head at all"),
+        ("https://e.example/", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r for r in extract_directives(df).collect()}
+    a = got["https://a.example/x/page"]
+    assert a.meta_robots == "noindex, follow,nofollow"
+    assert a.noindex and a.nofollow
+    assert a.canonical == "/c/1"                # first wins
+    assert a.canonical_abs == "https://a.example/c/1"
+    assert a.n_hreflang == 2
+    b = got["https://b.example/"]
+    assert b.meta_robots == "none" and b.noindex and b.nofollow
+    c = got["https://c.example/"]
+    assert not c.noindex and c.canonical_abs == "https://other/x"
+    for u in ("https://d.example/", "https://e.example/"):
+        r = got[u]
+        assert r.meta_robots is None and not r.noindex and not r.nofollow
+        assert r.canonical is None and r.n_hreflang == 0
