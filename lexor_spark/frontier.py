@@ -66,12 +66,14 @@ def fetch_schedule_sql(fetch_sql: str, delays_sql: str,
                        default_delay: float = 1.0,
                        n_workers: int = 8) -> str:
     """DuckDB mirror: same host regex, same md5-prefix worker hash
-    (hex prefix → bigint both sides), same per-host window."""
+    (hex prefix → bigint both sides), same per-host window.  NB the
+    task CTE must not be named ``fetch`` — reserved in DuckDB's
+    FETCH FIRST grammar."""
     return f"""
-with fetch as ({fetch_sql}),
+with fetchq as ({fetch_sql}),
 delays as ({delays_sql}),
 f as (
-  select *, regexp_extract(url, '{_HOST_RE}', 1) as host from fetch
+  select *, regexp_extract(url, '{_HOST_RE}', 1) as host from fetchq
 ),
 j as (
   select f.*, d.delay_s from f left join delays d using (host)
