@@ -25,8 +25,9 @@ from lexor_spark import (bpe, cdx, chunking, classify, dedup,  # noqa: E402
                          dsir, frontier, graph, lm, multimodal, packing,
                          robots, sampling, search, sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
-                             extract_pages, normalize_html, partition_metrics)
-from lexor_spark.pages import pages_df  # noqa: E402
+                             extract_pages, normalize_html, partition_metrics,
+                             sniff_charsets)
+from lexor_spark.pages import encoded_pages_df, pages_df  # noqa: E402
 from lexor_spark.pdfjob import extract_pdfs, pdf_pages_df  # noqa: E402
 from lexor_spark.queries import RELATIONAL_QUERIES, RELATIONAL_SQL  # noqa: E402
 
@@ -171,6 +172,45 @@ select doc_id,
 from documents
 order by doc_id
 """
+
+
+def _q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing audit over the 7-variant mixed-encoding fixture
+    (`pages.encoded_pages_df`): the Spark side must recover each page's
+    encoding and decision source (bom/meta/utf8-valid/fallback) from the
+    RAW BYTES plus prove content survived decode (`marker_ok` checks the
+    per-variant non-ASCII marker in the decoded prefix); the DuckDB
+    oracle recomputes the expected labels from the fixture rule
+    (doc_id % 7) — ground truth, not a mirror of the sniffer."""
+    sniffed = sniff_charsets(encoded_pages_df(spark, sf_dir),
+                             salt_buckets=64)
+    v = F.pmod(F.col("doc_id"), F.lit(7))
+    marker = (F.when(v == 0, F.lit("café"))
+              .when(v == 1, F.lit("Привет"))
+              .when(v == 2, F.lit("語"))
+              .when(v == 3, F.lit("好"))
+              .when((v == 4) | (v == 5), F.lit("é"))
+              .otherwise(F.lit("")))
+    return (sniffed.withColumn("doc_id", F.col("url").cast("long"))
+            .withColumn("marker_ok", (marker == F.lit("")) |
+                        (F.instr("decoded_prefix", marker) > 0))
+            .select("doc_id", "encoding", "source", "marker_ok")
+            .orderBy("doc_id"))
+
+
+def _charset_sniff_sql() -> str:
+    return """
+select doc_id,
+       case doc_id % 7 when 0 then 'utf-8' when 1 then 'windows-1251'
+            when 2 then 'shift_jis' when 3 then 'gbk'
+            when 4 then 'utf-8-sig' when 5 then 'windows-1252'
+            else 'utf-8' end as encoding,
+       case when doc_id % 7 in (0, 1, 2, 3) then 'meta'
+            when doc_id % 7 = 4 then 'bom'
+            when doc_id % 7 = 5 then 'fallback'
+            else 'utf8-valid' end as source,
+       true as marker_ok
+from documents order by doc_id"""
 
 
 def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,7 +1264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds; all 83 still verified locally every round by
     scripts/check_oracles.py."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- group 1: never driver-verified / changed since last green --
+        # -- group 1: never driver-verified / changed since last green
+        #    (round-4 tail adds charset_sniff; url_canonical — r03-green,
+        #    unchanged — gave up its refresh slot past the boundary) --
         "pq_codes": _q_pq_codes,
         "cdx_lookup": _q_cdx_lookup,
         "pack_firstfit": _q_pack_firstfit,
@@ -1252,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": _q_host_boilerplate,
         "script_profile": _q_script_profile,
         "page_directives": _q_page_directives,
+        "charset_sniff": _q_charset_sniff,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
@@ -1274,7 +1317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": _q_ann_ivfpq,
         "kmeans_clusters": _q_kmeans_clusters,
         "domain_cap": _q_domain_cap,
-        "url_canonical": _q_url_canonical,
     }
     # group 2 continued: pricing_summary / parts_shipped (r01/r02-green,
     # rotated back in) complete the 50-entry window
@@ -1287,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py every round
     out.update(rel)
     out.update({
+        "url_canonical": _q_url_canonical,
         "dsir_weights": _q_dsir_weights,
         "semantic_dedup": _q_semantic_dedup,
         "ann_pq": _q_ann_pq,
@@ -1365,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "host_boilerplate": _host_boilerplate_sql(),
         "script_profile": _script_profile_sql(),
         "page_directives": _page_directives_sql(),
+        "charset_sniff": _charset_sniff_sql(),
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",

@@ -79,8 +79,9 @@ def main() -> None:
     from lexor_spark import (bpe, cdx, dedup, dsir, frontier,  # noqa: F401
                              lm, packing, robots, sampling, search, sim,
                              textfns)
-    from lexor_spark.job import extract_pages, partition_metrics
-    from lexor_spark.pages import materialized_pages
+    from lexor_spark.job import (extract_pages, partition_metrics,
+                                 sniff_charsets)
+    from lexor_spark.pages import encoded_pages_df, materialized_pages
     from lexor_spark.queries import RELATIONAL_QUERIES
 
     spark = make_spark(CPUS)
@@ -149,6 +150,19 @@ def main() -> None:
         "fetch_schedule": lambda: frontier.fetch_schedule(
             cdx.cdx_fetch_list(cdx.cdx_fixture_df(spark, SF_DIR)),
             robots.crawl_delays(robots.robots_fixture_df(spark, SF_DIR))),
+        "gopher_filter": lambda: docs.select(
+            "doc_id", *[v.alias(k) for k, v in
+                        textfns.gopher_signals(F.col("text")).items()]),
+        "script_profile": lambda: docs.select(
+            "doc_id", *[v.alias(k) for k, v in
+                        textfns.script_profile(F.col("text")).items()]),
+        "lm_buckets": lambda: lm.lm_buckets(docs),
+        "host_boilerplate": lambda: dedup.host_boilerplate(
+            docs.select("doc_id", F.concat(
+                F.lit("https://site"),
+                (F.col("doc_id") % 97).cast("string"), F.lit(".example/"),
+                F.col("source"), F.lit("/p"),
+                F.col("doc_id").cast("string")).alias("url"), "text")),
         "robots_filter": lambda: robots.robots_filter(
             docs.select(F.concat(
                 F.lit("https://site"),
@@ -156,6 +170,8 @@ def main() -> None:
                 F.col("source"), F.lit("/p"),
                 F.col("doc_id").cast("string")).alias("url")),
             robots.robots_fixture_df(spark, SF_DIR)),
+        "charset_sniff": lambda: sniff_charsets(
+            encoded_pages_df(spark, SF_DIR), salt_buckets=256),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -63,7 +63,8 @@ def main(argv: list[str] | None = None) -> int:
         sys.stdout.write(body + "\n")
         return 0 if res.ok else 1
 
-    text = data.decode("utf-8", errors="replace")
+    from lexor_spark.kernel.encoding import decode_html
+    text = decode_html(data)[0]
 
     from lexor_spark.kernel.htmlparser import parse_html
 

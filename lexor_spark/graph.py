@@ -94,6 +94,7 @@ def _links_batches(batches: Iterator[pa.RecordBatch]
     import gc
 
     from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.encoding import decode_html
     from lexor_spark.kernel.htmlparser import parse_html
     gc_was_enabled = gc.isenabled()
     gc.disable()
@@ -105,9 +106,7 @@ def _links_batches(batches: Iterator[pa.RecordBatch]
             for url, html in zip(urls, htmls):
                 doc = None
                 try:
-                    doc, _ = parse_html(
-                        bytes(html or b"").decode("utf-8",
-                                                  errors="replace"), url)
+                    doc, _ = parse_html(decode_html(html or b"")[0], url)
                     for el in doc.get_nodes_by_name("a"):
                         href = el.attrs.get("href") if el.attrs else None
                         if not href:
@@ -146,6 +145,7 @@ def _directives_batches(batches: Iterator[pa.RecordBatch]
     import gc
 
     from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.encoding import decode_html
     from lexor_spark.kernel.htmlparser import parse_html
     gc_was_enabled = gc.isenabled()
     gc.disable()
@@ -160,9 +160,7 @@ def _directives_batches(batches: Iterator[pa.RecordBatch]
                 n_hreflang = 0
                 doc = None
                 try:
-                    doc, _ = parse_html(
-                        bytes(html or b"").decode("utf-8",
-                                                  errors="replace"), url)
+                    doc, _ = parse_html(decode_html(html or b"")[0], url)
                     for el in doc.get_nodes_by_name("meta"):
                         a = el.attrs or {}
                         if (a.get("name") or "").strip().lower() == "robots":

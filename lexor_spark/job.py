@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lexor_spark.kernel.pipeline import extract_document
+from lexor_spark.kernel.encoding import decode_html
 
 __all__ = [
     "OUTPUT_SCHEMA", "NODES_SCHEMA", "extract_pages", "export_nodes",
@@ -249,7 +250,7 @@ def _flatten_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                 mark = len(cols["url"])  # rollback point: a mid-walk
                 # exception must not leave ragged column lists
                 try:
-                    text = bytes(html or b"").decode("utf-8", errors="replace")
+                    text = decode_html(html or b"")[0]
                     doc, _ = parse_html(text, url)
                     # node.pos is a source offset; derive (line, col) in
                     # bulk from one newline index per document
@@ -337,7 +338,7 @@ def _normalize_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
                 raw = bytes(html or b"")
                 doc = None
                 try:
-                    doc, _ = parse_html(raw.decode("utf-8", errors="replace"), url)
+                    doc, _ = parse_html(decode_html(raw)[0], url)
                     norm = write_html(doc)
                 except Exception:
                     norm = ""
@@ -400,8 +401,7 @@ def _css_batches(selectors: list[str]):
                     # exception mid-selector-loop must not leave a
                     # partial row set that the except block then doubles
                     try:
-                        text = bytes(html or b"").decode(
-                            "utf-8", errors="replace")
+                        text = decode_html(html or b"")[0]
                         doc, _ = parse_html(text, url)
                         for sel in selectors:
                             found = query(doc, sel)
@@ -479,8 +479,7 @@ def _rewrite_batches(selectors: list[str]):
                     doc = None
                     raw = bytes(html or b"")
                     try:
-                        doc, _ = parse_html(
-                            raw.decode("utf-8", errors="replace"), url)
+                        doc, _ = parse_html(decode_html(raw)[0], url)
                         n_removed = 0
                         for sel in selectors:
                             hit = Selector(sel, doc)
@@ -553,8 +552,7 @@ def _markdown_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
                 ok = True
                 doc = None
                 try:
-                    doc, _ = parse_html(
-                        bytes(html or b"").decode("utf-8", errors="replace"), url)
+                    doc, _ = parse_html(decode_html(html or b"")[0], url)
                     text = write_markdown(doc)
                 except Exception:
                     text, ok = "", False
@@ -579,6 +577,49 @@ def convert_markdown(pages: DataFrame, salt_buckets: int = 256,
     scale), salted + Arrow-batched like every kernel job."""
     salted = _salted_pages(pages, salt_buckets, partitions)
     return salted.mapInArrow(_markdown_batches, MARKDOWN_SCHEMA)
+
+
+CHARSET_SCHEMA = ("url string, encoding string, source string, "
+                  "n_chars int, decoded_prefix string")
+
+_CHARSET_ARROW = pa.schema([
+    ("url", pa.string()), ("encoding", pa.string()), ("source", pa.string()),
+    ("n_chars", pa.int32()), ("decoded_prefix", pa.string()),
+])
+
+
+def _charset_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from lexor_spark.kernel.encoding import decode_html
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols: dict[str, list] = {n: [] for n in _CHARSET_ARROW.names}
+        for url, html in zip(urls, htmls):
+            text, codec, source = decode_html(html or b"")
+            cols["url"].append(url)
+            cols["encoding"].append(codec)
+            cols["source"].append(source)
+            cols["n_chars"].append(len(text))
+            cols["decoded_prefix"].append(text[:2000])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols[n], type=_CHARSET_ARROW.field(n).type)
+             for n in _CHARSET_ARROW.names], schema=_CHARSET_ARROW)
+
+
+def sniff_charsets(pages: DataFrame, salt_buckets: int = 256,
+                   partitions: Optional[int] = None) -> DataFrame:
+    """Per-page charset sniff + decode audit over an (url, html binary)
+    table — WHATWG BOM/meta-prescan/UTF-8-validation/windows-1252 chain
+    (`kernel/encoding.py`; the reference kernel takes pre-decoded text,
+    so byte-level detection is pipeline-side by design).  Emits the
+    chosen codec, the DECISION SOURCE (bom/meta/utf8-valid/fallback) for
+    corpus encoding telemetry, and a decoded prefix so callers can
+    verify content survived (the `charset_sniff` gate query checks a
+    per-variant marker downstream as a plain Catalyst expression).
+    Scan-side projection + the same salted exchange as extraction; one
+    fused mapInArrow pass, no per-row Python."""
+    salted = _salted_pages(pages, salt_buckets, partitions)
+    return salted.mapInArrow(_charset_batches, CHARSET_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

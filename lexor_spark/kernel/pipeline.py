@@ -70,12 +70,17 @@ class ExtractResult:
 
 
 def _decode(html: Union[bytes, bytearray, memoryview, str]) -> str:
-    """UTF-8 with replacement — the pinned decode contract (SURVEY.md §7:
-    goldens standardize on utf-8/replace)."""
+    """Bytes -> text through WHATWG-style charset sniffing
+    (`kernel/encoding.py`: BOM > meta prescan > UTF-8 validation >
+    windows-1252 fallback).  Valid-UTF-8 inputs decode exactly as the
+    previous pinned utf-8/replace contract did (all goldens are UTF-8,
+    so they are unchanged); non-UTF-8 crawl captures now decode through
+    their declared/sniffed codec instead of degrading to U+FFFD."""
     if isinstance(html, str):
         return html
     if isinstance(html, (bytes, bytearray, memoryview)):
-        return bytes(html).decode("utf-8", errors="replace")
+        from lexor_spark.kernel.encoding import decode_html
+        return decode_html(html)[0]
     raise TypeError(f"html must be str or bytes-like, got {type(html).__name__}")
 
 

@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["pages_df", "materialized_pages", "PAGES_SCHEMA_HINT"]
+__all__ = ["pages_df", "encoded_pages_df", "materialized_pages",
+           "PAGES_SCHEMA_HINT"]
 
 PAGES_SCHEMA_HINT = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -122,6 +123,68 @@ def pages_df(spark: SparkSession, sf_dir: str, repeat: int = 1,
         F.encode(html, "UTF-8").alias("html"),
         F.col("text").alias("text"),
         F.col("lang").alias("lang"),
+    )
+
+
+def encoded_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-charset pages fixture for the charset-sniffing audit.
+
+    Real Common-Crawl captures are 5-10% non-UTF-8; this derives a
+    deterministic 7-variant encoding mix from ``documents.parquet``
+    (variant = ``doc_id % 7``), built ENTIRELY from Catalyst expressions
+    — ASCII shell via ``encode(…, 'UTF-8')``, non-ASCII codec marker
+    bytes as ``unhex`` literals (Spark's ``encode`` only speaks
+    ascii/latin-1/utf-8/16, so cp1251/shift_jis/gbk markers are spelled
+    in hex):
+
+    =======  ========================================  =================
+    variant  page shape                                expected sniff
+    =======  ========================================  =================
+    0        ``<meta charset="utf-8">`` + UTF-8 café   utf-8 / meta
+    1        ``<meta charset="windows-1251">`` + cp1251 Привет
+                                                       windows-1251 / meta
+    2        http-equiv Content-Type Shift_JIS + 語    shift_jis / meta
+    3        unquoted ``<meta charset=gb2312>`` + 好   gbk / meta (label
+                                                       gb2312 ⇒ gbk)
+    4        UTF-8 BOM, no meta, UTF-8 é               utf-8-sig / bom
+    5        no meta, lone 0xE9 byte (invalid UTF-8)   windows-1252 /
+                                                       fallback
+    6        pure-ASCII, no meta                       utf-8 / utf8-valid
+    =======  ========================================  =================
+
+    ``url`` carries ``doc_id`` (as a string) so the gate query joins the
+    sniff result back to the variant rule; the DuckDB oracle recomputes
+    the EXPECTED labels from ``doc_id % 7`` — the Spark side must earn
+    them from the raw bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.pmod(F.col("doc_id"), F.lit(7))
+    ascii_body = F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", "")
+    b = lambda c: F.encode(c, "UTF-8")  # noqa: E731
+    meta = (F.when(v == 0, _lit('<meta charset="utf-8">'))
+            .when(v == 1, _lit('<meta charset="windows-1251">'))
+            .when(v == 2, _lit('<meta http-equiv="Content-Type" '
+                               'content="text/html; charset=Shift_JIS">'))
+            .when(v == 3, _lit('<meta charset=gb2312>'))
+            .otherwise(_lit("")))
+    marker = (F.when(v == 0, F.unhex(_lit("636166c3a9")))      # café utf-8
+              .when(v == 1, F.unhex(_lit("cff0e8e2e5f2")))     # Привет cp1251
+              .when(v == 2, F.unhex(_lit("8cea")))             # 語 shift_jis
+              .when(v == 3, F.unhex(_lit("bac3")))             # 好 gbk
+              .when(v == 4, F.unhex(_lit("c3a9")))             # é utf-8
+              .when(v == 5, F.unhex(_lit("e9")))               # é cp1252
+              .otherwise(F.unhex(_lit(""))))
+    bom = F.when(v == 4, F.unhex(_lit("efbbbf"))).otherwise(F.unhex(_lit("")))
+    html = F.concat(
+        bom,
+        b(F.concat(_lit("<!doctype html>\n<html><head>"), meta,
+                   _lit("<title>Doc "), F.col("doc_id").cast("string"),
+                   _lit("</title></head>\n<body><p>"))),
+        marker,
+        b(F.concat(_lit(" "), ascii_body, _lit("</p></body></html>\n"))),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        html.alias("html"),
     )
 
 

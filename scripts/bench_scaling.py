@@ -46,7 +46,13 @@ def measure(cores: int) -> None:
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", "8g")
+        # per-core-proportional heap: a real 4N-executor cluster brings
+        # 4N× the memory, so per-core memory is CONSTANT across cluster
+        # sizes — this is the honest single-box model of the N→4N rule.
+        # NOT a performance lever: run U (BENCH/BASELINE.md) A/B'd 8g vs
+        # 32g at 16 cores and measured a wash (ratio 0.895).
+        .config("spark.driver.memory",
+                os.environ.get("BENCH_DRIVER_MEM", f"{2 * cores}g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
