@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import (bpe, cdx, chunking, classify, dedup,  # noqa: E402
+from lexor_spark import (bpe, cdx, chunking, classify, content, dedup,  # noqa: E402
                          dsir, frontier, graph, lm, multimodal, packing,
                          robots, sampling, search, sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
@@ -340,6 +340,139 @@ e as (select url,
   (case when doc_id % 5 = 0 then 2 else 0 end) as n_hreflang
 from d)
 select * from e order by url
+"""
+
+
+def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction through the REAL kernel parse: pages get
+    deterministic tables injected around the corpus text — doc_id%3==0
+    a header (th k/v) + 1+doc_id%4 data rows built via a Catalyst
+    transform-over-sequence; doc_id%5==0 a second table with colspan/
+    rowspan attributes and an entity in the cell text — and the DuckDB
+    oracle reconstructs every expected (table_idx, row_idx, col_idx,
+    cell) from the same doc_id rules (unnest(range(...)) for the
+    variable row counts).  The Spark side earns the values from raw
+    HTML bytes: a single mis-parsed cell anywhere in the corpus fails
+    the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    rows_a = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.pmod(did, F.lit(4))),
+            lambda r: F.concat(
+                F.lit("<tr><td>r"), did.cast("string"), F.lit("-"),
+                r.cast("string"), F.lit("</td><td>"),
+                (did * r).cast("string"), F.lit("</td></tr>"))), "")
+    table_a = (F.when(F.pmod(did, F.lit(3)) == 0, F.concat(
+        F.lit("<table><thead><tr><th>k</th><th>v</th></tr></thead>"
+              "<tbody>"), rows_a, F.lit("</tbody></table>")))
+        .otherwise(F.lit("")))
+    table_b = (F.when(F.pmod(did, F.lit(5)) == 0, F.lit(
+        '<table><tr><td colspan="2">A &amp; B</td>'
+        "<td rowspan=3>C</td></tr></table>"))
+        .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><body><p>"), F.col("text"),
+                    F.lit("</p>"), table_a, table_b,
+                    F.lit("</body></html>"))
+    url = F.concat(
+        F.lit("https://site"), F.pmod(did, F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"),
+        did.cast("string"))
+    pages = docs.select(url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return (content.extract_tables(pages)
+            .orderBy("url", "table_idx", "row_idx", "col_idx"))
+
+
+def _html_tables_sql() -> str:
+    return f"""
+with d as (select doc_id, {_URL_SQL} as url from documents),
+hdr as (
+  select url, 0 as table_idx, 0 as row_idx, c.col_idx,
+         true as is_header, 1 as colspan, 1 as rowspan, c.cell
+  from d, (values (0, 'k'), (1, 'v')) c(col_idx, cell)
+  where doc_id % 3 = 0),
+drows as (
+  select doc_id, url, unnest(range(0, doc_id % 4 + 1)) as r
+  from d where doc_id % 3 = 0),
+dcells as (
+  select url, 0 as table_idx, cast(r + 1 as int) as row_idx, c.col_idx,
+         false as is_header, 1 as colspan, 1 as rowspan,
+         case c.col_idx when 0 then 'r' || doc_id || '-' || r
+              else cast(doc_id * r as varchar) end as cell
+  from drows, (values (0), (1)) c(col_idx)),
+tb as (
+  select url, (case when doc_id % 3 = 0 then 1 else 0 end) as table_idx,
+         0 as row_idx, c.col_idx, false as is_header,
+         c.colspan, c.rowspan, c.cell
+  from d, (values (0, 2, 1, 'A & B'), (1, 1, 3, 'C'))
+       c(col_idx, colspan, rowspan, cell)
+  where doc_id % 5 = 0)
+select * from hdr union all select * from dcells union all select * from tb
+order by url, table_idx, row_idx, col_idx
+"""
+
+
+def _q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (title/description/OpenGraph/Twitter)
+    through the real kernel parse, first-wins per key: deterministic
+    <head> blocks are injected per doc_id rule, including a LATE
+    duplicate og:title every %10 that first-wins must ignore, and an
+    entity in every <title> the writer must decode; the DuckDB oracle
+    recomputes all eight columns from the rules alone."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    head = F.concat(
+        F.lit("<head><title>Doc "), did.cast("string"),
+        F.lit(" &amp; notes</title>"),
+        F.when(F.pmod(did, F.lit(4)) == 0,
+               F.concat(F.lit('<meta name="description" content="d'),
+                        did.cast("string"), F.lit('">')))
+         .otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(2)) == 0,
+               F.concat(F.lit('<meta property="og:title" content="OG '),
+                        did.cast("string"), F.lit('">'),
+                        F.lit('<meta property="og:image" content="/img/'),
+                        did.cast("string"), F.lit('.jpg">')))
+         .otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(6)) == 0,
+               F.lit('<meta property="og:type" content="article">'))
+         .otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(3)) == 0,
+               F.lit('<meta name="twitter:card" content="summary">'))
+         .otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(8)) == 0,
+               F.concat(F.lit('<meta property="og:description" '
+                              'content="og-d'),
+                        did.cast("string"), F.lit('">')))
+         .otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(10)) == 0,
+               F.lit('<meta property="og:title" content="LATE">'))
+         .otherwise(F.lit("")),
+        F.lit("</head>"))
+    html = F.concat(F.lit("<html>"), head, F.lit("<body><p>"),
+                    F.col("text"), F.lit("</p></body></html>"))
+    url = F.concat(
+        F.lit("https://site"), F.pmod(did, F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"),
+        did.cast("string"))
+    pages = docs.select(url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return content.extract_meta(pages).orderBy("url")
+
+
+def _page_meta_sql() -> str:
+    return f"""
+with d as (select doc_id, {_URL_SQL} as url from documents)
+select url,
+  'Doc ' || doc_id || ' & notes' as title,
+  case when doc_id % 4 = 0 then 'd' || doc_id end as description,
+  case when doc_id % 2 = 0 then 'OG ' || doc_id end as og_title,
+  case when doc_id % 8 = 0 then 'og-d' || doc_id end as og_description,
+  case when doc_id % 2 = 0 then '/img/' || doc_id || '.jpg' end as og_image,
+  case when doc_id % 6 = 0 then 'article' end as og_type,
+  case when doc_id % 3 = 0 then 'summary' end as twitter_card
+from d order by url
 """
 
 
@@ -1226,8 +1359,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  83 queries are
-    value-oracled, so 33 must sit past the window.  Round-4 allocation:
+    the first 50 entries), rows-only entries after.  86 queries are
+    value-oracled, so 36 must sit past the window.  Round-4 allocation:
 
     1. never driver-hash-verified, or changed since their last green
        driver record (27): the r03 red row (pq_codes, re-shaped), the
@@ -1254,7 +1387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        is covered in-window by the new entry plus repetition_stats; the
        sim.py r4 delta is the pq_codes select, whose shared
        _pq_sql_parts code stays covered in-window by pq_codes +
-       ann_ivfpq, and kmeans_clusters keeps the shared k-means CTE
+       ann_ivfpq; the round-4 tail additions charset_sniff,
+       html_tables and page_meta took the slots of url_canonical,
+       kmeans_clusters and domain_cap — all three r03-green and
+       unchanged (ann_ivfpq keeps the shared k-means CTE
        family in-window for semantic_dedup).
 
     Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample,
@@ -1295,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "page_directives": _q_page_directives,
         "charset_sniff": _q_charset_sniff,
+        "html_tables": _q_html_tables,
+        "page_meta": _q_page_meta,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
@@ -1315,8 +1453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "lm_score": _q_lm_score,
         "ann_ivfpq": _q_ann_ivfpq,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "domain_cap": _q_domain_cap,
     }
     # group 2 continued: pricing_summary / parts_shipped (r01/r02-green,
     # rotated back in) complete the 50-entry window
@@ -1329,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py every round
     out.update(rel)
     out.update({
+        "kmeans_clusters": _q_kmeans_clusters,
+        "domain_cap": _q_domain_cap,
         "url_canonical": _q_url_canonical,
         "dsir_weights": _q_dsir_weights,
         "semantic_dedup": _q_semantic_dedup,
@@ -1409,6 +1547,8 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "page_directives": _page_directives_sql(),
         "charset_sniff": _charset_sniff_sql(),
+        "html_tables": _html_tables_sql(),
+        "page_meta": _page_meta_sql(),
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",

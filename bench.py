@@ -79,6 +79,7 @@ def main() -> None:
     from lexor_spark import (bpe, cdx, dedup, dsir, frontier,  # noqa: F401
                              lm, packing, robots, sampling, search, sim,
                              textfns)
+    import __spark_entry__ as _entry
     from lexor_spark.job import (extract_pages, partition_metrics,
                                  sniff_charsets)
     from lexor_spark.pages import encoded_pages_df, materialized_pages
@@ -172,6 +173,10 @@ def main() -> None:
             robots.robots_fixture_df(spark, SF_DIR)),
         "charset_sniff": lambda: sniff_charsets(
             encoded_pages_df(spark, SF_DIR), salt_buckets=256),
+        # gate-fixture shapes (deterministic injected tables / heads
+        # over the sf documents, one kernel parse per page)
+        "html_tables": lambda: _entry._q_html_tables(spark, SF_DIR),
+        "page_meta": lambda: _entry._q_page_meta(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

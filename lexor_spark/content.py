@@ -1,0 +1,259 @@
+"""Structured content extraction from pages: HTML tables and head
+metadata (title / description / Open Graph / Twitter cards).
+
+Two corpus-level passes over the (url, html binary) pages table, both
+the same fused plan shape as `job.extract_pages` (scan-side projection
+-> salted exchange -> one mapInArrow kernel pass, zero per-row Python):
+
+* :func:`extract_tables` — one output row per ``<td>``/``<th>`` cell,
+  with (table_idx, row_idx, col_idx) document-order coordinates, header
+  flag, and colspan/rowspan.  The raw material of table-QA / table-
+  grounding training corpora (and of structured-data mining generally);
+  nested tables are emitted as their OWN table_idx and skipped in the
+  outer table's walk, so every cell appears exactly once.
+* :func:`extract_meta` — one output row per page with the first
+  ``<title>`` text (entities decoded, whitespace-normalized) and the
+  standard social/head metadata (description, og:title/description/
+  image/type, twitter:card), first-wins per key like real crawlers.
+
+The reference kernel is a single-document converter with no tabular or
+metadata surface (reference ``lexor/command/to.py`` drives text/html
+targets only); these are corpus-pipeline operators built on the same
+parse.  At 10^12 pages both passes add zero shuffles beyond the salted
+exchange every kernel pass shares.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+from typing import Iterator, Optional
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+__all__ = ["extract_tables", "extract_meta",
+           "TABLES_SCHEMA", "META_SCHEMA"]
+
+TABLES_SCHEMA = ("url string, table_idx int, row_idx int, col_idx int, "
+                 "is_header boolean, colspan int, rowspan int, cell string")
+
+_TABLES_ARROW = pa.schema([
+    ("url", pa.string()), ("table_idx", pa.int32()),
+    ("row_idx", pa.int32()), ("col_idx", pa.int32()),
+    ("is_header", pa.bool_()), ("colspan", pa.int32()),
+    ("rowspan", pa.int32()), ("cell", pa.string()),
+])
+
+META_SCHEMA = ("url string, title string, description string, "
+               "og_title string, og_description string, og_image string, "
+               "og_type string, twitter_card string")
+
+_META_ARROW = pa.schema([
+    ("url", pa.string()), ("title", pa.string()),
+    ("description", pa.string()), ("og_title", pa.string()),
+    ("og_description", pa.string()), ("og_image", pa.string()),
+    ("og_type", pa.string()), ("twitter_card", pa.string()),
+])
+
+
+def _node_text(el, *, skip_tables: bool = False) -> str:
+    """Whitespace-normalized descendant text with entities decoded
+    (same contract as graph._anchor_text); optionally skip descent
+    into nested <table> subtrees (their cells are their own rows)."""
+    from lexor_spark.kernel.dom import Entity, Text
+    parts: list[str] = []
+    stack = list(reversed(el.children))
+    while stack:
+        nd = stack.pop()
+        cls = type(nd)
+        if cls is Text:
+            parts.append(nd.data)
+        elif cls is Entity:
+            parts.append(_htmllib.unescape(nd.data))
+        else:
+            if skip_tables and nd.name == "table":
+                continue
+            kids = getattr(nd, "children", None)
+            if kids:
+                stack.extend(reversed(kids))
+    return " ".join("".join(parts).split())
+
+
+def _int_attr(attrs, key: str, default: int = 1) -> int:
+    raw = (attrs or {}).get(key)
+    if raw is None:
+        return default
+    try:
+        v = int(str(raw).strip())
+    except ValueError:
+        return default
+    return v if v >= 1 else default
+
+
+def _table_rows(table) -> list:
+    """The table's OWN <tr> elements in document order, not descending
+    into nested tables (each nested table is walked separately)."""
+    rows = []
+    stack = list(reversed(table.children))
+    while stack:
+        nd = stack.pop()
+        if nd.name == "table":
+            continue
+        if nd.name == "tr":
+            rows.append(nd)
+            continue  # a tr never nests another tr of the same table
+        kids = getattr(nd, "children", None)
+        if kids:
+            stack.extend(reversed(kids))
+    return rows
+
+
+def _cells_of(tr) -> list:
+    cells = []
+    for nd in tr.children:
+        if nd.name in ("td", "th"):
+            cells.append(nd)
+    return cells
+
+
+def _tables_batches(batches: Iterator[pa.RecordBatch]
+                    ) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.encoding import decode_html
+    from lexor_spark.kernel.htmlparser import parse_html
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _TABLES_ARROW.names}
+            for url, html in zip(urls, htmls):
+                doc = None
+                try:
+                    doc, _ = parse_html(decode_html(html or b"")[0], url)
+                    for t_idx, table in enumerate(
+                            doc.get_nodes_by_name("table")):
+                        for r_idx, tr in enumerate(_table_rows(table)):
+                            for c_idx, cell in enumerate(_cells_of(tr)):
+                                a = cell.attrs or {}
+                                cols["url"].append(url)
+                                cols["table_idx"].append(t_idx)
+                                cols["row_idx"].append(r_idx)
+                                cols["col_idx"].append(c_idx)
+                                cols["is_header"].append(cell.name == "th")
+                                cols["colspan"].append(
+                                    _int_attr(a, "colspan"))
+                                cols["rowspan"].append(
+                                    _int_attr(a, "rowspan"))
+                                cols["cell"].append(
+                                    _node_text(cell, skip_tables=True))
+                except Exception:
+                    pass
+                finally:
+                    if doc is not None:
+                        dispose(doc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_TABLES_ARROW.field(n).type)
+                 for n in _TABLES_ARROW.names], schema=_TABLES_ARROW)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def extract_tables(pages: DataFrame, salt_buckets: int = 256,
+                   partitions: Optional[int] = None) -> DataFrame:
+    """One row per table cell, corpus-wide: (url, table_idx, row_idx,
+    col_idx, is_header, colspan, rowspan, cell).  Coordinates are
+    document-order (tables by first-appearance including nested ones;
+    rows are the table's own <tr>s wherever they sit — thead/tbody/
+    tfoot wrappers are transparent; cells are the row's direct
+    <td>/<th> children).  colspan/rowspan are reported as parsed (>=1,
+    malformed -> 1), not grid-expanded: expansion is presentation
+    logic downstream consumers apply when they need the dense grid."""
+    from lexor_spark.job import _salted_pages
+    salted = _salted_pages(pages, salt_buckets, partitions)
+    return salted.mapInArrow(_tables_batches, TABLES_SCHEMA)
+
+
+_META_KEYS = {
+    # attr-space -> column; name= keys
+    ("name", "description"): "description",
+    ("name", "twitter:card"): "twitter_card",
+    # property= keys (the Open Graph namespace)
+    ("property", "og:title"): "og_title",
+    ("property", "og:description"): "og_description",
+    ("property", "og:image"): "og_image",
+    ("property", "og:type"): "og_type",
+}
+
+
+def _meta_batches(batches: Iterator[pa.RecordBatch]
+                  ) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.encoding import decode_html
+    from lexor_spark.kernel.htmlparser import parse_html
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _META_ARROW.names}
+            for url, html in zip(urls, htmls):
+                out: dict[str, Optional[str]] = {
+                    n: None for n in _META_ARROW.names[1:]}
+                doc = None
+                try:
+                    doc, _ = parse_html(decode_html(html or b"")[0], url)
+                    titles = doc.get_nodes_by_name("title")
+                    if titles:
+                        # <title> is escapable-raw-text: the kernel
+                        # parses it as a RawText element whose content
+                        # sits in .data, with entities still encoded
+                        t = titles[0]
+                        raw = getattr(t, "data", None)
+                        text = (_htmllib.unescape(raw)
+                                if isinstance(raw, str) else _node_text(t))
+                        out["title"] = " ".join(text.split()) or None
+                    for el in doc.get_nodes_by_name("meta"):
+                        a = el.attrs or {}
+                        content = a.get("content")
+                        if content is None:
+                            continue
+                        for space in ("name", "property"):
+                            key = (a.get(space) or "").strip().lower()
+                            col = _META_KEYS.get((space, key))
+                            if col and out[col] is None:
+                                out[col] = content.strip()
+                except Exception:
+                    pass
+                finally:
+                    if doc is not None:
+                        dispose(doc)
+                cols["url"].append(url)
+                for n in _META_ARROW.names[1:]:
+                    cols[n].append(out[n])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_META_ARROW.field(n).type)
+                 for n in _META_ARROW.names], schema=_META_ARROW)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def extract_meta(pages: DataFrame, salt_buckets: int = 256,
+                 partitions: Optional[int] = None) -> DataFrame:
+    """One row per page: first <title> text (entities decoded,
+    whitespace-normalized) + description / og:title / og:description /
+    og:image / og:type / twitter:card, each first-wins in document
+    order (crawler convention for duplicated metas).  Missing -> null.
+    The head-metadata sidecar a search/preview/snippet pipeline keeps
+    next to the extracted main content."""
+    from lexor_spark.job import _salted_pages
+    salted = _salted_pages(pages, salt_buckets, partitions)
+    return salted.mapInArrow(_meta_batches, META_SCHEMA)

@@ -1,0 +1,148 @@
+"""HTML table + head-metadata extraction (lexor_spark.content).
+
+Kernel-level tests run without Spark (parse + walk only); two
+end-to-end tests drive the mapInArrow jobs on tiny in-memory tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lexor_spark.content import (_cells_of, _int_attr, _node_text,
+                                 _table_rows, extract_meta, extract_tables)
+from lexor_spark.kernel.dom import dispose
+from lexor_spark.kernel.htmlparser import parse_html
+
+
+def _cells(html: str):
+    doc, _ = parse_html(html, "u")
+    out = []
+    try:
+        for ti, t in enumerate(doc.get_nodes_by_name("table")):
+            for ri, tr in enumerate(_table_rows(t)):
+                for ci, c in enumerate(_cells_of(tr)):
+                    a = c.attrs or {}
+                    out.append((ti, ri, ci, c.name == "th",
+                                _int_attr(a, "colspan"),
+                                _int_attr(a, "rowspan"),
+                                _node_text(c, skip_tables=True)))
+    finally:
+        dispose(doc)
+    return out
+
+
+def test_simple_table_with_thead():
+    got = _cells("<table><thead><tr><th>a</th><th>b</th></tr></thead>"
+                 "<tbody><tr><td>1</td><td>2</td></tr></tbody></table>")
+    assert got == [(0, 0, 0, True, 1, 1, "a"), (0, 0, 1, True, 1, 1, "b"),
+                   (0, 1, 0, False, 1, 1, "1"), (0, 1, 1, False, 1, 1, "2")]
+
+
+def test_nested_table_is_its_own_table_and_outer_cell_skips_it():
+    got = _cells("<table><tr><td>outer <table><tr><td>inner</td></tr>"
+                 "</table> tail</td></tr></table>")
+    assert (0, 0, 0, False, 1, 1, "outer tail") in got
+    assert (1, 0, 0, False, 1, 1, "inner") in got
+    assert len(got) == 2
+
+
+def test_colspan_rowspan_and_malformed_spans():
+    got = _cells('<table><tr><td colspan="2" rowspan="3">a</td>'
+                 '<td colspan="x">b</td><td rowspan="0">c</td>'
+                 "<td colspan=\"-4\">d</td></tr></table>")
+    assert got[0][4:6] == (2, 3)
+    # malformed / non-positive spans fall back to 1
+    assert [c[4:6] for c in got[1:]] == [(1, 1), (1, 1), (1, 1)]
+
+
+def test_entities_and_markup_inside_cells():
+    got = _cells("<table><tr><td>A &amp; <b>B</b>\n  C</td></tr></table>")
+    assert got == [(0, 0, 0, False, 1, 1, "A & B C")]
+
+
+def test_two_sibling_tables_and_no_table():
+    got = _cells("<p>no tables here</p>")
+    assert got == []
+    got = _cells("<table><tr><td>x</td></tr></table>"
+                 "<table><tr><th>y</th></tr></table>")
+    assert [(c[0], c[6]) for c in got] == [(0, "x"), (1, "y")]
+
+
+def _meta(html: str):
+    """Run the per-page metadata walk serially (same code path the
+    Arrow batches use, exercised via extract_meta below)."""
+    from lexor_spark.content import _META_ARROW, _meta_batches
+    import pyarrow as pa
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["u"]), pa.array([html.encode()], type=pa.binary())],
+        names=["url", "html"])
+    [out] = list(_meta_batches(iter([batch])))
+    row = {n: out.column(n).to_pylist()[0] for n in _META_ARROW.names}
+    return row
+
+
+def test_meta_title_entity_decoded_and_first_wins():
+    row = _meta('<html><head><title>A &amp;  B</title>'
+                '<title>SECOND</title>'
+                '<meta property="og:title" content="OG1">'
+                '<meta property="og:title" content="OG2-late">'
+                '</head><body></body></html>')
+    assert row["title"] == "A & B"
+    assert row["og_title"] == "OG1"
+
+
+def test_meta_all_keys_and_missing_are_null():
+    row = _meta('<head>'
+                '<meta name="description" content=" d ">'
+                '<meta property="og:description" content="od">'
+                '<meta property="og:image" content="/i.jpg">'
+                '<meta property="og:type" content="article">'
+                '<meta name="twitter:card" content="summary">'
+                "</head>")
+    assert row["title"] is None
+    assert row["description"] == "d"          # content is stripped
+    assert row["og_description"] == "od"
+    assert row["og_image"] == "/i.jpg"
+    assert row["og_type"] == "article"
+    assert row["twitter_card"] == "summary"
+
+
+def test_meta_name_vs_property_spaces_do_not_cross():
+    # og:title must come from property=, not name=; and vice versa
+    row = _meta('<head><meta name="og:title" content="X">'
+                '<meta property="description" content="Y"></head>')
+    assert row["og_title"] is None
+    assert row["description"] is None
+
+
+def test_meta_hostile_bytes_yield_null_row():
+    row = _meta("\x00\xff garbage <<<>")
+    assert row["title"] is None and row["og_title"] is None
+
+
+@pytest.fixture(scope="module")
+def tiny_pages(spark):
+    rows = [
+        ("a", b"<html><body><table><tr><th>h</th></tr>"
+              b"<tr><td>v</td></tr></table></body></html>"),
+        ("b", b"<html><head><title>T &amp; t</title>"
+              b'<meta property="og:title" content="OG"></head></html>'),
+        ("c", None),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_tables_spark(tiny_pages):
+    got = {(r.url, r.table_idx, r.row_idx, r.col_idx):
+           (r.is_header, r.cell)
+           for r in extract_tables(tiny_pages, salt_buckets=4).collect()}
+    assert got == {("a", 0, 0, 0): (True, "h"), ("a", 0, 1, 0): (False, "v")}
+
+
+def test_extract_meta_spark(tiny_pages):
+    rows = {r.url: r for r in
+            extract_meta(tiny_pages, salt_buckets=4).collect()}
+    assert len(rows) == 3
+    assert rows["b"].title == "T & t" and rows["b"].og_title == "OG"
+    assert rows["a"].title is None
+    assert rows["c"].title is None  # NULL html -> null metadata row
