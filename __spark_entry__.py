@@ -25,7 +25,8 @@ from lexor_spark import (bpe, cdx, chunking, classify, content, dedup,  # noqa: 
                          dsir, frontier, graph, lm, multimodal, packing,
                          robots, sampling, search, sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
-                             extract_pages, normalize_html, partition_metrics,
+                             extract_density_pages, extract_pages,
+                             normalize_html, partition_metrics,
                              sniff_charsets)
 from lexor_spark.pages import encoded_pages_df, pages_df  # noqa: E402
 from lexor_spark.pdfjob import extract_pdfs, pdf_pages_df  # noqa: E402
@@ -472,6 +473,60 @@ select url,
   case when doc_id % 2 = 0 then '/img/' || doc_id || '.jpg' end as og_image,
   case when doc_id % 6 = 0 then 'article' end as og_type,
   case when doc_id % 3 = 0 then 'summary' end as twitter_card
+from d order by url
+"""
+
+
+_DENS_C1A = ("It is one of the most detailed reports that we have seen "
+             "and it is clear that the data of run ")
+_DENS_C1B = (" will be available to all of our readers when the full "
+             "study is out because there was more of it than any of us "
+             "expected to see.")
+_DENS_C2A = ("We can also say that the review was one of the best that "
+             "any of us had read in a long time and that there will be "
+             "more to come from the same team when they are done with "
+             "the next part of the work on item ")
+_DENS_C2B = " later this year."
+
+
+def _q_density_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style density extraction end-to-end: every page carries a
+    link-dense nav (bad), a short heading (short -> promoted near-good
+    -> good), two long stop-word-rich paragraphs (context-free good), a
+    bare-number paragraph between them (short -> good by revision), and
+    a copyright footer (bad).  The DuckDB oracle reconstructs the exact
+    good-block join per doc_id — the Spark side must segment, classify,
+    promote the heading, revise the short block, and reject both
+    boilerplate blocks on every page to match."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    html = F.concat(
+        F.lit('<html><head><title>x</title></head><body>'
+              '<nav><a href="/">Home</a> <a href="/a">About</a> '
+              '<a href="/c">Contact</a></nav><h2>Section '), ds,
+        F.lit("</h2><p>" + _DENS_C1A), ds, F.lit(_DENS_C1B + "</p><p>"),
+        ds, F.lit("</p><p>" + _DENS_C2A), ds,
+        F.lit(_DENS_C2B + "</p><div>&copy; 2026 site "),
+        F.pmod(did, F.lit(97)).cast("string"),
+        F.lit(" all rights reserved</div></body></html>"))
+    url = F.concat(
+        F.lit("https://site"), F.pmod(did, F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"), ds)
+    pages = docs.select(url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return extract_density_pages(pages).orderBy("url")
+
+
+def _density_extract_sql() -> str:
+    return f"""
+with d as (select doc_id, {_URL_SQL} as url from documents)
+select url,
+  'Section ' || doc_id || chr(10) ||
+  '{_DENS_C1A}' || doc_id || '{_DENS_C1B}' || chr(10) ||
+  doc_id || chr(10) ||
+  '{_DENS_C2A}' || doc_id || '{_DENS_C2B}' as text,
+  6 as n_blocks, 4 as n_good, true as ok
 from d order by url
 """
 
@@ -1359,8 +1414,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  86 queries are
-    value-oracled, so 36 must sit past the window.  Round-4 allocation:
+    the first 50 entries), rows-only entries after.  87 queries are
+    value-oracled, so 37 must sit past the window.  Round-4 allocation:
 
     1. never driver-hash-verified, or changed since their last green
        driver record (27): the r03 red row (pq_codes, re-shaped), the
@@ -1387,10 +1442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        is covered in-window by the new entry plus repetition_stats; the
        sim.py r4 delta is the pq_codes select, whose shared
        _pq_sql_parts code stays covered in-window by pq_codes +
-       ann_ivfpq; the round-4 tail additions charset_sniff,
-       html_tables and page_meta took the slots of url_canonical,
-       kmeans_clusters and domain_cap — all three r03-green and
-       unchanged (ann_ivfpq keeps the shared k-means CTE
+       pq_codes; the round-4 tail additions charset_sniff,
+       html_tables, page_meta and density_extract took the slots of
+       url_canonical, kmeans_clusters, domain_cap and ann_ivfpq — all
+       four r03-green and unchanged (pq_codes keeps the shared PQ/k-means CTE
        family in-window for semantic_dedup).
 
     Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample,
@@ -1433,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff": _q_charset_sniff,
         "html_tables": _q_html_tables,
         "page_meta": _q_page_meta,
+        "density_extract": _q_density_extract,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
@@ -1452,7 +1508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 3: r03-green refresh (shared-code families) --
         "repetition_stats": _q_repetition_stats,
         "lm_score": _q_lm_score,
-        "ann_ivfpq": _q_ann_ivfpq,
     }
     # group 2 continued: pricing_summary / parts_shipped (r01/r02-green,
     # rotated back in) complete the 50-entry window
@@ -1465,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py every round
     out.update(rel)
     out.update({
+        "ann_ivfpq": _q_ann_ivfpq,
         "kmeans_clusters": _q_kmeans_clusters,
         "domain_cap": _q_domain_cap,
         "url_canonical": _q_url_canonical,
@@ -1549,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "charset_sniff": _charset_sniff_sql(),
         "html_tables": _html_tables_sql(),
         "page_meta": _page_meta_sql(),
+        "density_extract": _density_extract_sql(),
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",

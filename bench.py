@@ -177,6 +177,7 @@ def main() -> None:
         # over the sf documents, one kernel parse per page)
         "html_tables": lambda: _entry._q_html_tables(spark, SF_DIR),
         "page_meta": lambda: _entry._q_page_meta(spark, SF_DIR),
+        "density_extract": lambda: _entry._q_density_extract(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

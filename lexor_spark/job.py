@@ -40,7 +40,7 @@ from lexor_spark.kernel.pipeline import extract_document
 from lexor_spark.kernel.encoding import decode_html
 
 __all__ = [
-    "OUTPUT_SCHEMA", "NODES_SCHEMA", "extract_pages", "export_nodes",
+    "OUTPUT_SCHEMA", "NODES_SCHEMA", "extract_pages", "export_nodes", "extract_density_pages",
     "partition_metrics", "run_job", "committed_groups", "read_lineage",
     "run_job_table", "committed_groups_table",
     "css_select", "css_rewrite", "normalize_html", "convert_markdown",
@@ -625,6 +625,60 @@ def sniff_charsets(pages: DataFrame, salt_buckets: int = 256,
 # ---------------------------------------------------------------------------
 # Checkpointed, resumable run
 # ---------------------------------------------------------------------------
+
+DENSITY_SCHEMA = ("url string, text string, n_blocks int, "
+                  "n_good int, ok boolean")
+
+_DENSITY_ARROW = pa.schema([
+    ("url", pa.string()), ("text", pa.string()),
+    ("n_blocks", pa.int32()), ("n_good", pa.int32()),
+    ("ok", pa.bool_()),
+])
+
+
+def _density_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.density import extract_density as _dens
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _DENSITY_ARROW.names}
+            for url, html in zip(urls, htmls):
+                try:
+                    r = _dens(html or b"", url)
+                    text, nb, ng, ok = r.text, r.n_blocks, r.n_good, True
+                except Exception:
+                    text, nb, ng, ok = "", 0, 0, False
+                cols["url"].append(url)
+                cols["text"].append(text)
+                cols["n_blocks"].append(nb)
+                cols["n_good"].append(ng)
+                cols["ok"].append(ok)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_DENSITY_ARROW.field(n).type)
+                 for n in _DENSITY_ARROW.names], schema=_DENSITY_ARROW)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def extract_density_pages(pages: DataFrame, salt_buckets: int = 256,
+                          partitions: Optional[int] = None) -> DataFrame:
+    """jusText-style density-based main-content extraction, corpus-wide
+    (`kernel/density.py`: block segmentation -> link/stop-word-density
+    classification -> neighbour revision).  The DOM-heuristic SECOND
+    extractor next to the rule-driven converter (`extract_pages`) — a
+    quality pipeline diffs the two to find pages where tag structure
+    and text statistics disagree.  Same fused salted-mapInArrow plan,
+    map-only at 10^12 pages; hostile bytes yield ok=false rows, never
+    task failures."""
+    salted = _salted_pages(pages, salt_buckets, partitions)
+    return salted.mapInArrow(_density_batches, DENSITY_SCHEMA)
+
 
 def committed_groups(output_dir: str) -> set[int]:
     """Groups already committed by a previous (possibly killed) run."""
