@@ -477,6 +477,49 @@ from d order by url
 """
 
 
+def _q_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multi-signal keep decision (the FineWeb/CCNet-shaped
+    composition every training-data pipeline ends with): Gopher rule
+    verdict (scan-side HOFs) AND CCNet perplexity bucket != tail
+    (distinct-score window + broadcast cutoffs) AND supervised LR
+    probability >= 0.5 (broadcast weights, per-doc agg), joined on
+    doc_id.  At 10^12 docs the three signal tables co-partition on the
+    join key; nothing here shuffles document text — only (doc_id,
+    signal) columns.  The oracle composes the three already-verified
+    SQL mirrors, so this pins the COMPOSITION (join semantics, verdict
+    expression), not just the parts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = textfns.gopher_signals(F.col("text"))
+    kept = F.expr(" and ".join(p for _, p in textfns.GOPHER_KEEP_RULE))
+    g = (docs.select("doc_id", *[v.alias(k) for k, v in sigs.items()])
+         .select("doc_id", kept.alias("gopher_keep")))
+    b = (lm.lm_buckets(docs, train=docs.filter(F.col("lang") == "en"))
+         .select("doc_id", "bucket"))
+    w = classify.lr_train(docs, F.col("text").contains("spark"))
+    s = classify.lr_score(docs, w)
+    return (g.join(b, "doc_id").join(s, "doc_id")
+            .select("doc_id", "gopher_keep", "bucket", "prob",
+                    (F.col("gopher_keep") & (F.col("bucket") != "tail")
+                     & (F.col("prob") >= 0.5)).alias("keep"))
+            .orderBy("doc_id"))
+
+
+def _quality_verdict_sql() -> str:
+    sigs = textfns.SQL.gopher_signals("text")
+    cols = ", ".join(f"{e} as {k}" for k, e in sigs.items())
+    pred = " and ".join(p for _, p in textfns.GOPHER_KEEP_RULE)
+    return f"""
+with gsig as (select doc_id, {cols} from documents),
+g as (select doc_id, ({pred}) as gopher_keep from gsig),
+b as ({lm.lm_buckets_sql("documents", train_pred="lang = 'en'")}),
+s as ({classify.lr_score_sql("documents", _LR_LABEL_SQL)})
+select g.doc_id, g.gopher_keep, b.bucket, s.prob,
+       (g.gopher_keep and b.bucket <> 'tail' and s.prob >= 0.5) as keep
+from g join b using (doc_id) join s using (doc_id)
+order by g.doc_id
+"""
+
+
 _DENS_C1A = ("It is one of the most detailed reports that we have seen "
              "and it is clear that the data of run ")
 _DENS_C1B = (" will be available to all of our readers when the full "
@@ -1414,8 +1457,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  87 queries are
-    value-oracled, so 37 must sit past the window.  Round-4 allocation:
+    the first 50 entries), rows-only entries after.  88 queries are
+    value-oracled, so 38 must sit past the window.  Round-4 allocation:
 
     1. never driver-hash-verified, or changed since their last green
        driver record (27): the r03 red row (pq_codes, re-shaped), the
@@ -1444,8 +1487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        _pq_sql_parts code stays covered in-window by pq_codes +
        pq_codes; the round-4 tail additions charset_sniff,
        html_tables, page_meta and density_extract took the slots of
-       url_canonical, kmeans_clusters, domain_cap and ann_ivfpq — all
-       four r03-green and unchanged (pq_codes keeps the shared PQ/k-means CTE
+       url_canonical, kmeans_clusters, domain_cap, ann_ivfpq and —
+       for quality_verdict, which itself embeds the lm_score mirror —
+       lm_score; all five r03-green (pq_codes keeps the shared PQ/k-means CTE
        family in-window for semantic_dedup).
 
     Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample,
@@ -1489,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": _q_html_tables,
         "page_meta": _q_page_meta,
         "density_extract": _q_density_extract,
+        "quality_verdict": _q_quality_verdict,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
@@ -1507,7 +1552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         # -- group 3: r03-green refresh (shared-code families) --
         "repetition_stats": _q_repetition_stats,
-        "lm_score": _q_lm_score,
     }
     # group 2 continued: pricing_summary / parts_shipped (r01/r02-green,
     # rotated back in) complete the 50-entry window
@@ -1520,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py every round
     out.update(rel)
     out.update({
+        "lm_score": _q_lm_score,
         "ann_ivfpq": _q_ann_ivfpq,
         "kmeans_clusters": _q_kmeans_clusters,
         "domain_cap": _q_domain_cap,
@@ -1606,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         "html_tables": _html_tables_sql(),
         "page_meta": _page_meta_sql(),
         "density_extract": _density_extract_sql(),
+        "quality_verdict": _quality_verdict_sql(),
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",
