@@ -520,6 +520,157 @@ order by g.doc_id
 """
 
 
+def _corpus_url() -> F.Column:
+    """The canonical synthetic url (same construction as pages_df)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("https://site"), F.pmod(did, F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"),
+        did.cast("string"))
+
+
+_CORPUS_URL_SQL = ("'https://site' || (doc_id % 97)::varchar || "
+                   "'.example/' || source || '/p' || doc_id::varchar")
+
+
+def _q_url_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier seen-set: build the relational Bloom filter over
+    every corpus url (bit_or agg keyed by word index — map-side combine
+    collapses a 100 TB build to m/64 longs per map task), then probe a
+    half-seen / half-novel candidate list.  No false negatives by
+    construction; the DuckDB oracle recomputes every filter word AND
+    every verdict from the same salted-md5 bit positions, so the hash
+    pins the entire filter, not just the verdicts."""
+    from lexor_spark import bloom
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    seen = docs.select(_corpus_url().alias("url"))
+    bf = bloom.bloom_build(seen, F.col("url"))
+    cand = (docs.filter(did % 4 == 0)
+            .select(_corpus_url().alias("url"),
+                    F.lit(True).alias("in_corpus"))
+            .unionAll(
+                docs.filter(did % 4 == 1)
+                .select(F.concat(F.lit("https://new.example/q"),
+                                 did.cast("string")).alias("url"),
+                        F.lit(False).alias("in_corpus"))))
+    return bloom.bloom_probe(cand, F.col("url"), bf).orderBy("url")
+
+
+def _url_bloom_sql() -> str:
+    from lexor_spark import bloom
+    seen = f"(select {_CORPUS_URL_SQL} as url from documents)"
+    cand = (f"(select {_CORPUS_URL_SQL} as url, true as in_corpus "
+            f"from documents where doc_id % 4 = 0 "
+            f"union all "
+            f"select 'https://new.example/q' || doc_id::varchar as url, "
+            f"false as in_corpus from documents where doc_id % 4 = 1)")
+    return (bloom.bloom_probe_sql(cand, "url",
+                                  bloom.bloom_build_sql(seen, "url"),
+                                  ["url", "in_corpus"])
+            + " order by url")
+
+
+def _q_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org JSON-LD through the REAL kernel parse: pages get
+    deterministic ld+json blocks injected — doc_id%2==0 an Article
+    (flat keys incl. a raw '&' that raw-text parsing must NOT entity-
+    decode), doc_id%3==0 a Product with nested object + array paths,
+    doc_id%5==0 a malformed block that must spend a block_idx but emit
+    no rows — plus a typeless <script> the type filter must skip.  The
+    DuckDB oracle reconstructs every (url, block_idx, path, value) from
+    the same doc_id rules; one mis-parsed block or mis-flattened path
+    anywhere fails the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    block_a = F.when(did % 2 == 0, F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Article","headline":"Doc '),
+        did.cast("string"),
+        F.lit(' & notes","wordCount":'),
+        F.pmod(did, F.lit(997)).cast("string"),
+        F.lit("}</script>"))).otherwise(F.lit(""))
+    block_b = F.when(did % 3 == 0, F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Product","name":"P'),
+        did.cast("string"),
+        F.lit('","offers":{"price":'),
+        F.pmod(did, F.lit(500)).cast("string"),
+        F.lit(',"currency":"USD"},"tags":["a","b'),
+        F.pmod(did, F.lit(7)).cast("string"),
+        F.lit('"]}</script>'))).otherwise(F.lit(""))
+    block_bad = F.when(did % 5 == 0, F.lit(
+        '<script type="application/ld+json">{"broken": </script>'
+    )).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script>"),
+        block_a, block_b, block_bad,
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"))
+    pages = docs.select(_corpus_url().alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return (content.extract_jsonld(pages)
+            .orderBy("url", "block_idx", "path"))
+
+
+def _jsonld_sql() -> str:
+    return f"""
+with d as (select doc_id, {_CORPUS_URL_SQL} as url from documents),
+a as (
+  select url, 0 as block_idx, p.path,
+         case p.path
+           when '@type' then 'Article'
+           when 'headline' then 'Doc ' || doc_id::varchar || ' & notes'
+           else (doc_id % 997)::varchar end as value
+  from d cross join (values ('@type'), ('headline'), ('wordCount')) p(path)
+  where doc_id % 2 = 0
+),
+b as (
+  select url,
+         case when doc_id % 2 = 0 then 1 else 0 end as block_idx,
+         p.path,
+         case p.path
+           when '@type' then 'Product'
+           when 'name' then 'P' || doc_id::varchar
+           when 'offers.price' then (doc_id % 500)::varchar
+           when 'offers.currency' then 'USD'
+           when 'tags[0]' then 'a'
+           else 'b' || (doc_id % 7)::varchar end as value
+  from d cross join (values ('@type'), ('name'), ('offers.price'),
+                            ('offers.currency'), ('tags[0]'), ('tags[1]'))
+                    p(path)
+  where doc_id % 3 = 0
+)
+select * from a union all select * from b
+order by url, block_idx, path
+"""
+
+
+def _q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy tuning loop: MinHash-estimated vs exact Jaccard
+    per LSH candidate pair (dedup's analogue of ann_recall — size k
+    before committing a 100 TB dedup pass)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_est_pairs(docs, threshold=0.2).orderBy("a", "b")
+
+
+def _q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<sitemapindex> resolution (the protocol's mandatory 50k-URL
+    split): child sitemap list per host from the deterministic index
+    fixture; a locless block per host must be dropped."""
+    return (robots.sitemap_index(robots.sitemap_index_fixture_df(
+        spark, sf_dir)).orderBy("host", "child"))
+
+
+def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus 3-grams by document frequency — the boilerplate/
+    contamination-mining table (per-(doc,gram) partial agg -> gram
+    rollup -> TakeOrderedAndProject; k rows to the driver, never the
+    vocabulary)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search.ngram_counts(docs, n=3, min_df=2, k=100)
+
+
 _DENS_C1A = ("It is one of the most detailed reports that we have seen "
              "and it is clear that the data of run ")
 _DENS_C1B = (" will be available to all of our readers when the full "
@@ -1457,8 +1608,10 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  88 queries are
-    value-oracled, so 38 must sit past the window.  Round-4 allocation:
+    the first 50 entries), rows-only entries after.  93 queries are
+    value-oracled, so 43 must sit past the window (sitemap_index, a
+    late-r4 mechanical sibling of the in-window sitemap_entries, sits
+    just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
     1. never driver-hash-verified, or changed since their last green
        driver record (27): the r03 red row (pq_codes, re-shaped), the
@@ -1490,7 +1643,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        url_canonical, kmeans_clusters, domain_cap, ann_ivfpq and —
        for quality_verdict, which itself embeds the lm_score mirror —
        lm_score; all five r03-green (pq_codes keeps the shared PQ/k-means CTE
-       family in-window for semantic_dedup).
+       family in-window for semantic_dedup).  The late-r4 additions
+       url_bloom, jsonld_extract and minhash_est took the slots of
+       sitemap_entries (r03-green; robots_sitemaps stays in-window for
+       the sitemap code path), pagerank (its fixture twin — the same
+       pagerank code runs in-window over real kernel edges via
+       pagerank_links) and cdx_parse (r03-green; cdx_fetch_list,
+       cdx_lookup and cdx_diff keep every cdx.py r4 delta in-window),
+       and ngram_counts took repetition_stats' group-3 refresh slot
+       (r03-green; the textfns subtree stays in-window via
+       text_features/script_profile/gopher_filter/lm_buckets).
 
     Rotated OUT: lr_scores/lr_weights, dsir_sample, temperature_sample,
     minhash_signature, dedup_lsh_pairs, dsir_weights, semantic_dedup,
@@ -1510,12 +1672,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": _q_robots_rules,
         "robots_filter": _q_robots_filter,
         "robots_sitemaps": _q_robots_sitemaps,
-        "sitemap_entries": _q_sitemap_entries,
-        "pagerank": _q_pagerank,
+        "url_bloom": _q_url_bloom,
+        "jsonld_extract": _q_jsonld,
+        "minhash_est": _q_minhash_est,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_search": _q_bm25_search,
         "pack_bins": _q_pack_bins,
-        "cdx_parse": _q_cdx_parse,
         "cdx_fetch_list": _q_cdx_fetch_list,
         "cdx_diff": _q_cdx_diff,
         "crawl_delays": _q_crawl_delays,
@@ -1550,8 +1712,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "url_stats": _q_url_stats,
         "url_filter": _q_url_filter,
-        # -- group 3: r03-green refresh (shared-code families) --
-        "repetition_stats": _q_repetition_stats,
+        # -- group 3 slot, taken by the late-r4 ngram operator
+        #    (repetition_stats — r03-green; textfns shared code stays
+        #    in-window via text_features/script_profile/gopher_filter) --
+        "ngram_counts": _q_ngram_counts,
     }
     # group 2 continued: pricing_summary / parts_shipped (r01/r02-green,
     # rotated back in) complete the 50-entry window
@@ -1565,6 +1729,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(rel)
     out.update({
         "lm_score": _q_lm_score,
+        "repetition_stats": _q_repetition_stats,
+        "sitemap_index": _q_sitemap_index,
+        "sitemap_entries": _q_sitemap_entries,
+        "pagerank": _q_pagerank,
+        "cdx_parse": _q_cdx_parse,
         "ann_ivfpq": _q_ann_ivfpq,
         "kmeans_clusters": _q_kmeans_clusters,
         "domain_cap": _q_domain_cap,
@@ -1652,6 +1821,14 @@ def oracle_sql() -> dict[str, str]:
         "page_meta": _page_meta_sql(),
         "density_extract": _density_extract_sql(),
         "quality_verdict": _quality_verdict_sql(),
+        "url_bloom": _url_bloom_sql(),
+        "jsonld_extract": _jsonld_sql(),
+        "minhash_est": dedup.minhash_est_pairs_sql(
+            "documents", threshold=0.2) + " order by a, b",
+        "ngram_counts": search.ngram_counts_sql(
+            "documents", n=3, min_df=2, k=100),
+        "sitemap_index": robots.sitemap_index_sql(
+            robots.SITEMAP_INDEX_FIXTURE_SQL) + " order by host, child",
         "minhash_signature": SQL_MINHASH_SIG,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql("documents", threshold=0.2)
                             + " order by a, b",

@@ -178,6 +178,11 @@ def main() -> None:
         "html_tables": lambda: _entry._q_html_tables(spark, SF_DIR),
         "page_meta": lambda: _entry._q_page_meta(spark, SF_DIR),
         "density_extract": lambda: _entry._q_density_extract(spark, SF_DIR),
+        "jsonld_extract": lambda: _entry._q_jsonld(spark, SF_DIR),
+        "ngram_counts": lambda: search.ngram_counts(docs, n=3, min_df=2,
+                                                    k=100),
+        "url_bloom": lambda: _entry._q_url_bloom(spark, SF_DIR),
+        "quality_verdict": lambda: _entry._q_quality_verdict(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

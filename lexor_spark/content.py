@@ -31,8 +31,8 @@ from typing import Iterator, Optional
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-__all__ = ["extract_tables", "extract_meta",
-           "TABLES_SCHEMA", "META_SCHEMA"]
+__all__ = ["extract_tables", "extract_meta", "extract_jsonld",
+           "TABLES_SCHEMA", "META_SCHEMA", "JSONLD_SCHEMA"]
 
 TABLES_SCHEMA = ("url string, table_idx int, row_idx int, col_idx int, "
                  "is_header boolean, colspan int, rowspan int, cell string")
@@ -257,3 +257,100 @@ def extract_meta(pages: DataFrame, salt_buckets: int = 256,
     from lexor_spark.job import _salted_pages
     salted = _salted_pages(pages, salt_buckets, partitions)
     return salted.mapInArrow(_meta_batches, META_SCHEMA)
+
+
+JSONLD_SCHEMA = "url string, block_idx int, path string, value string"
+
+_JSONLD_ARROW = pa.schema([
+    ("url", pa.string()), ("block_idx", pa.int32()),
+    ("path", pa.string()), ("value", pa.string()),
+])
+
+
+def _flatten_json(obj, path: str, out: list) -> None:
+    """Depth-first scalar flattening: dicts extend the dotted path in
+    insertion order (document order — json.loads preserves it), lists
+    index as ``path[i]``.  Scalar leaves only; null leaves are kept as
+    SQL nulls so schema.org optional fields stay observable."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            _flatten_json(v, f"{path}.{k}" if path else str(k), out)
+    elif isinstance(obj, list):
+        for i, v in enumerate(obj):
+            _flatten_json(v, f"{path}[{i}]", out)
+    elif isinstance(obj, bool):
+        out.append((path, "true" if obj else "false"))
+    elif obj is None:
+        out.append((path, None))
+    else:
+        out.append((path, str(obj)))
+
+
+def _jsonld_batches(batches: Iterator[pa.RecordBatch]
+                    ) -> Iterator[pa.RecordBatch]:
+    import gc
+    import json as _json
+
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.encoding import decode_html
+    from lexor_spark.kernel.htmlparser import parse_html
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _JSONLD_ARROW.names}
+            for url, html in zip(urls, htmls):
+                doc = None
+                try:
+                    doc, _ = parse_html(decode_html(html or b"")[0], url)
+                    blk = 0
+                    for el in doc.get_nodes_by_name("script"):
+                        a = el.attrs or {}
+                        typ = (a.get("type") or "").strip().lower()
+                        if typ != "application/ld+json":
+                            continue
+                        raw = getattr(el, "data", None)
+                        idx, blk = blk, blk + 1
+                        if not isinstance(raw, str) or not raw.strip():
+                            continue
+                        try:
+                            parsed = _json.loads(raw)
+                        except ValueError:
+                            continue  # malformed block: no rows, idx spent
+                        leaves: list = []
+                        _flatten_json(parsed, "", leaves)
+                        for path, value in leaves:
+                            cols["url"].append(url)
+                            cols["block_idx"].append(idx)
+                            cols["path"].append(path)
+                            cols["value"].append(value)
+                except Exception:
+                    pass
+                finally:
+                    if doc is not None:
+                        dispose(doc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_JSONLD_ARROW.field(n).type)
+                 for n in _JSONLD_ARROW.names], schema=_JSONLD_ARROW)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def extract_jsonld(pages: DataFrame, salt_buckets: int = 256,
+                   partitions: Optional[int] = None) -> DataFrame:
+    """Schema.org structured data: one row per scalar leaf of every
+    ``<script type="application/ld+json">`` block, with document-order
+    ``block_idx`` (malformed-JSON blocks consume an index but emit no
+    rows — resilience is data, not task failure) and a dotted/indexed
+    ``path`` (``offers.price``, ``tags[1]``).  The entity-extraction
+    seed (products/articles/events) of a structured-pretraining corpus;
+    the kernel parses <script> as raw text, so JSON bytes arrive
+    verbatim (no entity decoding, per HTML raw-text rules).  Same fused
+    plan shape as every kernel pass: scan-side projection -> salted
+    exchange -> one mapInArrow, zero additional shuffles at 10^12 pages."""
+    from lexor_spark.job import _salted_pages
+    salted = _salted_pages(pages, salt_buckets, partitions)
+    return salted.mapInArrow(_jsonld_batches, JSONLD_SCHEMA)

@@ -30,7 +30,8 @@ from lexor_spark.textfns import SQL, fingerprint, normalize_text
 __all__ = [
     "shingles", "exact_dedup", "minhash_signature", "lsh_pairs",
     "jaccard_pairs", "simhash_df", "decontam_overlap", "span_dedup",
-    "host_boilerplate", "dup_clusters",
+    "host_boilerplate", "dup_clusters", "minhash_est_pairs",
+    "minhash_est_pairs_sql",
     "SHINGLE_N", "MINHASH_K", "LSH_BANDS", "SPAN_WORDS",
 ]
 
@@ -81,7 +82,8 @@ def shingles(col: Column, n: int = SHINGLE_N) -> Column:
 
 
 def shingles_df(docs: DataFrame, cols: list, text_col: str = "text",
-                n: int = SHINGLE_N, alias: str = "sh") -> DataFrame:
+                n: int = SHINGLE_N, alias: str = "sh",
+                distinct: bool = True) -> DataFrame:
     """``docs`` → (*cols, <alias>: array<string> of distinct n-gram
     shingles), with the token array materialized in its OWN projection
     so normalize+split runs once per row instead of once per shingle
@@ -97,17 +99,17 @@ def shingles_df(docs: DataFrame, cols: list, text_col: str = "text",
         lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
     )
     keep = [c for c in base.columns if c != "_toks"]
-    return base.select(*keep, F.array_distinct(grams).alias(alias))
+    out = F.array_distinct(grams) if distinct else grams
+    return base.select(*keep, out.alias(alias))
 
 
-def shingles_sql(c: str, n: int = SHINGLE_N) -> str:
+def shingles_sql(c: str, n: int = SHINGLE_N, distinct: bool = True) -> str:
     norm = SQL.NORMALIZE.format(c=c)
     toks = f"regexp_split_to_array({norm}, ' ')"
-    return (
-        f"list_distinct(list_transform("
-        f"generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
-        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))"
-    )
+    grams = (f"list_transform("
+             f"generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
+             f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))")
+    return f"list_distinct({grams})" if distinct else grams
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -751,4 +753,55 @@ with toks as (
 h as (select {id_col}, ('0x' || substr(md5(tok), 1, 8))::bigint as h from toks),
 agg as (select {id_col}, {sums} from h group by {id_col})
 select {id_col}, ({combine})::bigint as simhash from agg
+"""
+
+
+def minhash_est_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.5,
+                      k: int = MINHASH_K) -> DataFrame:
+    """Sketch-accuracy measurement: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (fraction of equal signature components)
+    next to the exact shingle Jaccard, plus their absolute error.
+
+    This is the dedup family's tuning loop — the minhash analogue of
+    `sim.ann_recall`: before committing a 100 TB dedup pass to k
+    signature components, measure E[|est − exact|] on a sample and size
+    k against the threshold band (the estimator is Binomial(k, J)/k, so
+    stderr = sqrt(J(1−J)/k) ≈ 0.17 at k=8, J=0.5 — pairs near the
+    threshold need either bigger k or the exact-verify step lsh_pairs
+    already performs).  Plan shape: the pair table joins the signature
+    table twice on the id equi-keys; signatures are k short strings, so
+    the joins move O(pairs · k · 8 B) — nothing rescans text."""
+    pairs = lsh_pairs(docs, text_col, id_col, threshold, k)
+    sig = minhash_signature(docs, text_col, id_col, k).drop("sh")
+    sa = sig.select(F.col(id_col).alias("a"),
+                    *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("b"),
+                    *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)])
+    est_raw = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(k)
+    ) / F.lit(float(k))
+    est = F.round(est_raw, 4)
+    return (pairs.join(sa, "a").join(sb, "b")
+            .select("a", "b", "jaccard", est.alias("est_jaccard"),
+                    F.round(F.abs(est - F.col("jaccard")), 4)
+                    .alias("abs_err")))
+
+
+def minhash_est_pairs_sql(table: str, text_col: str = "text",
+                          id_col: str = "doc_id", threshold: float = 0.5,
+                          k: int = MINHASH_K) -> str:
+    pairs = lsh_pairs_sql(table, text_col, id_col, threshold, k)
+    sig = minhash_signature_sql(table, text_col, id_col, k)
+    est = ("round((" +
+           " + ".join(f"(sa.mh{i} = sb.mh{i})::int" for i in range(k)) +
+           f") / {float(k)}, 4)")
+    return f"""
+with pairs as ({pairs}),
+sig as ({sig})
+select p.a, p.b, p.jaccard, {est} as est_jaccard,
+       round(abs({est} - p.jaccard), 4) as abs_err
+from pairs p
+join sig sa on p.a = sa.{id_col}
+join sig sb on p.b = sb.{id_col}
 """

@@ -47,6 +47,7 @@ __all__ = ["robots_fixture_df", "ROBOTS_FIXTURE_SQL", "parse_robots",
            "parse_robots_sql", "robots_filter", "robots_filter_sql",
            "robots_sitemaps", "robots_sitemaps_sql", "sitemap_entries",
            "sitemap_entries_sql", "sitemap_fixture_df",
+           "sitemap_index", "sitemap_index_sql", "sitemap_index_fixture_df",
            "SITEMAP_FIXTURE_SQL"]
 
 
@@ -533,4 +534,96 @@ from (
   from documents
 )
 group by host
+"""
+
+
+def sitemap_index(sitemaps: DataFrame, host_col: str = "host",
+                  xml_col: str = "sitemap_xml") -> DataFrame:
+    """(host, child, lastmod) per ``<sitemap>`` block of a
+    ``<sitemapindex>`` body — the protocol's mandatory split once a
+    sitemap exceeds 50k URLs / 50 MB, so large sites are ALWAYS behind
+    one of these.  Same scan-side shape as :func:`sitemap_entries`
+    (flatten newlines, non-greedy block split, loc/lastmod per block);
+    one resolution level per call — the frontier loop feeds the child
+    urls back through fetch + :func:`sitemap_entries`, which is how a
+    real crawler bounds recursion depth."""
+    flat = F.regexp_replace(F.col(xml_col), r"[\n\r\t]", " ")
+    blocks = F.regexp_extract_all(flat, F.lit(r"<sitemap>(.*?)</sitemap>"), 1)
+    b = (sitemaps.select(F.col(host_col).alias("host"),
+                         F.explode(blocks).alias("block")))
+    loc = F.trim(F.regexp_extract(F.col("block"), r"<loc>(.*?)</loc>", 1))
+    lastmod = F.trim(F.regexp_extract(F.col("block"),
+                                      r"<lastmod>(.*?)</lastmod>", 1))
+    return (b.select("host", loc.alias("child"),
+                     F.when(lastmod == "", None).otherwise(lastmod)
+                     .alias("lastmod"))
+            .filter(F.col("child") != ""))
+
+
+def sitemap_index_sql(sitemaps_sql: str, host_col: str = "host",
+                      xml_col: str = "sitemap_xml") -> str:
+    return f"""
+with bodies as ({sitemaps_sql}),
+blocks as (
+  select {host_col} as host,
+         unnest(regexp_extract_all(
+           regexp_replace({xml_col}, '[\\n\\r\\t]', ' ', 'g'),
+           '<sitemap>(.*?)</sitemap>', 1)) as block
+  from bodies
+)
+select host,
+       trim(regexp_extract(block, '<loc>(.*?)</loc>', 1)) as child,
+       case when trim(coalesce(regexp_extract(block,
+                 '<lastmod>(.*?)</lastmod>', 1), '')) = '' then null
+            else trim(regexp_extract(block,
+                 '<lastmod>(.*?)</lastmod>', 1))
+       end as lastmod
+from blocks
+where trim(coalesce(regexp_extract(block, '<loc>(.*?)</loc>', 1), ''))
+      <> ''
+"""
+
+
+def sitemap_index_fixture_df(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """(host, sitemap_xml): a deterministic <sitemapindex> per host —
+    1 + host_id % 4 child sitemaps, every second with a <lastmod>,
+    plus one malformed (locless) block per host."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    hosts = (docs.select((d % 97).alias("h")).distinct())
+    children = F.transform(
+        F.sequence(F.lit(0), F.pmod(F.col("h"), F.lit(4))),
+        lambda i: F.concat(
+            F.lit("<sitemap><loc>https://site"), F.col("h").cast("string"),
+            F.lit(".example/sitemap-"), i.cast("string"),
+            F.lit(".xml</loc>"),
+            F.when(i % 2 == 0, F.concat(
+                F.lit("<lastmod>2024-02-"),
+                F.lpad((1 + i).cast("string"), 2, "0"),
+                F.lit("</lastmod>"))).otherwise(F.lit("")),
+            F.lit("</sitemap>")))
+    return hosts.select(
+        F.concat(F.lit("site"), F.col("h").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(F.lit('<?xml version="1.0"?>\n<sitemapindex>\n'),
+                 F.array_join(children, "\n"),
+                 F.lit("\n<sitemap><lastmod>2024-02-01</lastmod>"
+                       "</sitemap>\n</sitemapindex>"))
+        .alias("sitemap_xml"))
+
+
+SITEMAP_INDEX_FIXTURE_SQL = """
+select 'site' || h::varchar || '.example' as host,
+       '<?xml version="1.0"?>' || chr(10) || '<sitemapindex>' || chr(10) ||
+       array_to_string(list_transform(range(0, (h % 4) + 1), i ->
+         '<sitemap><loc>https://site' || h::varchar || '.example/sitemap-'
+         || i::varchar || '.xml</loc>'
+         || (case when i % 2 = 0
+                  then '<lastmod>2024-02-' || lpad((1 + i)::varchar, 2, '0')
+                       || '</lastmod>' else '' end)
+         || '</sitemap>'), chr(10)) ||
+       chr(10) || '<sitemap><lastmod>2024-02-01</lastmod></sitemap>' ||
+       chr(10) || '</sitemapindex>' as sitemap_xml
+from (select distinct doc_id % 97 as h from documents)
 """

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from lexor_spark.textfns import SQL, _let, normalize_text
 
 __all__ = ["bm25_topk", "bm25_topk_sql", "tfidf_keywords",
-           "tfidf_keywords_sql"]
+           "tfidf_keywords_sql", "ngram_counts", "ngram_counts_sql"]
 
 
 def _norm_terms(query: str) -> list[str]:
@@ -187,4 +187,56 @@ r as (select {id_col}, term,
              score
       from s)
 select {id_col}, term, rank, score from r where rank <= {k}
+"""
+
+
+def ngram_counts(docs: DataFrame, n: int = 3, min_df: int = 2,
+                 k: int = 100, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Top-k corpus word n-grams: ``(gram, tf, df)`` ordered by document
+    frequency (the boilerplate/contamination-mining primitive — the
+    hottest n-grams of a web corpus ARE its templates and license
+    blurbs; this is also the n-gram table a decontamination or
+    memorization audit starts from).
+
+    Plan shape at 10^12 docs: tokens come from one scan-side split;
+    per-(doc, gram) counts aggregate FIRST (map-side combine collapses
+    within-document repetition before anything shuffles), then the
+    gram-keyed rollup sums tf and counts df, and the top-k is a
+    TakeOrderedAndProject — k rows to the driver, never the vocabulary.
+    Hot grams (stopword runs) are exactly what the query REPORTS, so
+    skew is the signal here, not a hazard: the second agg's combiner
+    reduces each hot key to one partial row per map task.  Ties break
+    deterministically (df desc, tf desc, gram asc)."""
+    from lexor_spark.dedup import shingles_df
+    grams = shingles_df(docs, [id_col], text_col, n=n,
+                        alias="grams", distinct=False)
+    per = (grams.select(id_col, F.explode("grams").alias("gram"))
+           .groupBy(id_col, "gram").agg(F.count("*").alias("c")))
+    agg = (per.groupBy("gram")
+           .agg(F.sum("c").alias("tf"), F.count("*").alias("df"))
+           .filter(F.col("df") >= min_df))
+    return (agg.select("gram", "tf", "df")
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("gram"))
+            .limit(k))
+
+
+def ngram_counts_sql(table: str, n: int = 3, min_df: int = 2,
+                     k: int = 100, text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    from lexor_spark.dedup import shingles_sql
+    sh = shingles_sql(text_col, n, distinct=False)
+    return f"""
+with g as (
+  select {id_col}, unnest({sh}) as gram from {table}
+),
+per as (select {id_col}, gram, count(*) as c from g group by 1, 2),
+agg as (
+  select gram, sum(c)::bigint as tf, count(*) as df
+  from per group by 1
+)
+select gram, tf, df from agg
+where df >= {min_df}
+order by df desc, tf desc, gram asc
+limit {k}
 """

@@ -146,3 +146,93 @@ def test_extract_meta_spark(tiny_pages):
     assert rows["b"].title == "T & t" and rows["b"].og_title == "OG"
     assert rows["a"].title is None
     assert rows["c"].title is None  # NULL html -> null metadata row
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD extraction (kernel-level, no Spark)
+# ---------------------------------------------------------------------------
+
+def _jsonld(html: str):
+    import json as _json
+
+    from lexor_spark.content import _flatten_json
+    doc, _ = parse_html(html, "u")
+    out = []
+    try:
+        blk = 0
+        for el in doc.get_nodes_by_name("script"):
+            a = el.attrs or {}
+            if (a.get("type") or "").strip().lower() != "application/ld+json":
+                continue
+            raw = getattr(el, "data", None)
+            idx, blk = blk, blk + 1
+            if not isinstance(raw, str) or not raw.strip():
+                continue
+            try:
+                parsed = _json.loads(raw)
+            except ValueError:
+                continue
+            leaves: list = []
+            _flatten_json(parsed, "", leaves)
+            out.extend((idx, p, v) for p, v in leaves)
+    finally:
+        dispose(doc)
+    return out
+
+
+def test_jsonld_flatten_nested_and_arrays():
+    html = ('<html><head><script type="application/ld+json">'
+            '{"@type":"Product","offers":{"price":5,"cur":"USD"},'
+            '"tags":["a","b"],"ok":true,"none":null}'
+            "</script></head><body></body></html>")
+    assert _jsonld(html) == [
+        (0, "@type", "Product"),
+        (0, "offers.price", "5"),
+        (0, "offers.cur", "USD"),
+        (0, "tags[0]", "a"),
+        (0, "tags[1]", "b"),
+        (0, "ok", "true"),
+        (0, "none", None),
+    ]
+
+
+def test_jsonld_malformed_spends_index_typeless_does_not():
+    html = ('<html><head>'
+            "<script>var x=1;</script>"                      # no type: skipped
+            '<script type="application/ld+json">{"broken": </script>'
+            '<script type="application/ld+json">{"a":1}</script>'
+            "</head><body></body></html>")
+    # malformed block consumes idx 0, valid block is idx 1
+    assert _jsonld(html) == [(1, "a", "1")]
+
+
+def test_jsonld_raw_text_no_entity_decode():
+    html = ('<script type="application/ld+json">'
+            '{"t":"A &amp; B"}</script>')
+    # raw-text content: the &amp; arrives verbatim, NOT decoded to &
+    assert _jsonld(html) == [(0, "t", "A &amp; B")]
+
+
+def test_jsonld_array_of_objects():
+    html = ('<script type="application/ld+json">'
+            '[{"x":1},{"x":2}]</script>')
+    assert _jsonld(html) == [(0, "[0].x", "1"), (0, "[1].x", "2")]
+
+
+def test_extract_jsonld_spark(spark):
+    from lexor_spark.content import extract_jsonld
+    rows = [
+        ("a", b'<html><head><script type="application/ld+json">'
+              b'{"@type":"Article","n":3,"t":["x"]}</script></head></html>'),
+        ("b", b'<script type="application/ld+json">{"bad": </script>'
+              b'<script type="application/ld+json">{"k":"v"}</script>'),
+        ("c", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted(map(tuple, extract_jsonld(pages, salt_buckets=4).collect()))
+    assert got == [
+        ("a", 0, "@type", "Article"),
+        ("a", 0, "n", "3"),
+        ("a", 0, "t[0]", "x"),
+        ("b", 1, "k", "v"),  # malformed block spent idx 0
+    ]

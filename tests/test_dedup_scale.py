@@ -278,3 +278,23 @@ def test_dup_clusters_matches_union_find_oracle(spark):
         got = {r.doc_id: r.cluster_id
                for r in dedup.dup_clusters(docs, pairs=pairs).collect()}
         assert got == expect, f"seed={seed} edges={edges}"
+
+
+def test_minhash_est_pairs_identical_docs(spark):
+    """Identical texts: est and exact Jaccard are both 1.0, error 0;
+    and est always equals the manual component-match fraction."""
+    from lexor_spark import dedup
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "a completely different document about spark shuffles here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["a"], r["b"]): r
+           for r in dedup.minhash_est_pairs(docs, threshold=0.1).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["jaccard"] == 1.0 and r["est_jaccard"] == 1.0
+    assert r["abs_err"] == 0.0
+    # est must be a multiple of 1/k
+    k = dedup.MINHASH_K
+    for r in out.values():
+        assert abs(r["est_jaccard"] * k - round(r["est_jaccard"] * k)) < 1e-9

@@ -307,3 +307,20 @@ def test_crawl_delay_matches_oracle(spark, sf_dir):
     want = dict(con.sql(robots.crawl_delays_sql(
         robots.ROBOTS_FIXTURE_SQL)).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_sitemap_index_parse(spark):
+    from lexor_spark.robots import sitemap_index
+    xml = ('<?xml version="1.0"?>\n<sitemapindex>\n'
+           "<sitemap><loc> https://h.example/s1.xml </loc>"
+           "<lastmod>2024-02-01</lastmod></sitemap>\n"
+           "<sitemap><loc>https://h.example/s2.xml</loc></sitemap>\n"
+           "<sitemap><lastmod>2024-02-02</lastmod></sitemap>\n"  # locless
+           "</sitemapindex>")
+    df = spark.createDataFrame([("h.example", xml)],
+                               "host string, sitemap_xml string")
+    got = sorted(map(tuple, sitemap_index(df).collect()))
+    assert got == [
+        ("h.example", "https://h.example/s1.xml", "2024-02-01"),
+        ("h.example", "https://h.example/s2.xml", None),
+    ]

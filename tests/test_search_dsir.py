@@ -306,3 +306,18 @@ def test_tfidf_salted_join_identical_values(spark):
     # unique term (idf ~ 0 for a term in every doc)
     top = {d: t for d, t, r, _ in plain if r == 1}
     assert top[0] == "unique0"
+
+
+def test_ngram_counts_basic(spark):
+    """Counts, df vs tf, min_df filter, deterministic tie-break."""
+    from lexor_spark.search import ngram_counts
+    rows = [(1, "a b c a b c"),     # grams: 'a b c' x2, 'b c a', 'c a b'
+            (2, "a b c d"),          # 'a b c', 'b c d'
+            (3, "z z z")]            # 'z z z'
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [tuple(r) for r in ngram_counts(docs, n=3, min_df=1, k=10).collect()]
+    assert out[0] == ("a b c", 3, 2)      # tf=3 (2 in doc1 + 1 in doc2), df=2
+    assert ("z z z", 1, 1) in out
+    # min_df=2 keeps only the shared gram
+    out2 = [tuple(r) for r in ngram_counts(docs, n=3, min_df=2, k=10).collect()]
+    assert out2 == [("a b c", 3, 2)]
