@@ -1469,6 +1469,19 @@ def _q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("shard"))
 
 
+def _q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT writer surfaced in the gate (rows-only): head metadata +
+    sorted outlinks from two kernel passes, combined scan-side into the
+    Common-Crawl WAT JSON envelope (`to_json` over ordered structs) and
+    packed into deterministic metadata-record shards — the third
+    artifact of the WARC/WET/WAT triple, completing the round trip."""
+    from lexor_spark.warc import wat_payload_df, wat_shards
+    payloads = wat_payload_df(pages_df(spark, sf_dir))
+    return (wat_shards(payloads, shards=8)
+            .select("shard", "n_records", F.md5("wat").alias("wat_md5"))
+            .orderBy("shard"))
+
+
 def _q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion surfaced in the driver gate (rows-only):
     feed the pages table through the Structured-Streaming front-end and
@@ -1789,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WARC shard source → extraction (rows-only; source surface)
         "warc_extract": _q_warc_extract,
         "wet_export": _q_wet_export,
+        "wat_export": _q_wat_export,
         # structured streaming (rows-only: streaming semantics are not
         # ANSI-SQL-expressible; batch-parity is pinned by pytest)
         "stream_extract": _q_stream_extract,

@@ -42,6 +42,7 @@ from pyspark.sql.types import (BinaryType, StringType, StructField,
 
 __all__ = ["parse_warc", "warc_records", "read_warc", "build_warc",
            "build_wet", "wet_shards", "write_wet",
+           "build_wat", "wat_shards", "wat_payload_df",
            "warc_shards", "write_warc", "WARC_SCHEMA"]
 
 WARC_SCHEMA = StructType([
@@ -369,3 +370,95 @@ def write_wet(extracted: DataFrame, output_dir: str,
             fh.write(bytes(row.wet))
         n += 1
     return n
+
+
+# --- WAT output (metadata sidecar: the third Common-Crawl artifact) --------
+
+def build_wat(records: list[tuple[str, str, str]],
+              compress: bool = True) -> bytes:
+    """Serialize (url, iso_ts, json_payload) triples as a WAT shard —
+    WARC ``metadata`` records with an ``application/json`` payload, the
+    layout Common Crawl publishes page metadata (head metas, links) in.
+    Deterministic bytes (gzip mtime 0, payload passed in pre-built so
+    the caller controls key order)."""
+    out = []
+    for url, ts, payload in records:
+        body = (payload or "{}").encode("utf-8")
+        head = ("WARC/1.0\r\n"
+                "WARC-Type: metadata\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {ts}\r\n"
+                "Content-Type: application/json\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode("utf-8")
+        rec = head + body + b"\r\n\r\n"
+        out.append(gzip.compress(rec, mtime=0) if compress else rec)
+    return b"".join(out)
+
+
+def wat_shards(meta: DataFrame, url_col: str = "url",
+               payload_col: str = "wat_json", ts_col: str = None,
+               shards: int = None, compress: bool = True) -> DataFrame:
+    """Pack per-page metadata JSON into WAT shard blobs — identical
+    distributed contract to :func:`wet_shards` (deterministic url-hash
+    shard membership, one shuffle, per-shard total-order sort, one
+    Arrow-batched packing task per shard, blobs-as-rows so any sink can
+    write them)."""
+    import pandas as pd
+
+    spark = meta.sparkSession
+    if shards is None:
+        shards = spark.sparkContext.defaultParallelism
+    ts = (F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          if ts_col else F.lit("1970-01-01T00:00:00Z"))
+    rows = (meta.filter(F.col(url_col).isNotNull())
+            .select(F.col(url_col).alias("url"),
+                    F.coalesce(F.col(payload_col), F.lit("{}"))
+                    .alias("payload"),
+                    F.coalesce(ts, F.lit("1970-01-01T00:00:00Z"))
+                    .alias("ts"),
+                    F.pmod(F.xxhash64(url_col), F.lit(shards))
+                    .alias("shard")))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "ts", "payload"], kind="mergesort")
+        blob = build_wat(list(zip(pdf["url"], pdf["ts"], pdf["payload"])),
+                         compress=compress)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "n_records": [len(pdf)],
+                             "wat": [blob]})
+
+    return rows.groupBy("shard").applyInPandas(
+        _pack, schema="shard long, n_records long, wat binary")
+
+
+def wat_payload_df(pages: DataFrame) -> DataFrame:
+    """(url, wat_json) per page: the Common-Crawl WAT envelope subset a
+    downstream link/metadata consumer reads — head metadata from one
+    kernel pass, outlinks from another, combined scan-side into a
+    deterministic JSON document (``to_json`` over ordered structs;
+    links sorted for re-run byte-identity).  Both kernel passes are the
+    fused salted-mapInArrow shape; the join key is the page url."""
+    from lexor_spark.content import extract_meta
+    from lexor_spark.graph import extract_links
+
+    meta = extract_meta(pages)
+    links = (extract_links(pages)
+             .groupBy("url")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct(F.col("abs_url").alias("url"),
+                          F.col("anchor").alias("text")))).alias("links")))
+    j = meta.join(links, "url", "left")
+    head = F.struct(
+        F.col("title").alias("Title"),
+        F.col("description").alias("Description"),
+        F.col("og_title").alias("OG-Title"),
+        F.col("og_type").alias("OG-Type"))
+    env = F.struct(
+        F.struct(F.col("url").alias("WARC-Target-URI")).alias(
+            "WARC-Header-Metadata"),
+        F.struct(F.struct(
+            head.alias("Head"),
+            F.coalesce(F.col("links"), F.array()).alias("Links"))
+            .alias("HTML-Metadata")).alias("Payload-Metadata"))
+    return j.select(
+        "url", F.to_json(F.struct(env.alias("Envelope"))).alias("wat_json"))

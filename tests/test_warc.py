@@ -240,3 +240,37 @@ def test_warc_shards_distributed_roundtrip(spark, tmp_path):
     back = read_warc(spark, d).select("url", "html").collect()
     want = {r.url: bytes(r.html) for r in pages.collect()}
     assert {r.url: bytes(r.html) for r in back} == want
+
+
+def test_build_wat_deterministic_and_parseable():
+    from lexor_spark.warc import build_wat, parse_warc
+    recs = [("https://a.example/", "2024-01-01T00:00:00Z", '{"k":1}'),
+            ("https://b.example/", "2024-01-02T00:00:00Z", '{"k":2}')]
+    blob1 = build_wat(recs)
+    blob2 = build_wat(recs)
+    assert blob1 == blob2  # byte-identical re-run
+    got = list(parse_warc(blob1))
+    assert [r["warc_type"] for r in got] == ["metadata"] * 2
+    assert got[0]["html"] == b'{"k":1}'
+    assert got[0]["content_type"] == "application/json"
+
+
+def test_wat_shards_end_to_end(spark, sf_dir):
+    import json
+
+    from lexor_spark.pages import pages_df
+    from lexor_spark.warc import parse_warc, wat_payload_df, wat_shards
+    pages = pages_df(spark, sf_dir).limit(40)
+    payloads = wat_payload_df(pages)
+    rows = payloads.collect()
+    assert rows and all(r["wat_json"] for r in rows)
+    env = json.loads(rows[0]["wat_json"])["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == rows[0]["url"]
+    html_md = env["Payload-Metadata"]["HTML-Metadata"]
+    assert "Head" in html_md and isinstance(html_md["Links"], list)
+    # every fixture page carries the nav links
+    assert any(l["url"].endswith("/about") for l in html_md["Links"])
+    shards = wat_shards(payloads, shards=4).collect()
+    assert sum(s["n_records"] for s in shards) == len(rows)
+    parsed = [r for s in shards for r in parse_warc(s["wat"])]
+    assert len(parsed) == len(rows)
