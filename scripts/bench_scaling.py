@@ -211,13 +211,22 @@ cycle-breaking `dispose`). Host: {os.cpu_count()} cores, fixed 2.1 GHz.
 
 def interleaved(lo: int = 4, hi: int = 16, reps: int = 3) -> None:
     """Jitter-robust estimator for the primary pair: alternate the two
-    levels in time (lo,hi,lo,hi,...) so a noisy host epoch hits both
-    levels alike, then take per-level medians.  Each subprocess is one
-    full confined measurement (fresh JVM, warm-up, best-of-3)."""
+    levels in time so a noisy host epoch hits both levels alike, then
+    take per-level medians.  Each subprocess is one full confined
+    measurement (fresh JVM, warm-up, best-of-3).
+
+    Within-pair order is COUNTERBALANCED (ABBA: rep 0 runs lo,hi; rep 1
+    runs hi,lo; ...).  A fixed lo-first order protects the ratio only
+    under a stationary epoch; run X (BENCH/BASELINE.md) decayed
+    monotonically through its ~50-minute window and the level run
+    second in every pair — always the wide one — absorbed the whole
+    drift.  Balanced ordering makes linear drift cancel in the
+    per-level medians instead of loading onto one level."""
     import statistics
     seq: list[tuple[int, float]] = []
-    for _ in range(reps):
-        for cores in (lo, hi):
+    for rep in range(reps):
+        order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+        for cores in order:
             r = run_level(cores)
             seq.append((cores, r["docs_per_sec"]))
             print(json.dumps({"cores": cores,
