@@ -1471,10 +1471,12 @@ def _q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT writer surfaced in the gate (rows-only): head metadata +
-    sorted outlinks from two kernel passes, combined scan-side into the
-    Common-Crawl WAT JSON envelope (`to_json` over ordered structs) and
-    packed into deterministic metadata-record shards — the third
-    artifact of the WARC/WET/WAT triple, completing the round trip."""
+    sorted outlinks from ONE fused kernel parse per page, serialized
+    in-kernel as the Common-Crawl WAT JSON envelope and packed into
+    deterministic metadata-record shards — the third artifact of the
+    WARC/WET/WAT triple.  The compositional twin (two parses + url
+    join, `wat_payload_df(fused=False)`) differential-pins the fused
+    kernel's semantics in tests/test_warc.py."""
     from lexor_spark.warc import wat_payload_df, wat_shards
     payloads = wat_payload_df(pages_df(spark, sf_dir))
     return (wat_shards(payloads, shards=8)

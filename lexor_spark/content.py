@@ -190,6 +190,36 @@ _META_KEYS = {
 }
 
 
+def meta_of_doc(doc) -> dict[str, Optional[str]]:
+    """Per-document head-metadata extraction over an already-parsed
+    DOM — the single source of truth shared by :func:`extract_meta`
+    and the fused WAT kernel (`warc.wat_payload_df`), which parses the
+    page once for metadata AND links."""
+    out: dict[str, Optional[str]] = {
+        n: None for n in _META_ARROW.names[1:]}
+    titles = doc.get_nodes_by_name("title")
+    if titles:
+        # <title> is escapable-raw-text: the kernel parses it as a
+        # RawText element whose content sits in .data, with entities
+        # still encoded
+        t = titles[0]
+        raw = getattr(t, "data", None)
+        text = (_htmllib.unescape(raw)
+                if isinstance(raw, str) else _node_text(t))
+        out["title"] = " ".join(text.split()) or None
+    for el in doc.get_nodes_by_name("meta"):
+        a = el.attrs or {}
+        content = a.get("content")
+        if content is None:
+            continue
+        for space in ("name", "property"):
+            key = (a.get(space) or "").strip().lower()
+            col = _META_KEYS.get((space, key))
+            if col and out[col] is None:
+                out[col] = content.strip()
+    return out
+
+
 def _meta_batches(batches: Iterator[pa.RecordBatch]
                   ) -> Iterator[pa.RecordBatch]:
     import gc
@@ -210,26 +240,7 @@ def _meta_batches(batches: Iterator[pa.RecordBatch]
                 doc = None
                 try:
                     doc, _ = parse_html(decode_html(html or b"")[0], url)
-                    titles = doc.get_nodes_by_name("title")
-                    if titles:
-                        # <title> is escapable-raw-text: the kernel
-                        # parses it as a RawText element whose content
-                        # sits in .data, with entities still encoded
-                        t = titles[0]
-                        raw = getattr(t, "data", None)
-                        text = (_htmllib.unescape(raw)
-                                if isinstance(raw, str) else _node_text(t))
-                        out["title"] = " ".join(text.split()) or None
-                    for el in doc.get_nodes_by_name("meta"):
-                        a = el.attrs or {}
-                        content = a.get("content")
-                        if content is None:
-                            continue
-                        for space in ("name", "property"):
-                            key = (a.get(space) or "").strip().lower()
-                            col = _META_KEYS.get((space, key))
-                            if col and out[col] is None:
-                                out[col] = content.strip()
+                    out = meta_of_doc(doc)
                 except Exception:
                     pass
                 finally:

@@ -89,6 +89,20 @@ def _anchor_text(el) -> str:
     return " ".join("".join(parts).split())
 
 
+def links_of_doc(doc, url: str) -> list[tuple[str, str, str]]:
+    """(href, abs_url, anchor) per anchor element of an already-parsed
+    DOM — the single source of truth shared by :func:`extract_links`
+    and the fused WAT kernel (`warc.wat_payload_df`), which parses the
+    page once for links AND metadata."""
+    out: list[tuple[str, str, str]] = []
+    for el in doc.get_nodes_by_name("a"):
+        href = el.attrs.get("href") if el.attrs else None
+        if not href:
+            continue
+        out.append((href, _resolve(url, href), _anchor_text(el)))
+    return out
+
+
 def _links_batches(batches: Iterator[pa.RecordBatch]
                    ) -> Iterator[pa.RecordBatch]:
     import gc
@@ -107,14 +121,11 @@ def _links_batches(batches: Iterator[pa.RecordBatch]
                 doc = None
                 try:
                     doc, _ = parse_html(decode_html(html or b"")[0], url)
-                    for el in doc.get_nodes_by_name("a"):
-                        href = el.attrs.get("href") if el.attrs else None
-                        if not href:
-                            continue
+                    for href, abs_url, anchor in links_of_doc(doc, url):
                         cols["url"].append(url)
                         cols["href"].append(href)
-                        cols["abs_url"].append(_resolve(url, href))
-                        cols["anchor"].append(_anchor_text(el))
+                        cols["abs_url"].append(abs_url)
+                        cols["anchor"].append(anchor)
                 except Exception:
                     pass
                 finally:

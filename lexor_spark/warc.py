@@ -431,15 +431,92 @@ def wat_shards(meta: DataFrame, url_col: str = "url",
         _pack, schema="shard long, n_records long, wat binary")
 
 
-def wat_payload_df(pages: DataFrame) -> DataFrame:
+_WAT_PAYLOAD_SCHEMA = "url string, wat_json string"
+
+
+def _wat_payload_batches(batches) -> "Iterator":
+    """Fused WAT kernel: ONE parse per page feeds both the head-
+    metadata and the outlink extraction (the per-document logic is
+    imported from `content.meta_of_doc` / `graph.links_of_doc` — same
+    source of truth as the standalone operators), and the envelope is
+    serialized in-kernel.  Versus the compositional plan (two full
+    parse passes + a corpus-sized url equi-join) this halves the
+    dominant cost — the HTML parse — and deletes the join shuffle
+    entirely; differential-pinned semantically identical by
+    `tests/test_warc.py::test_wat_fused_matches_compositional`."""
+    import gc
+    import json as _json
+
+    import pyarrow as pa
+
+    from lexor_spark.content import meta_of_doc
+    from lexor_spark.graph import links_of_doc
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.encoding import decode_html
+    from lexor_spark.kernel.htmlparser import parse_html
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            out_urls, out_jsons = [], []
+            for url, html in zip(urls, htmls):
+                meta: dict = {}
+                links: list = []
+                doc = None
+                try:
+                    doc, _ = parse_html(decode_html(html or b"")[0], url)
+                    meta = meta_of_doc(doc)
+                    links = links_of_doc(doc, url)
+                except Exception:
+                    pass
+                finally:
+                    if doc is not None:
+                        dispose(doc)
+                # mirror to_json(struct(...)) semantics: null fields
+                # omitted, field order fixed, links sorted (url, text)
+                head = {k: v for k, v in (
+                    ("Title", meta.get("title")),
+                    ("Description", meta.get("description")),
+                    ("OG-Title", meta.get("og_title")),
+                    ("OG-Type", meta.get("og_type"))) if v is not None}
+                link_objs = sorted(
+                    ({"url": a, "text": t} for _, a, t in links),
+                    key=lambda l: (l["url"], l["text"]))
+                env = {"Envelope": {
+                    "WARC-Header-Metadata": {"WARC-Target-URI": url},
+                    "Payload-Metadata": {"HTML-Metadata": {
+                        "Head": head, "Links": link_objs}}}}
+                out_urls.append(url)
+                out_jsons.append(_json.dumps(
+                    env, ensure_ascii=False, separators=(",", ":")))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_urls, type=pa.string()),
+                 pa.array(out_jsons, type=pa.string())],
+                names=["url", "wat_json"])
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def wat_payload_df(pages: DataFrame, fused: bool = True) -> DataFrame:
     """(url, wat_json) per page: the Common-Crawl WAT envelope subset a
-    downstream link/metadata consumer reads — head metadata from one
-    kernel pass, outlinks from another, combined scan-side into a
-    deterministic JSON document (``to_json`` over ordered structs;
-    links sorted for re-run byte-identity).  Both kernel passes are the
-    fused salted-mapInArrow shape; the join key is the page url."""
+    downstream link/metadata consumer reads — head metadata plus
+    sorted outlinks as a deterministic JSON document.
+
+    Default path (``fused=True``): one salted-mapInArrow kernel pass
+    parses each page ONCE and emits the envelope directly — no second
+    parse, no url join.  ``fused=False`` keeps the compositional plan
+    (extract_meta ⋈ extract_links combined scan-side via ``to_json``)
+    as the differential twin that pins the fused kernel's semantics."""
     from lexor_spark.content import extract_meta
     from lexor_spark.graph import extract_links
+
+    if fused:
+        from lexor_spark.job import _salted_pages
+        salted = _salted_pages(pages, 256, None)
+        return salted.mapInArrow(_wat_payload_batches, _WAT_PAYLOAD_SCHEMA)
 
     meta = extract_meta(pages)
     links = (extract_links(pages)

@@ -255,6 +255,25 @@ def test_build_wat_deterministic_and_parseable():
     assert got[0]["content_type"] == "application/json"
 
 
+def test_wat_fused_matches_compositional(spark, sf_dir):
+    """The fused one-parse WAT kernel must produce the same envelope as
+    the compositional plan (extract_meta ⋈ extract_links + to_json) on
+    every page — parsed-JSON equality (raw bytes may differ only in
+    JSON escaping variants between Jackson and json.dumps)."""
+    import json
+
+    from lexor_spark.pages import pages_df
+    from lexor_spark.warc import wat_payload_df
+    pages = pages_df(spark, sf_dir).limit(120)
+    fused = {r["url"]: json.loads(r["wat_json"])
+             for r in wat_payload_df(pages, fused=True).collect()}
+    comp = {r["url"]: json.loads(r["wat_json"])
+            for r in wat_payload_df(pages, fused=False).collect()}
+    assert fused.keys() == comp.keys()
+    for url in fused:
+        assert fused[url] == comp[url], url
+
+
 def test_wat_shards_end_to_end(spark, sf_dir):
     import json
 
