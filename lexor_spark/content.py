@@ -32,7 +32,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 __all__ = ["extract_tables", "extract_meta", "extract_jsonld",
-           "TABLES_SCHEMA", "META_SCHEMA", "JSONLD_SCHEMA"]
+           "extract_microdata", "TABLES_SCHEMA", "META_SCHEMA",
+           "JSONLD_SCHEMA", "MICRODATA_SCHEMA"]
 
 TABLES_SCHEMA = ("url string, table_idx int, row_idx int, col_idx int, "
                  "is_header boolean, colspan int, rowspan int, cell string")
@@ -365,3 +366,150 @@ def extract_jsonld(pages: DataFrame, salt_buckets: int = 256,
     from lexor_spark.job import _salted_pages
     salted = _salted_pages(pages, salt_buckets, partitions)
     return salted.mapInArrow(_jsonld_batches, JSONLD_SCHEMA)
+
+
+MICRODATA_SCHEMA = ("url string, item_idx int, itemtype string, "
+                    "prop_idx int, path string, value string")
+
+_MICRODATA_ARROW = pa.schema([
+    ("url", pa.string()), ("item_idx", pa.int32()),
+    ("itemtype", pa.string()), ("prop_idx", pa.int32()),
+    ("path", pa.string()), ("value", pa.string()),
+])
+
+# microdata value extraction per element kind (WHATWG HTML §5.2.4:
+# "values" — url-valued elements read their url attribute, <meta> reads
+# content, <time> prefers datetime, everything else is textContent)
+_MD_URL_SRC = frozenset(
+    ("img", "audio", "video", "embed", "iframe", "source", "track"))
+
+
+def _md_value(el) -> str:
+    a = el.attrs or {}
+    name = el.name
+    if name == "meta":
+        return (a.get("content") or "").strip()
+    if name in ("a", "area", "link"):
+        return (a.get("href") or "").strip()
+    if name in _MD_URL_SRC:
+        return (a.get("src") or "").strip()
+    if name == "object":
+        return (a.get("data") or "").strip()
+    if name == "data" or name == "meter":
+        return (a.get("value") or "").strip()
+    if name == "time":
+        dt = a.get("datetime")
+        return dt.strip() if dt is not None else _node_text(el)
+    return _node_text(el)
+
+
+def _md_props(item, out: list) -> None:
+    """Document-order (path, value) properties of one top-level item.
+
+    Iterative DFS (hostile nesting must not recurse); each stack entry
+    carries the dotted prefix its subtree's props emit under.  Per the
+    WHATWG crawl rules: an ``itemprop`` WITHOUT ``itemscope`` emits a
+    value (one row per whitespace-separated name) and its subtree keeps
+    contributing to the SAME item; an ``itemprop`` WITH ``itemscope``
+    is a nested item — its subtree's props emit under ``name.`` — and
+    an ``itemscope`` without ``itemprop`` below an item is a DIFFERENT
+    top-level item, so its subtree is skipped here (it gets its own
+    item_idx from the outer scan)."""
+    stack = [(c, "") for c in reversed(item.children)]
+    while stack:
+        nd, pfx = stack.pop()
+        attrs = getattr(nd, "attrs", None)
+        if attrs is None:
+            continue  # text/comment/entity nodes carry no microdata
+        names = (attrs.get("itemprop") or "").split()
+        scoped = "itemscope" in attrs
+        if names and scoped:
+            kids = getattr(nd, "children", None)
+            if kids:
+                # push once per name, reversed so multi-name prefixes
+                # emit in attribute order
+                for nm in reversed(names):
+                    npfx = f"{pfx}{nm}."
+                    stack.extend((c, npfx) for c in reversed(kids))
+        elif names:
+            for nm in names:
+                out.append((pfx + nm, _md_value(nd)))
+            kids = getattr(nd, "children", None)
+            if kids:
+                stack.extend((c, pfx) for c in reversed(kids))
+        elif scoped:
+            continue  # someone else's top-level item
+        else:
+            kids = getattr(nd, "children", None)
+            if kids:
+                stack.extend((c, pfx) for c in reversed(kids))
+
+
+def _microdata_batches(batches: Iterator[pa.RecordBatch]
+                       ) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.encoding import decode_html
+    from lexor_spark.kernel.htmlparser import parse_html
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _MICRODATA_ARROW.names}
+            for url, html in zip(urls, htmls):
+                doc = None
+                try:
+                    doc, _ = parse_html(decode_html(html or b"")[0], url)
+                    item_idx = 0
+                    for el in doc.iter():
+                        attrs = getattr(el, "attrs", None)
+                        if (not attrs or "itemscope" not in attrs
+                                or "itemprop" in attrs):
+                            continue
+                        itype = attrs.get("itemtype")
+                        itype = itype.strip() if itype else None
+                        props: list = []
+                        _md_props(el, props)
+                        for prop_idx, (path, value) in enumerate(props):
+                            cols["url"].append(url)
+                            cols["item_idx"].append(item_idx)
+                            cols["itemtype"].append(itype)
+                            cols["prop_idx"].append(prop_idx)
+                            cols["path"].append(path)
+                            cols["value"].append(value)
+                        item_idx += 1
+                except Exception:
+                    pass
+                finally:
+                    if doc is not None:
+                        dispose(doc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_MICRODATA_ARROW.field(n).type)
+                 for n in _MICRODATA_ARROW.names], schema=_MICRODATA_ARROW)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def extract_microdata(pages: DataFrame, salt_buckets: int = 256,
+                      partitions: Optional[int] = None) -> DataFrame:
+    """Schema.org MICRODATA (the attribute-borne sibling of JSON-LD —
+    together they are what real WAT consumers mine for structured
+    entities): one row per property of every top-level item
+    (``itemscope`` without ``itemprop``), with document-order
+    ``item_idx``/``prop_idx``, the item's ``itemtype``, a dotted
+    ``path`` through nested items (``offers.price``), and the value per
+    the WHATWG extraction rules (<meta>→content, <a>/<link>→href,
+    <img>→src, <time>→datetime, else whitespace-normalized entity-
+    decoded text).  Multi-name ``itemprop="author url"`` emits one row
+    per name; stray ``itemprop`` outside any item emits nothing.  The
+    reference kernel has no structured-data surface (it is a
+    single-document text converter); this is a corpus operator on the
+    same parse.  Plan shape: scan-side projection -> salted exchange ->
+    one mapInArrow kernel pass — zero extra shuffles at 10^12 pages."""
+    from lexor_spark.job import _salted_pages
+    salted = _salted_pages(pages, salt_buckets, partitions)
+    return salted.mapInArrow(_microdata_batches, MICRODATA_SCHEMA)

@@ -236,3 +236,92 @@ def test_extract_jsonld_spark(spark):
         ("a", 0, "t[0]", "x"),
         ("b", 1, "k", "v"),  # malformed block spent idx 0
     ]
+
+
+# ---------------------------------------------------------------- microdata
+
+def _microdata(html: str):
+    """(item_idx, itemtype, path, value) rows via the same walk the
+    Arrow kernel runs (content._md_props)."""
+    from lexor_spark.content import _md_props
+    doc, _ = parse_html(html, "u")
+    out = []
+    item_idx = 0
+    for el in doc.iter():
+        attrs = getattr(el, "attrs", None)
+        if not attrs or "itemscope" not in attrs or "itemprop" in attrs:
+            continue
+        itype = (attrs.get("itemtype") or "").strip() or None
+        props: list = []
+        _md_props(el, props)
+        for path, value in props:
+            out.append((item_idx, itype, path, value))
+        item_idx += 1
+    return out
+
+
+def test_microdata_nested_item_dotted_path_and_value_rules():
+    html = ('<div itemscope itemtype="https://schema.org/Product">'
+            '<span itemprop="name">P &amp; q</span>'
+            '<meta itemprop="sku" content=" S1 ">'
+            '<div itemprop="offers" itemscope>'
+            '<span itemprop="price">9</span>'
+            '<link itemprop="availability" href="/s"></div></div>')
+    assert _microdata(html) == [
+        (0, "https://schema.org/Product", "name", "P & q"),
+        (0, "https://schema.org/Product", "sku", "S1"),
+        (0, "https://schema.org/Product", "offers.price", "9"),
+        (0, "https://schema.org/Product", "offers.availability", "/s"),
+    ]
+
+
+def test_microdata_multiname_time_and_stray():
+    html = ('<p itemprop="stray">ignored</p>'
+            '<article itemscope itemtype="T">'
+            '<time itemprop="datePublished" datetime="2026-1-2">old</time>'
+            '<a itemprop="author url" href="/u/3">U</a></article>')
+    assert _microdata(html) == [
+        (0, "T", "datePublished", "2026-1-2"),
+        (0, "T", "author", "/u/3"),
+        (0, "T", "url", "/u/3"),
+    ]
+
+
+def test_microdata_inner_itemscope_without_itemprop_is_own_item():
+    # per WHATWG: itemscope w/o itemprop is ALWAYS a top-level item,
+    # even inside another item — and its props never leak outward
+    html = ('<div itemscope itemtype="A"><b itemprop="x">1</b>'
+            '<div itemscope><i itemprop="y">2</i></div></div>')
+    assert _microdata(html) == [
+        (0, "A", "x", "1"),
+        (1, None, "y", "2"),
+    ]
+
+
+def test_microdata_itemprop_subtree_contributes_to_same_item():
+    # itemprop WITHOUT itemscope: value emitted AND descendants keep
+    # contributing to the same item (WHATWG crawl order)
+    html = ('<div itemscope><div itemprop="a"><span itemprop="b">2'
+            '</span>zz</div></div>')
+    assert _microdata(html) == [
+        (0, None, "a", "2zz"),
+        (0, None, "b", "2"),
+    ]
+
+
+def test_microdata_time_without_datetime_falls_back_to_text():
+    html = '<div itemscope><time itemprop="d">yesterday</time></div>'
+    assert _microdata(html) == [(0, None, "d", "yesterday")]
+
+
+def test_extract_microdata_spark(spark):
+    from lexor_spark.content import extract_microdata
+    rows = [
+        ("a", b'<div itemscope itemtype="T"><span itemprop="k">v</span>'
+              b'</div>'),
+        ("b", b"<p>no items</p>"),
+        ("c", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted(map(tuple, extract_microdata(pages, salt_buckets=4).collect()))
+    assert got == [("a", 0, "T", 0, "k", "v")]
