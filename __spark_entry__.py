@@ -1170,6 +1170,59 @@ def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "slot"))
 
 
+def _captures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic capture-history fixture: 4 weekly snapshots per
+    url; snapshot s >= 1 CHANGES the digest iff (doc_id+s) % (2 +
+    doc_id%3) == 0 — per-doc periods 2/3/4 give mixed change rates,
+    including never-changed and just-changed tails.  digest = 'd' ||
+    doc_id || '-' || version where version counts changes so far, so
+    unchanged snapshots repeat the previous digest exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did, s = F.col("doc_id"), F.col("s")
+    m = F.lit(2) + F.pmod(did, F.lit(3))
+
+    def chg(t: int) -> F.Column:
+        return F.when((s >= t) & (F.pmod(did + t, m) == 0),
+                      1).otherwise(0)
+
+    version = chg(1) + chg(2) + chg(3)
+    return (docs
+            .select("doc_id", "source",
+                    F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"))
+            .select(
+                _corpus_url().alias("url"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.pmod(did, F.lit(86_400))
+                    + s * F.lit(604_800)).alias("ts"),
+                F.concat(F.lit("d"), did.cast("string"), F.lit("-"),
+                         version.cast("string")).alias("digest")))
+
+
+_CAPTURES_SQL = f"""
+select {_CORPUS_URL_SQL} as url,
+       to_timestamp(1700000000 + (doc_id % 86400) + s.s * 604800) as ts,
+       'd' || doc_id::varchar || '-' || (
+         (case when s.s >= 1 and (doc_id + 1) % (2 + doc_id % 3) = 0
+               then 1 else 0 end) +
+         (case when s.s >= 2 and (doc_id + 2) % (2 + doc_id % 3) = 0
+               then 1 else 0 end) +
+         (case when s.s >= 3 and (doc_id + 3) % (2 + doc_id % 3) = 0
+               then 1 else 0 end))::varchar as digest
+from documents cross join (values (0), (1), (2), (3)) s(s)
+"""
+
+
+def _q_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit scheduling (Cho & Garcia-Molina-style) over the
+    capture-history fixture: per-url digest-change stats and the next
+    crawl time — exponential back-off on the unchanged streak, pulled
+    back by lifetime change count, clamped to [6h, 90d].  The DuckDB
+    oracle replays the same window + clamp arithmetic; one url-keyed
+    exchange serves both the lag window and the aggregation."""
+    return (frontier.recrawl_schedule(_captures_df(spark, sf_dir))
+            .orderBy("url"))
+
+
 def _q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """urlkey-bucketed index storage + PRUNED point lookup: write the
     fetch list partitioned by crc32(surt_host) % 16, then read back one
@@ -1779,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_bloom": _q_url_bloom,
         "jsonld_extract": _q_jsonld,
         "microdata_extract": _q_microdata,
+        "recrawl_schedule": _q_recrawl,
         "minhash_est": _q_minhash_est,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_search": _q_bm25_search,
@@ -1822,13 +1876,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    in-window via text_features/script_profile/gopher_filter) --
         "ngram_counts": _q_ngram_counts,
     }
-    # group 2 continued: pricing_summary (r01/r02-green, rotated back
-    # in) completes the 50-entry window; parts_shipped gave its slot to
-    # the late-r4 microdata_extract and waits past the boundary (its
-    # mechanical relational sibling pricing_summary keeps the family
-    # in-window)
+    # the pricing_summary / parts_shipped group-2 rotation slots went to
+    # the late-r4 microdata_extract + recrawl_schedule (never-verified
+    # operators outrank refreshing r01/r02-green entries); both wait
+    # just past the boundary, still swept by scripts/check_oracles.py
     rel = dict(RELATIONAL_QUERIES)
-    out["pricing_summary"] = rel.pop("pricing_summary")
     # ---- window boundary: the 50 entries above are driver-recorded ----
     # rotated past the window: r03-green and unchanged since (the
     # remaining relational entries + lr_scores); still value-oracled by
@@ -1932,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         "url_bloom": _url_bloom_sql(),
         "jsonld_extract": _jsonld_sql(),
         "microdata_extract": _microdata_sql(),
+        "recrawl_schedule": frontier.recrawl_schedule_sql(_CAPTURES_SQL),
         "minhash_est": dedup.minhash_est_pairs_sql(
             "documents", threshold=0.2) + " order by a, b",
         "ngram_counts": search.ngram_counts_sql(

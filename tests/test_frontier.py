@@ -60,3 +60,63 @@ def test_schedule_validation(spark):
     with pytest.raises(ValueError):
         frontier.fetch_schedule(_fetch(spark, []), _delays(spark, []),
                                 n_workers=0)
+
+
+# ------------------------------------------------------------- recrawl
+
+def _caps(spark, rows):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "url string, ts_s long, digest string")
+    return df.select("url", F.timestamp_seconds("ts_s").alias("ts"),
+                     "digest")
+
+
+def _sched(spark, rows, **kw):
+    got = frontier.recrawl_schedule(_caps(spark, rows), **kw).collect()
+    return {r["url"]: r for r in got}
+
+
+def test_recrawl_never_changed_backs_off(spark):
+    # 4 identical digests: streak 3, 0 changes -> 24 * 2^3 = 192h
+    rows = [("u", 1000 + i * 100, "d0") for i in range(4)]
+    r = _sched(spark, rows)["u"]
+    assert (r["n_captures"], r["n_changes"], r["unchanged_streak"]) == (4, 0, 3)
+    assert r["change_rate"] == 0.0
+    assert r["next_interval_h"] == 192.0
+
+
+def test_recrawl_always_changing_hits_floor(spark):
+    # every capture different: streak 0, 3 changes -> 24/4 = 6h floor
+    rows = [("u", 1000 + i * 100, f"d{i}") for i in range(4)]
+    r = _sched(spark, rows)["u"]
+    assert (r["n_changes"], r["unchanged_streak"]) == (3, 0)
+    assert r["change_rate"] == 1.0
+    assert r["next_interval_h"] == 6.0
+    # next fetch anchored to the LAST capture
+    assert int(r["next_fetch_ts"].timestamp()) == 1300 + 6 * 3600
+
+
+def test_recrawl_streak_cap_and_ceiling(spark):
+    # 12 identical digests: raw 24*2^11 but streak caps at 6 -> 24*64
+    # = 1536h; with max_h=100 the ceiling clamps
+    rows = [("u", 1000 + i * 100, "d0") for i in range(12)]
+    assert _sched(spark, rows)["u"]["next_interval_h"] == 1536.0
+    assert _sched(spark, rows, max_h=100.0)["u"]["next_interval_h"] == 100.0
+
+
+def test_recrawl_single_capture_null_rate(spark):
+    r = _sched(spark, [("u", 1000, "d0")])["u"]
+    assert r["n_captures"] == 1 and r["n_changes"] == 0
+    assert r["change_rate"] is None
+    assert r["unchanged_streak"] == 0
+    assert r["next_interval_h"] == 24.0  # base: no evidence either way
+
+
+def test_recrawl_change_then_quiet(spark):
+    # change at idx 1 then two quiet: streak 2, 1 change ->
+    # 24 * 2^2 / 2 = 48h
+    rows = [("u", 1000, "a"), ("u", 1100, "b"),
+            ("u", 1200, "b"), ("u", 1300, "b")]
+    r = _sched(spark, rows)["u"]
+    assert (r["n_changes"], r["unchanged_streak"]) == (1, 2)
+    assert r["next_interval_h"] == 48.0
