@@ -735,6 +735,85 @@ order by url, item_idx, prop_idx
 """
 
 
+def _q_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-outline extraction through the real kernel parse:
+    hierarchical section numbers per h1-h6 (the skeleton section-aware
+    chunking keys on).  Pages get a deterministic heading sequence —
+    always an h1 and a trailing h2, doc_id%5==0 an h4 DIRECTLY after
+    the h1 (skipped levels must number as literal zeros: 1.0.0.1),
+    doc_id%2==0 an h2+h3 pair (1.1 / 1.1.1), doc_id%3==0 a second h1
+    restarting the outline (2 / 2.1).  The trailing h2's number DEPENDS
+    on whether the %2 block ran (1.2 vs 1.1), so the oracle pins the
+    counter state machine, not just per-heading labels."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    h4 = F.when(did % 5 == 0, F.concat(
+        F.lit("<h4>Jump "), s(did % 9), F.lit("</h4>"))).otherwise(F.lit(""))
+    pair = F.when(did % 2 == 0, F.concat(
+        F.lit("<h2>Part A</h2><h3>Deep "), s(did % 7),
+        F.lit("</h3>"))).otherwise(F.lit(""))
+    second = F.when(did % 3 == 0,
+                    F.lit("<h1>Second</h1><h2>Tail</h2>")
+                    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), s(did), F.lit("</h1>"),
+        h4, pair,
+        F.lit("<h2>Part B "), s(did % 5), F.lit("</h2>"),
+        second,
+        F.lit("<p>"), F.col("text"), F.lit("</p></body></html>"))
+    pages = docs.select(_corpus_url().alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return (content.extract_outline(pages)
+            .orderBy("url", "heading_idx"))
+
+
+def _outline_sql() -> str:
+    return f"""
+with d as (
+  select doc_id, {_CORPUS_URL_SQL} as url,
+         case when doc_id % 5 = 0 then 1 else 0 end as b5,
+         case when doc_id % 2 = 0 then 1 else 0 end as b2,
+         case when doc_id % 3 = 0 then 1 else 0 end as b3
+  from documents
+),
+h1 as (
+  select url, 0 as heading_idx, 1 as level, '1' as section,
+         'Doc ' || doc_id::varchar as heading from d
+),
+h4 as (
+  select url, 1 as heading_idx, 4 as level, '1.0.0.1' as section,
+         'Jump ' || (doc_id % 9)::varchar as heading from d where b5 = 1
+),
+h2a as (
+  select url, 1 + b5 as heading_idx, 2 as level, '1.1' as section,
+         'Part A' as heading from d where b2 = 1
+),
+h3 as (
+  select url, 2 + b5 as heading_idx, 3 as level, '1.1.1' as section,
+         'Deep ' || (doc_id % 7)::varchar as heading from d where b2 = 1
+),
+h2b as (
+  select url, 1 + b5 + 2 * b2 as heading_idx, 2 as level,
+         case when b2 = 1 then '1.2' else '1.1' end as section,
+         'Part B ' || (doc_id % 5)::varchar as heading from d
+),
+h1b as (
+  select url, 2 + b5 + 2 * b2 as heading_idx, 1 as level, '2' as section,
+         'Second' as heading from d where b3 = 1
+),
+h2t as (
+  select url, 3 + b5 + 2 * b2 as heading_idx, 2 as level, '2.1' as section,
+         'Tail' as heading from d where b3 = 1
+)
+select * from h1 union all select * from h4 union all
+select * from h2a union all select * from h3 union all
+select * from h2b union all select * from h1b union all
+select * from h2t
+order by url, heading_idx
+"""
+
+
 def _q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy tuning loop: MinHash-estimated vs exact Jaccard
     per LSH candidate pair (dedup's analogue of ann_recall — size k
@@ -1765,8 +1844,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  94 queries are
-    value-oracled, so 44 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  96 queries are
+    value-oracled, so 46 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -1833,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_extract": _q_jsonld,
         "microdata_extract": _q_microdata,
         "recrawl_schedule": _q_recrawl,
+        "outline_extract": _q_outline,
         "minhash_est": _q_minhash_est,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_search": _q_bm25_search,
@@ -1870,7 +1950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed": _q_ann_bucketed,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "url_stats": _q_url_stats,
-        "url_filter": _q_url_filter,
         # -- group 3 slot, taken by the late-r4 ngram operator
         #    (repetition_stats — r03-green; textfns shared code stays
         #    in-window via text_features/script_profile/gopher_filter) --
@@ -1887,6 +1966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py every round
     out.update(rel)
     out.update({
+        # url_filter's group-2 rotation slot went to outline_extract
+        # (never-verified outranks r01/r02-green refresh; the urlfns
+        # family stays in-window via url_stats + url_bloom)
+        "url_filter": _q_url_filter,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -1985,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_extract": _jsonld_sql(),
         "microdata_extract": _microdata_sql(),
         "recrawl_schedule": frontier.recrawl_schedule_sql(_CAPTURES_SQL),
+        "outline_extract": _outline_sql(),
         "minhash_est": dedup.minhash_est_pairs_sql(
             "documents", threshold=0.2) + " order by a, b",
         "ngram_counts": search.ngram_counts_sql(

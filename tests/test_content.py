@@ -325,3 +325,47 @@ def test_extract_microdata_spark(spark):
     pages = spark.createDataFrame(rows, "url string, html binary")
     got = sorted(map(tuple, extract_microdata(pages, salt_buckets=4).collect()))
     assert got == [("a", 0, "T", 0, "k", "v")]
+
+
+# ---------------------------------------------------------------- outline
+
+def _outline(html: str):
+    from lexor_spark.content import outline_of_doc
+    doc, _ = parse_html(html, "u")
+    return outline_of_doc(doc)
+
+
+def test_outline_numbering_and_reset():
+    html = ("<h1>A</h1><h2>B</h2><h3>C</h3><h2>D</h2>"
+            "<h1>E</h1><h2>F</h2>")
+    assert _outline(html) == [
+        (1, "1", "A"), (2, "1.1", "B"), (3, "1.1.1", "C"),
+        (2, "1.2", "D"), (1, "2", "E"), (2, "2.1", "F"),
+    ]
+
+
+def test_outline_skipped_level_shows_zero():
+    assert _outline("<h1>A</h1><h4>B</h4>") == [
+        (1, "1", "A"), (4, "1.0.0.1", "B")]
+    # heading before any h1: leading zero
+    assert _outline("<h2>X</h2>") == [(2, "0.1", "X")]
+
+
+def test_outline_deeper_counters_reset_on_shallower_heading():
+    html = "<h1>A</h1><h3>B</h3><h2>C</h2><h3>D</h3>"
+    assert _outline(html) == [
+        (1, "1", "A"), (3, "1.0.1", "B"),
+        (2, "1.1", "C"), (3, "1.1.1", "D")]
+
+
+def test_outline_entity_decoded_text():
+    assert _outline("<h1>A &amp; <i>B</i></h1>") == [(1, "1", "A & B")]
+
+
+def test_extract_outline_spark(spark):
+    from lexor_spark.content import extract_outline
+    rows = [("a", b"<h1>T</h1><h2>S</h2>"), ("b", b"<p>none</p>"),
+            ("c", None)]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted(map(tuple, extract_outline(pages, salt_buckets=4).collect()))
+    assert got == [("a", 0, 1, "1", "T"), ("a", 1, 2, "1.1", "S")]
