@@ -814,6 +814,66 @@ order by url, heading_idx
 """
 
 
+def _q_link_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-context classification through the real kernel parse: per
+    <a>, the rel=nofollow token flag (case-insensitive, token-split —
+    'sponsored nofollow' counts, 'nofollowish' must not) and the
+    DROPPED flag — whether the extraction rule-set strips the anchor as
+    boilerplate (nav/footer ancestry, boilerplate class tokens).  The
+    signals a content-graph consumer weights PageRank edges by.  The
+    DuckDB oracle reconstructs all five columns from the fixture rules;
+    the dropped flag must agree with the extractor's own DROP decision
+    (nav=true, main=false, footer=true, div.sidebar=true)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    spon = F.when(did % 2 == 0, F.concat(
+        F.lit('<a href="/spon/'), s(did % 5),
+        F.lit('" rel="sponsored nofollow">Ad</a>'))).otherwise(F.lit(""))
+    side = F.when(did % 3 == 0, F.concat(
+        F.lit('<div class="sidebar"><a href="/side/'), s(did % 9),
+        F.lit('">S</a></div>'))).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><nav class="nav"><a href="/home">Home</a>'
+              '</nav><main><p><a href="/good/'), s(did),
+        F.lit('">Read '), s(did % 7), F.lit("</a>"), spon,
+        F.lit('</p></main><footer><a href="/about" rel="NoFollow">'
+              "About</a></footer>"),
+        side,
+        F.lit("</body></html>"))
+    pages = docs.select(_corpus_url().alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return (graph.extract_links(pages)
+            .select("url", "abs_url", "anchor", "nofollow", "dropped")
+            .orderBy("url", "abs_url", "anchor"))
+
+
+def _link_context_sql() -> str:
+    return f"""
+with d as (
+  select doc_id, {_CORPUS_URL_SQL} as url,
+         'https://site' || (doc_id % 97)::varchar || '.example' as origin
+  from documents
+),
+rows_ as (
+  select url, origin || '/home' as abs_url, 'Home' as anchor,
+         false as nofollow, true as dropped from d
+  union all
+  select url, origin || '/good/' || doc_id::varchar,
+         'Read ' || (doc_id % 7)::varchar, false, false from d
+  union all
+  select url, origin || '/spon/' || (doc_id % 5)::varchar, 'Ad',
+         true, false from d where doc_id % 2 = 0
+  union all
+  select url, origin || '/about', 'About', true, true from d
+  union all
+  select url, origin || '/side/' || (doc_id % 9)::varchar, 'S',
+         false, true from d where doc_id % 3 = 0
+)
+select * from rows_ order by url, abs_url, anchor
+"""
+
+
 def _q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy tuning loop: MinHash-estimated vs exact Jaccard
     per LSH candidate pair (dedup's analogue of ann_recall — size k
@@ -1844,8 +1904,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  96 queries are
-    value-oracled, so 46 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  97 queries are
+    value-oracled, so 47 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -1913,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata_extract": _q_microdata,
         "recrawl_schedule": _q_recrawl,
         "outline_extract": _q_outline,
+        "link_context": _q_link_context,
         "minhash_est": _q_minhash_est,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_search": _q_bm25_search,
@@ -1948,7 +2009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _q_decontam,
         "cosine_topk": _q_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
-        "cosine_dup_pairs": _q_cosine_dup_pairs,
         "url_stats": _q_url_stats,
         # -- group 3 slot, taken by the late-r4 ngram operator
         #    (repetition_stats — r03-green; textfns shared code stays
@@ -1966,10 +2026,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py every round
     out.update(rel)
     out.update({
-        # url_filter's group-2 rotation slot went to outline_extract
-        # (never-verified outranks r01/r02-green refresh; the urlfns
-        # family stays in-window via url_stats + url_bloom)
+        # url_filter's and cosine_dup_pairs' group-2 rotation slots went
+        # to outline_extract and link_context (never-verified outranks
+        # r01/r02-green refresh; the urlfns family stays in-window via
+        # url_stats + url_bloom, the cosine family via cosine_topk +
+        # ann_bucketed)
         "url_filter": _q_url_filter,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2069,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
         "microdata_extract": _microdata_sql(),
         "recrawl_schedule": frontier.recrawl_schedule_sql(_CAPTURES_SQL),
         "outline_extract": _outline_sql(),
+        "link_context": _link_context_sql(),
         "minhash_est": dedup.minhash_est_pairs_sql(
             "documents", threshold=0.2) + " order by a, b",
         "ngram_counts": search.ngram_counts_sql(

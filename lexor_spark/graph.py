@@ -39,11 +39,13 @@ __all__ = ["extract_links", "extract_directives", "pagerank",
            "anchor_texts", "fixture_edges", "FIXTURE_EDGES_SQL"]
 
 
-LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string")
+LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string, "
+                "nofollow boolean, dropped boolean")
 
 _LINKS_ARROW = pa.schema([
     ("url", pa.string()), ("href", pa.string()),
     ("abs_url", pa.string()), ("anchor", pa.string()),
+    ("nofollow", pa.bool_()), ("dropped", pa.bool_()),
 ])
 
 
@@ -89,17 +91,54 @@ def _anchor_text(el) -> str:
     return " ".join("".join(parts).split())
 
 
-def links_of_doc(doc, url: str) -> list[tuple[str, str, str]]:
-    """(href, abs_url, anchor) per anchor element of an already-parsed
-    DOM — the single source of truth shared by :func:`extract_links`
-    and the fused WAT kernel (`warc.wat_payload_df`), which parses the
-    page once for links AND metadata."""
-    out: list[tuple[str, str, str]] = []
+def _link_dropped(el, memo: dict) -> bool:
+    """True if the extractor's rule-set would DROP this link's text —
+    i.e. the anchor sits in boilerplate (nav/header/footer/aside,
+    boilerplate class/id tokens) or is itself boilerplate-classed.
+    Uses the SAME decision function as extraction (`extraction_decide`),
+    so the flag means exactly "this link's anchor does not survive into
+    the extracted text".  Ancestor verdicts are memoized per document
+    (links cluster under shared nav/footer subtrees)."""
+    from lexor_spark.kernel.extractor import DROP, extraction_decide
+    chain: list = []
+    cur = el
+    val = False
+    while cur is not None:
+        key = id(cur)
+        if key in memo:
+            val = memo[key]
+            break
+        chain.append((key, cur))
+        cur = getattr(cur, "parent", None)
+    for key, node in reversed(chain):
+        if not val:
+            val = extraction_decide(node) == DROP
+        memo[key] = val
+    return val
+
+
+def links_of_doc(doc, url: str
+                 ) -> list[tuple[str, str, str, bool, bool]]:
+    """(href, abs_url, anchor, nofollow, dropped) per anchor element of
+    an already-parsed DOM — the single source of truth shared by
+    :func:`extract_links` and the fused WAT kernel
+    (`warc.wat_payload_df`), which parses the page once for links AND
+    metadata.  ``nofollow`` is the per-link ``rel`` token (RFC-style
+    space-separated token match, the signal crawlers and PageRank
+    weighting respect); ``dropped`` marks links whose anchor the
+    extraction rule-set strips as boilerplate — the nav/footer links a
+    content-graph consumer down-weights."""
+    out: list[tuple[str, str, str, bool, bool]] = []
+    memo: dict = {}
     for el in doc.get_nodes_by_name("a"):
         href = el.attrs.get("href") if el.attrs else None
         if not href:
             continue
-        out.append((href, _resolve(url, href), _anchor_text(el)))
+        rel = el.attrs.get("rel")
+        nofollow = (bool(rel)
+                    and "nofollow" in rel.lower().split())
+        out.append((href, _resolve(url, href), _anchor_text(el),
+                    nofollow, _link_dropped(el, memo)))
     return out
 
 
@@ -121,11 +160,14 @@ def _links_batches(batches: Iterator[pa.RecordBatch]
                 doc = None
                 try:
                     doc, _ = parse_html(decode_html(html or b"")[0], url)
-                    for href, abs_url, anchor in links_of_doc(doc, url):
+                    for (href, abs_url, anchor, nofollow,
+                         dropped) in links_of_doc(doc, url):
                         cols["url"].append(url)
                         cols["href"].append(href)
                         cols["abs_url"].append(abs_url)
                         cols["anchor"].append(anchor)
+                        cols["nofollow"].append(nofollow)
+                        cols["dropped"].append(dropped)
                 except Exception:
                     pass
                 finally:

@@ -482,7 +482,7 @@ def _wat_payload_batches(batches) -> "Iterator":
                     ("OG-Title", meta.get("og_title")),
                     ("OG-Type", meta.get("og_type"))) if v is not None}
                 link_objs = sorted(
-                    ({"url": a, "text": t} for _, a, t in links),
+                    ({"url": a, "text": t} for _, a, t, _nf, _dp in links),
                     key=lambda l: (l["url"], l["text"]))
                 env = {"Envelope": {
                     "WARC-Header-Metadata": {"WARC-Target-URI": url},

@@ -191,3 +191,37 @@ def test_extract_directives(spark):
         r = got[u]
         assert r.meta_robots is None and not r.noindex and not r.nofollow
         assert r.canonical is None and r.n_hreflang == 0
+
+
+# --------------------------------------------------------- link context
+
+def _links(html: str, url: str = "https://h.example/a/b"):
+    from lexor_spark.graph import links_of_doc
+    from lexor_spark.kernel.htmlparser import parse_html
+    doc, _ = parse_html(html, url)
+    return links_of_doc(doc, url)
+
+
+def test_nofollow_token_match_not_substring():
+    got = _links('<a href="/x" rel="sponsored NOFOLLOW">a</a>'
+                 '<a href="/y" rel="nofollowish">b</a>'
+                 '<a href="/z">c</a>')
+    assert [(l[0], l[3]) for l in got] == [
+        ("/x", True), ("/y", False), ("/z", False)]
+
+
+def test_dropped_matches_extractor_decision():
+    html = ('<nav><a href="/n">nav</a></nav>'
+            '<main><p><a href="/m">main</a></p></main>'
+            '<footer><a href="/f">foot</a></footer>'
+            '<div class="sidebar"><a href="/s">side</a></div>'
+            '<p><a href="/b" class="share-buttons">share</a></p>')
+    got = {l[0]: l[4] for l in _links(html)}
+    assert got == {"/n": True, "/m": False, "/f": True,
+                   "/s": True, "/b": True}
+
+
+def test_dropped_memo_consistent_across_siblings():
+    # two links under the same nav share the memoized ancestor verdict
+    got = _links('<nav><a href="/1">x</a><a href="/2">y</a></nav>')
+    assert [l[4] for l in got] == [True, True]
