@@ -1128,6 +1128,14 @@ def _q_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_links(pages_df(spark, sf_dir))
 
 
+def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling (O(log L) self-join
+    rounds) over the deterministic hop fixture: within-8-block chains
+    (lengths 0..7) plus one 3-cycle pinning the looped branch —
+    value-oracled against the unrolled-CTE DuckDB mirror."""
+    return graph.resolve_redirects(graph.fixture_redirects(spark, sf_dir))
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (fixed rounds, max-normalized) over the
     deterministic fixture graph — pagerank's oracle-twin recipe."""
@@ -1904,8 +1912,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  97 queries are
-    value-oracled, so 47 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  98 queries are
+    value-oracled, so 48 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -1983,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delays": _q_crawl_delays,
         "fetch_schedule": _q_fetch_schedule,
         "hits": _q_hits,
+        "redirect_resolve": _q_redirect_resolve,
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
@@ -2005,7 +2014,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "sample_stratified": _q_sample_stratified,
         "bpe_merges": _q_bpe_merges,
-        "dedup_jaccard_pairs": _q_jaccard_pairs,
         "decontam_overlap": _q_decontam,
         "cosine_topk": _q_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
@@ -2033,6 +2041,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_bucketed)
         "url_filter": _q_url_filter,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
+        # dedup_jaccard_pairs' group-2 rotation slot went to the late-r4
+        # redirect_resolve (never-verified outranks r01/r02-green
+        # refresh; the dedup family stays in-window via dedup_exact,
+        # simhash, dup_clusters and minhash_est)
+        "dedup_jaccard_pairs": _q_jaccard_pairs,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2181,6 +2194,8 @@ def oracle_sql() -> dict[str, str]:
                           + ") order by url"),
         "pagerank": graph.pagerank_sql(graph.FIXTURE_EDGES_SQL),
         "hits": graph.hits_sql(graph.FIXTURE_EDGES_SQL),
+        "redirect_resolve": graph.resolve_redirects_sql(
+            graph.FIXTURE_REDIRECTS_SQL),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_quality": urlfns.host_quality_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),

@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["extract_links", "extract_directives", "pagerank",
            "pagerank_sql", "pagerank_links", "hits", "hits_sql",
-           "anchor_texts", "fixture_edges", "FIXTURE_EDGES_SQL"]
+           "anchor_texts", "fixture_edges", "FIXTURE_EDGES_SQL",
+           "resolve_redirects", "resolve_redirects_sql",
+           "fixture_redirects", "FIXTURE_REDIRECTS_SQL"]
 
 
 LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string, "
@@ -534,4 +536,108 @@ union all
 select doc_id, (doc_id * 5 + 2) % c.m
 from documents cross join (select count(*) as m from documents) c
 where doc_id <> (doc_id * 5 + 2) % c.m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution (pointer doubling, value-oracled)
+# ---------------------------------------------------------------------------
+
+REDIRECT_ROUNDS = 4  # resolves chains up to 2**4 = 16 hops
+
+
+def resolve_redirects(redirects: DataFrame,
+                      rounds: int = REDIRECT_ROUNDS) -> DataFrame:
+    """Resolve every URL's redirect CHAIN to its terminal target — the
+    crawl-dedup step that collapses 301/302 aliases onto one canonical
+    id before content fetch/dedup (CDX captures with 3xx status form
+    the (src, dst) hop table; cf. Common Crawl's redirect-following
+    fetch policy).
+
+    Pointer doubling over the one-hop map ``next``: after round t the
+    state maps u → the node min(chain_len, 2**t) hops ahead, so
+    ``rounds`` self-joins resolve chains up to 2**rounds hops — O(log L)
+    shuffle rounds instead of the O(L) a naive follow-the-next loop
+    costs, which is the difference between 4 joins and a 16-round
+    driver loop at crawl scale.  Each round is ONE equi-join of the
+    state with itself on an 8-byte key (bucket the stored table by src
+    and round 1 is shuffle-free); ``localCheckpoint`` per round keeps
+    the plan flat (the `pagerank`/`dup_clusters` shape).
+
+    Multiple captures of one src keep the MIN dst (deterministic).
+    Output per redirect source: ``final_id`` (terminal target; NULL if
+    still mid-chain after 2**rounds hops — i.e. a cycle or an
+    over-long chain), ``hops`` (chain length walked; on a cycle the
+    doubling count 2**rounds, deterministic), ``looped`` flag.
+    Deterministic end to end → unrolled-CTE DuckDB mirror
+    (:func:`resolve_redirects_sql`)."""
+    nxt = (redirects.groupBy("src")
+           .agg(F.min("dst").alias("dst"))
+           .localCheckpoint())
+    st = nxt.select("src", F.col("dst").alias("cur"),
+                    F.lit(1).cast("long").alias("hops"))
+    for _ in range(rounds):
+        right = st.select(F.col("src").alias("r_src"),
+                          F.col("cur").alias("r_cur"),
+                          F.col("hops").alias("r_hops"))
+        st = (st.join(right, st.cur == right.r_src, "left")
+              .select(st.src,
+                      F.coalesce("r_cur", "cur").alias("cur"),
+                      (F.col("hops")
+                       + F.coalesce("r_hops", F.lit(0))).alias("hops"))
+              .localCheckpoint())
+    srcs = nxt.select(F.col("src").alias("t_src"))
+    return (st.join(srcs, st.cur == srcs.t_src, "left")
+            .select(st.src.alias("url_id"),
+                    F.when(F.col("t_src").isNull(), F.col("cur"))
+                     .alias("final_id"),
+                    "hops",
+                    F.col("t_src").isNotNull().alias("looped"))
+            .orderBy("url_id"))
+
+
+def resolve_redirects_sql(redirects_sql: str,
+                          rounds: int = REDIRECT_ROUNDS) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`resolve_redirects` over a
+    SELECT producing (src, dst)."""
+    parts = [
+        f"raw as ({redirects_sql})",
+        "nxt as (select src, min(dst) as dst from raw group by src)",
+        "s0 as (select src, dst as cur, 1::bigint as hops from nxt)",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"s{t + 1} as (select s.src, coalesce(r.cur, s.cur) as cur, "
+            f"s.hops + coalesce(r.hops, 0) as hops\n"
+            f"  from s{t} s left join s{t} r on r.src = s.cur)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect s.src as url_id, "
+            f"case when t.src is null then s.cur end as final_id, "
+            f"s.hops, t.src is not null as looped\n"
+            f"from s{rounds} s left join (select distinct src from nxt) t "
+            f"on t.src = s.cur\norder by url_id")
+
+
+def fixture_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic redirect hop table over the documents
+    table: docs chain downward inside their 8-block (8k+j → 8k+j-1 for
+    j>0, terminal at 8k — chain lengths 0..7, which needs 3 of the 4
+    doubling rounds), plus one 3-cycle on ids outside the doc range
+    (-1 → -2 → -3 → -1) to pin the looped branch."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    d = F.col("doc_id")
+    chain = (docs.filter(d % 8 != 0)
+             .select(d.alias("src"), (d - 1).alias("dst")))
+    cyc = spark.createDataFrame(
+        [(-1, -2), (-2, -3), (-3, -1)], "src long, dst long")
+    return chain.union(cyc)
+
+
+FIXTURE_REDIRECTS_SQL = """
+select doc_id as src, doc_id - 1 as dst from documents
+where doc_id % 8 <> 0
+union all
+select * from (values (-1::bigint, -2::bigint), (-2, -3), (-3, -1))
+  t(src, dst)
 """

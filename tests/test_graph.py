@@ -225,3 +225,30 @@ def test_dropped_memo_consistent_across_siblings():
     # two links under the same nav share the memoized ancestor verdict
     got = _links('<nav><a href="/1">x</a><a href="/2">y</a></nav>')
     assert [l[4] for l in got] == [True, True]
+
+
+def test_resolve_redirects_chain_and_cycle(spark):
+    from lexor_spark.graph import resolve_redirects
+
+    # chain 5 -> 4 -> 3 -> 2 -> 1 -> 0 (terminal) plus 3-cycle 10/11/12
+    hops = [(i, i - 1) for i in range(1, 6)]
+    cyc = [(10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(hops + cyc, "src long, dst long")
+    got = {r.url_id: r for r in resolve_redirects(edges).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 10, 11, 12}
+    for i in range(1, 6):
+        assert got[i].final_id == 0 and got[i].hops == i
+        assert not got[i].looped
+    for i in (10, 11, 12):
+        assert got[i].looped and got[i].final_id is None
+        assert got[i].hops == 16  # doubling count: 2**rounds
+
+
+def test_resolve_redirects_min_dst_dedup(spark):
+    from lexor_spark.graph import resolve_redirects
+
+    # two captures of src=7 keep the MIN dst (3, itself redirecting to 0)
+    edges = spark.createDataFrame(
+        [(7, 9), (7, 3), (3, 0)], "src long, dst long")
+    got = {r.url_id: r for r in resolve_redirects(edges).collect()}
+    assert got[7].final_id == 0 and got[7].hops == 2
