@@ -21,9 +21,10 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import (bpe, cdx, chunking, classify, content, dedup,  # noqa: E402
-                         dsir, frontier, graph, lm, multimodal, packing,
-                         robots, sampling, search, sim, textfns, urlfns)
+from lexor_spark import (bpe, cdx, chunking, classify, content, crawlqa,  # noqa: E402
+                         dedup, dsir, frontier, graph, lm, multimodal,
+                         packing, robots, sampling, search, sim, textfns,
+                         urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_density_pages, extract_pages,
                              normalize_html, partition_metrics,
@@ -1128,6 +1129,82 @@ def _q_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_links(pages_df(spark, sf_dir))
 
 
+def _soft404_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically injected error-page text: every
+    13th doc becomes a short hard error page (4 phrase hits), every
+    17th a long article that merely MENTIONS unavailability (1 hit —
+    must NOT be flagged), the rest untouched."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    d = F.col("doc_id")
+    text = (F.when(d % 13 == 0, F.concat(
+                F.substring("text", 1, 80),
+                F.lit(" Error 404 - Page Not Found. "
+                      "The page you requested does not exist.")))
+            .when(d % 17 == 0, F.concat(
+                F.col("text"),
+                F.lit(" This service is no longer available.")))
+            .otherwise(F.col("text")))
+    return docs.select("doc_id", text.alias("text"))
+
+
+_SOFT404_DOCS_SQL = """
+select doc_id,
+       case when doc_id % 13 = 0 then substr(text, 1, 80)
+                 || ' Error 404 - Page Not Found. '
+                 || 'The page you requested does not exist.'
+            when doc_id % 17 = 0 then text
+                 || ' This service is no longer available.'
+            else text end as text
+from documents
+"""
+
+
+def _q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (error-phrase hits + short-body prior) over
+    the injected-error-page fixture — scan-side only, value-oracled."""
+    return crawlqa.soft404_score(_soft404_docs_df(spark, sf_dir))
+
+
+def _trap_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier URL list with deterministic trap hosts: every 11th doc
+    yields a deep repeated-segment calendar-loop URL on one of 5 trap
+    hosts, every 6th a faceted-search query URL, the rest the standard
+    corpus URL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (F.when(d % 11 == 0, F.concat(
+               F.lit("https://trap"), F.pmod(d, F.lit(5)).cast("string"),
+               F.lit(".example/cal/2024/01/cal/2024/01/p"), ds))
+           .when(d % 6 == 0, F.concat(
+               F.lit("https://site"), F.pmod(d, F.lit(97)).cast("string"),
+               F.lit(".example/search?page="), ds))
+           .otherwise(F.concat(
+               F.lit("https://site"), F.pmod(d, F.lit(97)).cast("string"),
+               F.lit(".example/"), F.col("source"), F.lit("/p"), ds)))
+    return docs.select(url.alias("url"))
+
+
+_TRAP_URLS_SQL = """
+select case
+  when doc_id % 11 = 0 then 'https://trap' || (doc_id % 5)
+       || '.example/cal/2024/01/cal/2024/01/p' || doc_id
+  when doc_id % 6 = 0 then 'https://site' || (doc_id % 97)
+       || '.example/search?page=' || doc_id
+  else 'https://site' || (doc_id % 97) || '.example/'
+       || source || '/p' || doc_id end as url
+from documents
+"""
+
+
+def _q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-trap fingerprint (depth, repeated-segment loop
+    fraction, query fraction) over the trap-host fixture —
+    value-oracled."""
+    return crawlqa.crawl_traps(_trap_urls_df(spark, sf_dir))
+
+
 def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling (O(log L) self-join
     rounds) over the deterministic hop fixture: within-8-block chains
@@ -1912,8 +1989,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  98 queries are
-    value-oracled, so 48 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  100 queries are
+    value-oracled, so 50 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -1992,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": _q_fetch_schedule,
         "hits": _q_hits,
         "redirect_resolve": _q_redirect_resolve,
+        "soft404_detect": _q_soft404,
+        "crawl_traps": _q_crawl_traps,
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
@@ -2008,14 +2087,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
-        "simhash": _q_simhash,
         "pii_redact": _q_pii_redact,
         "dup_clusters": _q_dup_clusters,
         "hash_split": _q_hash_split,
         "sample_stratified": _q_sample_stratified,
         "bpe_merges": _q_bpe_merges,
         "decontam_overlap": _q_decontam,
-        "cosine_topk": _q_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
         "url_stats": _q_url_stats,
         # -- group 3 slot, taken by the late-r4 ngram operator
@@ -2041,11 +2118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_bucketed)
         "url_filter": _q_url_filter,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
-        # dedup_jaccard_pairs' group-2 rotation slot went to the late-r4
-        # redirect_resolve (never-verified outranks r01/r02-green
-        # refresh; the dedup family stays in-window via dedup_exact,
-        # simhash, dup_clusters and minhash_est)
+        # dedup_jaccard_pairs'/simhash'/cosine_topk's group-2 rotation
+        # slots went to the late-r4 redirect_resolve, soft404_detect and
+        # crawl_traps (never-verified outranks r01/r02-green refresh;
+        # the dedup family stays in-window via dedup_exact, dup_clusters
+        # and minhash_est, the cosine family via ann_bucketed)
         "dedup_jaccard_pairs": _q_jaccard_pairs,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2196,6 +2276,8 @@ def oracle_sql() -> dict[str, str]:
         "hits": graph.hits_sql(graph.FIXTURE_EDGES_SQL),
         "redirect_resolve": graph.resolve_redirects_sql(
             graph.FIXTURE_REDIRECTS_SQL),
+        "soft404_detect": crawlqa.soft404_score_sql(_SOFT404_DOCS_SQL),
+        "crawl_traps": crawlqa.crawl_traps_sql(_TRAP_URLS_SQL),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_quality": urlfns.host_quality_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),
