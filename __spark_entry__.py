@@ -1205,6 +1205,60 @@ def _q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawlqa.crawl_traps(_trap_urls_df(spark, sf_dir))
 
 
+def _q_alias_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end alias collapse: <link rel=canonical> edges come from
+    the REAL kernel parse (extract_directives over injected heads —
+    every even doc declares /c/<id>), redirect edges are the
+    deterministic hop table (every /c/<id> with id%4==0 301s to
+    /final/<id%10>), and pointer doubling resolves each URL to its
+    terminal representative.  The DuckDB mirror rebuilds the union
+    edge list from the same doc_id rules and runs the unrolled
+    doubling CTEs — a value oracle across BOTH alias mechanisms."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.pmod(did, F.lit(2)) == 0,
+               F.concat(F.lit('<link rel="canonical" href="/c/'),
+                        did.cast("string"), F.lit('">')))
+         .otherwise(F.lit("")),
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"))
+    url = F.concat(
+        F.lit("https://site"), F.pmod(did, F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"),
+        did.cast("string"))
+    pages = docs.select(url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    host = F.concat(F.lit("https://site"),
+                    F.pmod(did, F.lit(97)).cast("string"),
+                    F.lit(".example"))
+    redirects = (docs.filter(did % 4 == 0)
+                 .select(F.concat(host, F.lit("/c/"),
+                                  did.cast("string")).alias("src"),
+                         F.concat(host, F.lit("/final/"),
+                                  F.pmod(did, F.lit(10)).cast("string"))
+                          .alias("dst")))
+    return graph.alias_collapse(graph.extract_directives(pages),
+                                redirects)
+
+
+def _alias_collapse_sql() -> str:
+    edges = f"""
+select {_URL_SQL} as src,
+       'https://site' || (doc_id % 97) || '.example/c/' || doc_id as dst
+from documents where doc_id % 2 = 0
+union all
+select 'https://site' || (doc_id % 97) || '.example/c/' || doc_id,
+       'https://site' || (doc_id % 97) || '.example/final/'
+         || (doc_id % 10)
+from documents where doc_id % 4 = 0
+"""
+    inner = graph.resolve_redirects_sql(edges)
+    return (f"select url_id as url, final_id as canonical_to, hops, "
+            f"looped from ({inner}) order by url")
+
+
 def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling (O(log L) self-join
     rounds) over the deterministic hop fixture: within-8-block chains
@@ -1989,8 +2043,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  100 queries are
-    value-oracled, so 50 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  101 queries are
+    value-oracled, so 51 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -2071,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirect_resolve,
         "soft404_detect": _q_soft404,
         "crawl_traps": _q_crawl_traps,
+        "alias_collapse": _q_alias_collapse,
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
@@ -2090,7 +2145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "dup_clusters": _q_dup_clusters,
         "hash_split": _q_hash_split,
-        "sample_stratified": _q_sample_stratified,
         "bpe_merges": _q_bpe_merges,
         "decontam_overlap": _q_decontam,
         "ann_bucketed": _q_ann_bucketed,
@@ -2118,14 +2172,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_bucketed)
         "url_filter": _q_url_filter,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
-        # dedup_jaccard_pairs'/simhash'/cosine_topk's group-2 rotation
-        # slots went to the late-r4 redirect_resolve, soft404_detect and
-        # crawl_traps (never-verified outranks r01/r02-green refresh;
-        # the dedup family stays in-window via dedup_exact, dup_clusters
-        # and minhash_est, the cosine family via ann_bucketed)
+        # dedup_jaccard_pairs'/simhash'/cosine_topk's/sample_stratified's
+        # group-2 rotation slots went to the late-r4 redirect_resolve,
+        # soft404_detect, crawl_traps and alias_collapse (never-verified
+        # outranks r01/r02-green refresh; the dedup family stays
+        # in-window via dedup_exact, dup_clusters and minhash_est, the
+        # cosine family via ann_bucketed, the sampling family via
+        # hash_split)
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
+        "sample_stratified": _q_sample_stratified,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2278,6 +2335,7 @@ def oracle_sql() -> dict[str, str]:
             graph.FIXTURE_REDIRECTS_SQL),
         "soft404_detect": crawlqa.soft404_score_sql(_SOFT404_DOCS_SQL),
         "crawl_traps": crawlqa.crawl_traps_sql(_TRAP_URLS_SQL),
+        "alias_collapse": _alias_collapse_sql(),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_quality": urlfns.host_quality_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),

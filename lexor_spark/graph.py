@@ -38,7 +38,8 @@ __all__ = ["extract_links", "extract_directives", "pagerank",
            "pagerank_sql", "pagerank_links", "hits", "hits_sql",
            "anchor_texts", "fixture_edges", "FIXTURE_EDGES_SQL",
            "resolve_redirects", "resolve_redirects_sql",
-           "fixture_redirects", "FIXTURE_REDIRECTS_SQL"]
+           "fixture_redirects", "FIXTURE_REDIRECTS_SQL",
+           "alias_collapse"]
 
 
 LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string, "
@@ -641,3 +642,32 @@ union all
 select * from (values (-1::bigint, -2::bigint), (-2, -3), (-3, -1))
   t(src, dst)
 """
+
+
+def alias_collapse(directives: DataFrame, redirects: DataFrame,
+                   rounds: int = REDIRECT_ROUNDS) -> DataFrame:
+    """Collapse BOTH alias mechanisms — ``<link rel=canonical>`` (from
+    :func:`extract_directives`) and HTTP redirects — into one alias
+    graph and resolve every URL to its terminal canonical
+    representative via :func:`resolve_redirects` pointer doubling.
+    This is the id-assignment step a web corpus runs before URL-keyed
+    dedup: a page served at /p?ref=x that 301s to /p whose HTML
+    declares /canonical must count as ONE document.
+
+    Output per alias source: (url, canonical_to, hops, looped) —
+    ``looped`` marks canonical/redirect cycles (they happen on real
+    sites; crawlers keep the fetched URL).  Same O(log L)
+    shuffle-rounds shape as redirect resolution; the canonical edges
+    arrive scan-side from the fused directives pass, so composing the
+    two mechanisms adds zero extra kernel parses."""
+    canon = (directives
+             .filter(F.col("canonical_abs").isNotNull()
+                     & (F.col("canonical_abs") != F.col("url")))
+             .select(F.col("url").alias("src"),
+                     F.col("canonical_abs").alias("dst")))
+    edges = canon.union(redirects.select("src", "dst"))
+    res = resolve_redirects(edges, rounds)
+    return (res.select(F.col("url_id").alias("url"),
+                       F.col("final_id").alias("canonical_to"),
+                       "hops", "looped")
+            .orderBy("url"))

@@ -252,3 +252,25 @@ def test_resolve_redirects_min_dst_dedup(spark):
         [(7, 9), (7, 3), (3, 0)], "src long, dst long")
     got = {r.url_id: r for r in resolve_redirects(edges).collect()}
     assert got[7].final_id == 0 and got[7].hops == 2
+
+
+def test_alias_collapse_canonical_plus_redirect(spark):
+    from lexor_spark.graph import alias_collapse
+
+    directives = spark.createDataFrame(
+        [("https://s.example/p?ref=x", "https://s.example/p"),
+         ("https://s.example/q", None),
+         ("https://s.example/self", "https://s.example/self")],
+        "url string, canonical_abs string")
+    redirects = spark.createDataFrame(
+        [("https://s.example/p", "https://s.example/canonical")],
+        "src string, dst string")
+    got = {r.url: r for r in
+           alias_collapse(directives, redirects).collect()}
+    # self-canonical and no-canonical pages generate no alias edge
+    assert set(got) == {"https://s.example/p?ref=x",
+                        "https://s.example/p"}
+    assert got["https://s.example/p?ref=x"].canonical_to == \
+        "https://s.example/canonical"
+    assert got["https://s.example/p?ref=x"].hops == 2
+    assert got["https://s.example/p"].hops == 1
