@@ -22,9 +22,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lexor_spark import (bpe, cdx, chunking, classify, content, crawlqa,  # noqa: E402
-                         dedup, dsir, frontier, graph, lm, multimodal,
-                         packing, robots, sampling, search, sim, textfns,
-                         urlfns)
+                         dedup, dsir, feeds, frontier, graph, lm,
+                         multimodal, packing, robots, sampling, search,
+                         sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_density_pages, extract_pages,
                              normalize_html, partition_metrics,
@@ -1259,6 +1259,69 @@ from documents where doc_id % 4 = 0
             f"looped from ({inner}) order by url")
 
 
+def _q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed-entry extraction over deterministic synthetic
+    feeds (even docs an RSS channel with 1+doc_id%3 items, odd docs an
+    Atom feed with 1+doc_id%3 entries; both envelopes carry
+    channel/feed-level <title> and <link> elements that must NOT leak
+    into the per-entry output).  Spark earns the values by regex-parsing
+    the generated feed TEXT; the DuckDB mirror reconstructs the
+    expected rows directly from the doc_id rules."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(F.lit("https://site"),
+                    F.pmod(d, F.lit(97)).cast("string"),
+                    F.lit(".example"))
+    n = 1 + F.pmod(d, F.lit(3))
+    rss_items = F.array_join(F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda r: F.concat(
+            F.lit("<item><title>Item "), ds, F.lit("-"),
+            r.cast("string"), F.lit("</title><link>"), host,
+            F.lit("/feed/p"), ds, F.lit("-"), r.cast("string"),
+            F.lit("</link></item>"))), "\n")
+    atom_entries = F.array_join(F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda r: F.concat(
+            F.lit('<entry><title type="text">Entry '), ds, F.lit("-"),
+            r.cast("string"),
+            F.lit('</title><link rel="alternate" href="'), host,
+            F.lit("/atom/e"), ds, F.lit("-"), r.cast("string"),
+            F.lit('"/></entry>'))), "\n")
+    body = (F.when(d % 2 == 0, F.concat(
+                F.lit('<?xml version="1.0"?><rss version="2.0">'
+                      "<channel><title>Channel "), ds,
+                F.lit("</title><link>"), host, F.lit("/</link>\n"),
+                rss_items, F.lit("\n</channel></rss>")))
+            .otherwise(F.concat(
+                F.lit('<?xml version="1.0"?>'
+                      '<feed xmlns="http://www.w3.org/2005/Atom">'
+                      "<title>Feed "), ds,
+                F.lit('</title><link href="'), host, F.lit('/"/>\n'),
+                atom_entries, F.lit("\n</feed>"))))
+    url = F.concat(host, F.lit("/feeds/"), ds, F.lit(".xml"))
+    return feeds.feed_entries(
+        docs.select(url.alias("url"), body.alias("body")))
+
+
+_FEED_ENTRIES_SQL = """
+with d as (select doc_id,
+                  'https://site' || (doc_id % 97) || '.example' as host
+           from documents),
+e as (select doc_id, host, unnest(range(1 + doc_id % 3)) as r from d)
+select host || '/feeds/' || doc_id || '.xml' as url,
+       case when doc_id % 2 = 0 then 'rss' else 'atom' end as kind,
+       r as entry_idx,
+       case when doc_id % 2 = 0
+            then host || '/feed/p' || doc_id || '-' || r
+            else host || '/atom/e' || doc_id || '-' || r end as link,
+       case when doc_id % 2 = 0 then 'Item ' || doc_id || '-' || r
+            else 'Entry ' || doc_id || '-' || r end as title
+from e order by url, entry_idx
+"""
+
+
 def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling (O(log L) self-join
     rounds) over the deterministic hop fixture: within-8-block chains
@@ -2043,8 +2106,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  101 queries are
-    value-oracled, so 51 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  102 queries are
+    value-oracled, so 52 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -2126,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_detect": _q_soft404,
         "crawl_traps": _q_crawl_traps,
         "alias_collapse": _q_alias_collapse,
+        "feed_entries": _q_feed_entries,
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
@@ -2148,7 +2212,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "decontam_overlap": _q_decontam,
         "ann_bucketed": _q_ann_bucketed,
-        "url_stats": _q_url_stats,
         # -- group 3 slot, taken by the late-r4 ngram operator
         #    (repetition_stats — r03-green; textfns shared code stays
         #    in-window via text_features/script_profile/gopher_filter) --
@@ -2183,6 +2246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "sample_stratified": _q_sample_stratified,
+        # url_stats' slot went to feed_entries (urlfns host/path family
+        # stays in-window via host_quality/host_filter_docs/crawl_traps)
+        "url_stats": _q_url_stats,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2336,6 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "soft404_detect": crawlqa.soft404_score_sql(_SOFT404_DOCS_SQL),
         "crawl_traps": crawlqa.crawl_traps_sql(_TRAP_URLS_SQL),
         "alias_collapse": _alias_collapse_sql(),
+        "feed_entries": _FEED_ENTRIES_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_quality": urlfns.host_quality_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),
