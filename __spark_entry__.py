@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lexor_spark import (bpe, cdx, chunking, classify, content, crawlqa,  # noqa: E402
-                         dedup, dsir, feeds, frontier, graph, lm,
+                         dedup, dsir, feeds, frontier, graph, httpfns, lm,
                          multimodal, packing, robots, sampling, search,
                          sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
@@ -1322,6 +1322,77 @@ from e order by url, entry_idx
 """
 
 
+def _http_responses_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic raw HTTP response header blocks: every 5th doc a
+    301 with a relative Location, every 7th a 302 with an absolute
+    Location and a lower-cased header name, every 11th unparseable
+    garbage, the rest 200s with charset variants (bare/quoted/absent)
+    and mixed header-name case."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(F.lit("https://site"),
+                   F.pmod(d, F.lit(97)).cast("string"),
+                   F.lit(".example/"), F.col("source"), F.lit("/p"), ds)
+    crlf = F.lit("\r\n")
+    ok = F.concat(
+        F.lit("HTTP/1.1 200 OK"), crlf,
+        F.when(d % 2 == 0, F.lit("Content-Type: text/html"))
+         .otherwise(F.lit("content-type: text/html")),
+        F.when(d % 3 == 0, F.lit("; charset=UTF-8"))
+         .when(d % 3 == 1, F.lit('; charset="iso-8859-1"'))
+         .otherwise(F.lit("")),
+        crlf, F.lit("Content-Length: "),
+        (100 + F.pmod(d, F.lit(900))).cast("string"), crlf)
+    headers = (F.when(d % 5 == 0, F.concat(
+                   F.lit("HTTP/1.1 301 Moved Permanently"), crlf,
+                   F.lit("Location: /moved/"), ds, crlf,
+                   F.lit("Content-Length: 0"), crlf))
+               .when(d % 7 == 0, F.concat(
+                   F.lit("HTTP/2 302 Found"), crlf,
+                   F.lit("location: https://other"),
+                   F.pmod(d, F.lit(13)).cast("string"),
+                   F.lit(".example/t/"), ds, crlf))
+               .when(d % 11 == 0, F.concat(F.lit("oops <garbage "), ds,
+                                           F.lit(">")))
+               .otherwise(ok))
+    return docs.select(url.alias("url"), headers.alias("headers"))
+
+
+_HTTP_RESPONSES_SQL = """
+select {url} as url,
+  case
+    when doc_id % 5 = 0 then
+      'HTTP/1.1 301 Moved Permanently' || chr(13) || chr(10)
+      || 'Location: /moved/' || doc_id || chr(13) || chr(10)
+      || 'Content-Length: 0' || chr(13) || chr(10)
+    when doc_id % 7 = 0 then
+      'HTTP/2 302 Found' || chr(13) || chr(10)
+      || 'location: https://other' || (doc_id % 13) || '.example/t/'
+      || doc_id || chr(13) || chr(10)
+    when doc_id % 11 = 0 then 'oops <garbage ' || doc_id || '>'
+    else
+      'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      || (case when doc_id % 2 = 0 then 'Content-Type: text/html'
+               else 'content-type: text/html' end)
+      || (case when doc_id % 3 = 0 then '; charset=UTF-8'
+               when doc_id % 3 = 1 then '; charset="iso-8859-1"'
+               else '' end)
+      || chr(13) || chr(10) || 'Content-Length: '
+      || (100 + doc_id % 900) || chr(13) || chr(10)
+  end as headers
+from documents
+"""
+
+
+def _q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP response-header parsing (status line, Content-Type +
+    charset, Location, Content-Length, redirect verdict) as pure
+    scan-side regex columns over the deterministic header fixture —
+    both engines parse the same reconstructed text."""
+    return httpfns.parse_http_headers(_http_responses_df(spark, sf_dir))
+
+
 def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling (O(log L) self-join
     rounds) over the deterministic hop fixture: within-8-block chains
@@ -2106,8 +2177,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  102 queries are
-    value-oracled, so 52 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  103 queries are
+    value-oracled, so 53 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -2190,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_traps": _q_crawl_traps,
         "alias_collapse": _q_alias_collapse,
         "feed_entries": _q_feed_entries,
+        "http_headers": _q_http_headers,
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
@@ -2210,7 +2282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "hash_split": _q_hash_split,
         "bpe_merges": _q_bpe_merges,
-        "decontam_overlap": _q_decontam,
         "ann_bucketed": _q_ann_bucketed,
         # -- group 3 slot, taken by the late-r4 ngram operator
         #    (repetition_stats — r03-green; textfns shared code stays
@@ -2249,6 +2320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # url_stats' slot went to feed_entries (urlfns host/path family
         # stays in-window via host_quality/host_filter_docs/crawl_traps)
         "url_stats": _q_url_stats,
+        # decontam_overlap's slot went to http_headers (the dedup.py
+        # n-gram family stays in-window via dedup_exact/dup_clusters)
+        "decontam_overlap": _q_decontam,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2403,6 +2477,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_traps": crawlqa.crawl_traps_sql(_TRAP_URLS_SQL),
         "alias_collapse": _alias_collapse_sql(),
         "feed_entries": _FEED_ENTRIES_SQL,
+        "http_headers": httpfns.parse_http_headers_sql(
+            _HTTP_RESPONSES_SQL.format(url=_URL_SQL)),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_quality": urlfns.host_quality_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),
