@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lexor_spark import (bpe, cdx, chunking, classify, content, crawlqa,  # noqa: E402
-                         dedup, dsir, feeds, frontier, graph, httpfns, lm,
+                         dedup, dsir, evals, feeds, frontier, graph,
+                         httpfns, lm,
                          multimodal, packing, robots, sampling, search,
                          sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
@@ -1393,6 +1394,35 @@ def _q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return httpfns.parse_http_headers(_http_responses_df(spark, sf_dir))
 
 
+_EXTRACTED_VARIANT_SQL = """
+select doc_id,
+  case when doc_id % 4 = 0 then text || ' boilerplate footer menu menu'
+       when doc_id % 4 = 1 then substr(text, 1, (2*length(text)) // 3)
+       when doc_id % 4 = 2 then ''
+       else text end as text
+from documents
+"""
+
+
+def _q_extract_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level extraction P/R/F1 (CleanEval-style scoring) of a
+    deterministically degraded extractor output against the gold text:
+    every 4th doc gains boilerplate (P<1), the next loses its tail
+    (R<1), the next extracts nothing (P=R=0), the last is perfect —
+    all four metric branches value-oracled."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    d = F.col("doc_id")
+    extracted = docs.select("doc_id", F.expr(
+        "case when doc_id % 4 = 0"
+        "       then text || ' boilerplate footer menu menu'"
+        "     when doc_id % 4 = 1"
+        "       then substring(text, 1, (2*length(text)) div 3)"
+        "     when doc_id % 4 = 2 then ''"
+        "     else text end").alias("text"))
+    return evals.eval_extraction(docs, extracted)
+
+
 def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling (O(log L) self-join
     rounds) over the deterministic hop fixture: within-8-block chains
@@ -2177,8 +2207,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  103 queries are
-    value-oracled, so 53 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  104 queries are
+    value-oracled, so 54 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -2262,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_collapse": _q_alias_collapse,
         "feed_entries": _q_feed_entries,
         "http_headers": _q_http_headers,
+        "extract_eval": _q_extract_eval,
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
@@ -2278,7 +2309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
-        "pii_redact": _q_pii_redact,
         "dup_clusters": _q_dup_clusters,
         "hash_split": _q_hash_split,
         "bpe_merges": _q_bpe_merges,
@@ -2323,6 +2353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontam_overlap's slot went to http_headers (the dedup.py
         # n-gram family stays in-window via dedup_exact/dup_clusters)
         "decontam_overlap": _q_decontam,
+        # pii_redact's slot went to extract_eval (the textfns family
+        # stays in-window via text_features/script_profile/gopher_filter)
+        "pii_redact": _q_pii_redact,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2479,6 +2512,9 @@ def oracle_sql() -> dict[str, str]:
         "feed_entries": _FEED_ENTRIES_SQL,
         "http_headers": httpfns.parse_http_headers_sql(
             _HTTP_RESPONSES_SQL.format(url=_URL_SQL)),
+        "extract_eval": evals.eval_extraction_sql(
+            "select doc_id, text from documents",
+            _EXTRACTED_VARIANT_SQL),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_quality": urlfns.host_quality_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),

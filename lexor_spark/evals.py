@@ -1,0 +1,113 @@
+"""Extraction-quality evaluation: token-level P/R/F1 per document.
+
+Main-content extraction is tuned against gold standards (CleanEval,
+Weninger et al.'s CETR evaluation, the boilerpipe/dragnet benchmarks):
+the metric is token-level precision/recall of the extracted text
+against a gold text.  This module computes it corpus-wide as a pure
+DataFrame job so an extractor change (new writer rule, new density
+threshold) can be scored on millions of pages, not a spot check:
+
+    eval_extraction(gold_df, extracted_df) -> per-doc P/R/F1
+
+Token multiset semantics (the standard scoring): both texts split on
+whitespace, overlap = Σ_token min(count_gold, count_extracted),
+P = overlap/|extracted|, R = overlap/|gold|, F1 = 2PR/(P+R); empty
+sides score 0 by convention.  Multisets (not sets) so a boilerplate
+extractor that repeats one gold word 100× doesn't score P=1.
+
+Plan shape at 10^12 docs: explode → count per (doc_id, token) on each
+side (map-side combinable), ONE equi-join on (doc_id, token) — both
+sides co-partition on the same compound key, and the doc_id component
+spreads any hot token across documents, so there is no hot-key skew —
+then a doc_id-keyed rollup.  Everything numeric rounds to 6 decimals
+for the cross-engine value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["eval_extraction", "eval_extraction_sql"]
+
+
+def _token_counts(df: DataFrame, id_col: str, text_col: str,
+                  out: str) -> DataFrame:
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != "")
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(toks).alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias(out)))
+
+
+def eval_extraction(gold: DataFrame, extracted: DataFrame,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document token-level (n_gold, n_extracted, n_overlap,
+    precision, recall, f1) of ``extracted`` against ``gold`` (both
+    (id_col, text_col) tables).  Docs present only in ``gold`` score
+    R=0 (extractor returned nothing); docs only in ``extracted`` score
+    P=0 (hallucinated output) — full outer join keeps both."""
+    g = _token_counts(gold, id_col, text_col, "cg")
+    e = _token_counts(extracted, id_col, text_col, "ce")
+    j = (g.join(e, ["doc_id", "tok"], "full_outer")
+         .groupBy("doc_id")
+         .agg(F.sum(F.coalesce("cg", F.lit(0))).alias("n_gold"),
+              F.sum(F.coalesce("ce", F.lit(0))).alias("n_extracted"),
+              F.sum(F.least(F.coalesce("cg", F.lit(0)),
+                            F.coalesce("ce", F.lit(0))))
+               .alias("n_overlap")))
+    p = F.when(F.col("n_extracted") > 0,
+               F.col("n_overlap") / F.col("n_extracted")).otherwise(0.0)
+    r = F.when(F.col("n_gold") > 0,
+               F.col("n_overlap") / F.col("n_gold")).otherwise(0.0)
+    pr = F.round(p, 6).alias("precision")
+    rr = F.round(r, 6).alias("recall")
+    # F1 = 2PR/(P+R) simplifies to 2·overlap/(gold+extracted) — one
+    # division, so both engines hit the identical float
+    f1 = F.round(F.when(F.col("n_gold") + F.col("n_extracted") > 0,
+                        2 * F.col("n_overlap")
+                        / (F.col("n_gold") + F.col("n_extracted")))
+                 .otherwise(0.0), 6).alias("f1")
+    return (j.select("doc_id", "n_gold", "n_extracted", "n_overlap",
+                     pr, rr, f1)
+            .orderBy("doc_id"))
+
+
+def eval_extraction_sql(gold_sql: str, extracted_sql: str,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`eval_extraction` over two SELECTs each
+    producing (id_col, text_col)."""
+    def counts(src: str, name: str, out: str) -> str:
+        return f"""
+{name} as (
+  select {id_col} as doc_id, tok, count(*) as {out}
+  from (select {id_col},
+               unnest(list_filter(regexp_split_to_array({text_col},
+                      '\\s+'), x -> x != '')) as tok
+        from ({src}))
+  group by {id_col}, tok)"""
+    return f"""
+with {counts(gold_sql, 'g', 'cg')},
+{counts(extracted_sql, 'e', 'ce')},
+j as (select coalesce(g.doc_id, e.doc_id) as doc_id,
+             sum(coalesce(cg, 0))::bigint as n_gold,
+             sum(coalesce(ce, 0))::bigint as n_extracted,
+             sum(least(coalesce(cg, 0), coalesce(ce, 0)))::bigint
+               as n_overlap
+      from g full outer join e
+        on g.doc_id = e.doc_id and g.tok = e.tok
+      group by 1)
+select doc_id, n_gold, n_extracted, n_overlap,
+  round(case when n_extracted > 0
+             then n_overlap / n_extracted::double else 0.0 end, 6)
+    as precision,
+  round(case when n_gold > 0
+             then n_overlap / n_gold::double else 0.0 end, 6) as recall,
+  round(case when n_gold + n_extracted > 0
+             then 2 * n_overlap / (n_gold + n_extracted)::double
+             else 0.0 end, 6) as f1
+from j order by doc_id
+"""
