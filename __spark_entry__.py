@@ -982,6 +982,29 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.2).orderBy("a", "b")
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder 1997): the corpus plus
+    deterministic EXCERPT docs (every 9th doc spawns a snippet holding
+    its first 60% of characters under id+10^6) — the snippet→source
+    direction scores near-1 containment while Jaccard stays low, the
+    exact case resemblance dedup misses."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    snip = (docs.filter(F.col("doc_id") % 9 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.expr("substring(text, 1, "
+                           "(6*length(text)) div 10)").alias("text")))
+    return dedup.containment_pairs(docs.union(snip), threshold=0.8)
+
+
+_CONTAINMENT_DOCS_SQL = """
+select doc_id, text from documents
+union all
+select doc_id + 1000000, substr(text, 1, (6*length(text)) // 10)
+from documents where doc_id % 9 = 0
+"""
+
+
 def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over a deterministic eval split
     (doc_id % 97 == 0 stands in for the held-out benchmark set)."""
@@ -2207,8 +2230,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  104 queries are
-    value-oracled, so 54 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  105 queries are
+    value-oracled, so 55 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -2293,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": _q_feed_entries,
         "http_headers": _q_http_headers,
         "extract_eval": _q_extract_eval,
+        "containment_pairs": _q_containment,
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
@@ -2307,7 +2331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_extract": _q_density_extract,
         "quality_verdict": _q_quality_verdict,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
-        "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
         "dup_clusters": _q_dup_clusters,
         "hash_split": _q_hash_split,
@@ -2353,9 +2376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontam_overlap's slot went to http_headers (the dedup.py
         # n-gram family stays in-window via dedup_exact/dup_clusters)
         "decontam_overlap": _q_decontam,
-        # pii_redact's slot went to extract_eval (the textfns family
-        # stays in-window via text_features/script_profile/gopher_filter)
+        # pii_redact's and text_features' slots went to extract_eval
+        # and containment_pairs (the textfns family stays in-window via
+        # script_profile/gopher_filter/lm_buckets)
         "pii_redact": _q_pii_redact,
+        "text_features": _q_text_features,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2515,6 +2540,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_eval": evals.eval_extraction_sql(
             "select doc_id, text from documents",
             _EXTRACTED_VARIANT_SQL),
+        "containment_pairs": dedup.containment_pairs_sql(
+            f"({_CONTAINMENT_DOCS_SQL})"),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_quality": urlfns.host_quality_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),

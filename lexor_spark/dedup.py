@@ -29,7 +29,8 @@ from lexor_spark.textfns import SQL, fingerprint, normalize_text
 
 __all__ = [
     "shingles", "exact_dedup", "minhash_signature", "lsh_pairs",
-    "jaccard_pairs", "simhash_df", "decontam_overlap", "span_dedup",
+    "jaccard_pairs", "containment_pairs",
+    "containment_pairs_sql", "simhash_df", "decontam_overlap", "span_dedup",
     "host_boilerplate", "dup_clusters", "minhash_est_pairs",
     "minhash_est_pairs_sql",
     "SHINGLE_N", "MINHASH_K", "LSH_BANDS", "SPAN_WORDS",
@@ -330,6 +331,69 @@ inter as (
 select a, b, round(inter::double / (na + nb - inter), 4) as jaccard
 from inter
 where round(inter::double / (na + nb - inter), 4) >= {threshold}
+"""
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      threshold: float = 0.8) -> DataFrame:
+    """Broder's CONTAINMENT C(A→B) = |S(A)∩S(B)| / |S(A)| (Broder,
+    "On the resemblance and containment of documents", SEQUENCES 1997)
+    — the asymmetric companion to :func:`jaccard_pairs`.  A snippet
+    page quoting 90% of a long article has near-1 containment but low
+    Jaccard (the union is dominated by the long side), so
+    resemblance-threshold dedup keeps both; containment-threshold
+    dedup catches the quote/syndication/excerpt cases a web corpus is
+    full of.
+
+    Same shingle-inverted-index plan as :func:`jaccard_pairs` — the
+    (id, shingle) explode + equi-join self-pairing, one intersection
+    aggregate — then BOTH directions emitted from the one join (a→b
+    scaled by |S(a)|, b→a by |S(b)|), so asymmetry costs no second
+    shuffle.  Output (src, dst, containment) for pairs at/above
+    ``threshold``; ordering deterministic."""
+    docs = _spread(docs)
+    sh = shingles_df(docs, [F.col(id_col).alias("id")], text_col)
+    ex = sh.select("id", F.size("sh").alias("n"),
+                   F.explode("sh").alias("s"))
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(r, (F.col("l.s") == F.col("r.s"))
+               & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                 F.col("l.n").alias("na"), F.col("r.n").alias("nb"))
+        .agg(F.count("*").alias("inter")))
+    ab = inter.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                      F.round(F.col("inter").cast("double")
+                              / F.col("na"), 4).alias("containment"))
+    ba = inter.select(F.col("b").alias("src"), F.col("a").alias("dst"),
+                      F.round(F.col("inter").cast("double")
+                              / F.col("nb"), 4).alias("containment"))
+    return (ab.union(ba)
+            .filter(F.col("containment") >= threshold)
+            .orderBy("src", "dst"))
+
+
+def containment_pairs_sql(table: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          threshold: float = 0.8) -> str:
+    sh = shingles_sql(text_col)
+    return f"""
+with s as (select {id_col} as id, {sh} as sh from {table}),
+ex as (select id, len(sh) as n, unnest(sh) as s from s),
+inter as (
+  select l.id as a, r.id as b, l.n as na, r.n as nb, count(*) as inter
+  from ex l join ex r on l.s = r.s and l.id < r.id
+  group by 1, 2, 3, 4
+),
+dirs as (
+  select a as src, b as dst, round(inter::double / na, 4) as containment
+  from inter
+  union all
+  select b, a, round(inter::double / nb, 4) from inter
+)
+select src, dst, containment from dirs
+where containment >= {threshold} order by src, dst
 """
 
 

@@ -298,3 +298,20 @@ def test_minhash_est_pairs_identical_docs(spark):
     k = dedup.MINHASH_K
     for r in out.values():
         assert abs(r["est_jaccard"] * k - round(r["est_jaccard"] * k)) < 1e-9
+
+
+def test_containment_asymmetric(spark):
+    from lexor_spark.dedup import containment_pairs
+
+    long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    snippet = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "totally different words entirely here now"
+    docs = spark.createDataFrame(
+        [(1, long), (2, snippet), (3, other)], "doc_id long, text string")
+    rows = {(r.src, r.dst): r.containment
+            for r in containment_pairs(docs, threshold=0.5).collect()}
+    # snippet -> long is near-1; long -> snippet is low (asymmetric)
+    assert (2, 1) in rows and rows[(2, 1)] >= 0.9
+    assert (1, 2) not in rows
+    assert not any(3 in k for k in rows)
