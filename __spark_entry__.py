@@ -1677,6 +1677,20 @@ from documents cross join (values (0), (1), (2), (3)) s(s)
 """
 
 
+def _warc_revisit_sql() -> str:
+    from lexor_spark.warc import revisit_records_sql
+    return revisit_records_sql(_CAPTURES_SQL)
+
+
+def _q_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-1.1 identical-payload-digest revisit classification over
+    the 4-snapshot capture fixture (unchanged snapshots repeat the
+    digest, so they must come back as revisit records pointing at the
+    original capture's timestamp) — value-oracled."""
+    from lexor_spark.warc import revisit_records
+    return revisit_records(_captures_df(spark, sf_dir))
+
+
 def _q_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive revisit scheduling (Cho & Garcia-Molina-style) over the
     capture-history fixture: per-url digest-change stats and the next
@@ -2230,8 +2244,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  105 queries are
-    value-oracled, so 55 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  106 queries are
+    value-oracled, so 56 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -2317,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_headers": _q_http_headers,
         "extract_eval": _q_extract_eval,
         "containment_pairs": _q_containment,
+        "revisit_records": _q_revisit,
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
@@ -2332,7 +2347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_verdict": _q_quality_verdict,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "dedup_exact": _q_exact_dedup,
-        "dup_clusters": _q_dup_clusters,
         "hash_split": _q_hash_split,
         "bpe_merges": _q_bpe_merges,
         "ann_bucketed": _q_ann_bucketed,
@@ -2381,6 +2395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # script_profile/gopher_filter/lm_buckets)
         "pii_redact": _q_pii_redact,
         "text_features": _q_text_features,
+        # dup_clusters' slot went to revisit_records (the dedup family
+        # stays in-window via dedup_exact/minhash_est/containment_pairs)
+        "dup_clusters": _q_dup_clusters,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2542,6 +2559,7 @@ def oracle_sql() -> dict[str, str]:
             _EXTRACTED_VARIANT_SQL),
         "containment_pairs": dedup.containment_pairs_sql(
             f"({_CONTAINMENT_DOCS_SQL})"),
+        "revisit_records": _warc_revisit_sql(),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_quality": urlfns.host_quality_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),

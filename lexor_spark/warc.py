@@ -43,6 +43,7 @@ from pyspark.sql.types import (BinaryType, StringType, StructField,
 __all__ = ["parse_warc", "warc_records", "read_warc", "build_warc",
            "build_wet", "wet_shards", "write_wet",
            "build_wat", "wat_shards", "wat_payload_df",
+           "revisit_records", "revisit_records_sql",
            "warc_shards", "write_warc", "WARC_SCHEMA"]
 
 WARC_SCHEMA = StructType([
@@ -539,3 +540,48 @@ def wat_payload_df(pages: DataFrame, fused: bool = True) -> DataFrame:
             .alias("HTML-Metadata")).alias("Payload-Metadata"))
     return j.select(
         "url", F.to_json(F.struct(env.alias("Envelope"))).alias("wat_json"))
+
+
+# ---------------------------------------------------------------------------
+# Revisit-record classification (digest-based capture dedup)
+# ---------------------------------------------------------------------------
+
+def revisit_records(captures: DataFrame) -> DataFrame:
+    """Classify each capture of a (url, ts, digest) history as a full
+    ``response`` record or a ``revisit`` record — the WARC-1.1 §6.7.2
+    "identical payload digest" profile Heritrix/Common Crawl write at
+    crawl time: when a re-fetch of a URL hashes to a payload digest
+    already stored for that URL, the crawler stores a tiny revisit
+    record pointing at the original capture instead of the payload.
+
+    Per capture: ``is_revisit`` (an EARLIER capture of the same url
+    carries the same digest) and ``refers_to_ts`` (the original
+    capture's timestamp, NULL for response records).  ONE window over
+    (url, digest) ordered by ts — key cardinality ~ captures, so no
+    skewed single task; at 10^12 captures this is one shuffle on a
+    well-spread compound key.  Deterministic → DuckDB mirror."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("url", "digest").orderBy("ts")
+    first_ts = F.first("ts").over(w)
+    rn = F.row_number().over(w)
+    return (captures.select(
+        "url", "ts", "digest",
+        (rn > 1).alias("is_revisit"),
+        F.when(rn > 1, first_ts).alias("refers_to_ts"))
+        .orderBy("url", "ts"))
+
+
+def revisit_records_sql(captures_sql: str) -> str:
+    """DuckDB mirror of :func:`revisit_records`."""
+    return f"""
+with c as ({captures_sql}),
+w as (select url, ts, digest,
+             row_number() over (partition by url, digest order by ts)
+               as rn,
+             first_value(ts) over (partition by url, digest order by ts)
+               as fts
+      from c)
+select url, ts::timestamp as ts, digest, rn > 1 as is_revisit,
+       (case when rn > 1 then fts end)::timestamp as refers_to_ts
+from w order by url, ts
+"""

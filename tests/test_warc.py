@@ -293,3 +293,26 @@ def test_wat_shards_end_to_end(spark, sf_dir):
     assert sum(s["n_records"] for s in shards) == len(rows)
     parsed = [r for s in shards for r in parse_warc(s["wat"])]
     assert len(parsed) == len(rows)
+
+
+def test_revisit_records_digest_dedup(spark):
+    from datetime import datetime
+
+    from lexor_spark.warc import revisit_records
+
+    t = [datetime(2026, 1, i + 1) for i in range(4)]
+    caps = spark.createDataFrame(
+        [("u", t[0], "d1"), ("u", t[1], "d1"),   # unchanged -> revisit
+         ("u", t[2], "d2"),                       # changed -> response
+         ("u", t[3], "d1"),                       # back to d1 -> revisit of t0
+         ("v", t[0], "d1")],                      # same digest, other url
+        "url string, ts timestamp, digest string")
+    got = {(r.url, r.ts): r for r in revisit_records(caps).collect()}
+    assert not got[("u", t[0])].is_revisit
+    assert got[("u", t[1])].is_revisit
+    assert got[("u", t[1])].refers_to_ts == t[0]
+    assert not got[("u", t[2])].is_revisit
+    assert got[("u", t[3])].is_revisit
+    assert got[("u", t[3])].refers_to_ts == t[0]
+    # revisit profile is same-URL: url v's first capture is a response
+    assert not got[("v", t[0])].is_revisit
