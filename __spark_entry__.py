@@ -1691,6 +1691,25 @@ def _q_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revisit_records(_captures_df(spark, sf_dir))
 
 
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture sizing over the 20 corpus sources with
+    deterministic relative weights (1 + source index mod 4) and a 1M
+    token budget — exercises both the epoch-capped (deficit > 0) and
+    downsampled (epochs < 1) branches."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = 1 + F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4))
+    return sampling.mixture_plan(
+        docs.select("source", "text", w.alias("weight")),
+        budget_tokens=1_000_000)
+
+
+_MIXTURE_DOCS_SQL = """
+select source, text,
+       1 + (substr(source, 4)::int % 4) as weight
+from documents
+"""
+
+
 def _q_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive revisit scheduling (Cho & Garcia-Molina-style) over the
     capture-history fixture: per-url digest-change stats and the next
@@ -2244,8 +2263,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  106 queries are
-    value-oracled, so 56 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  107 queries are
+    value-oracled, so 57 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -2332,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_eval": _q_extract_eval,
         "containment_pairs": _q_containment,
         "revisit_records": _q_revisit,
+        "mixture_plan": _q_mixture_plan,
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
@@ -2347,7 +2367,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_verdict": _q_quality_verdict,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
         "dedup_exact": _q_exact_dedup,
-        "hash_split": _q_hash_split,
         "bpe_merges": _q_bpe_merges,
         "ann_bucketed": _q_ann_bucketed,
         # -- group 3 slot, taken by the late-r4 ngram operator
@@ -2398,6 +2417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup_clusters' slot went to revisit_records (the dedup family
         # stays in-window via dedup_exact/minhash_est/containment_pairs)
         "dup_clusters": _q_dup_clusters,
+        # hash_split's slot went to mixture_plan (sampling.py's r4 delta
+        # IS mixture_plan, which covers the module in-window)
+        "hash_split": _q_hash_split,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2560,6 +2582,8 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": dedup.containment_pairs_sql(
             f"({_CONTAINMENT_DOCS_SQL})"),
         "revisit_records": _warc_revisit_sql(),
+        "mixture_plan": sampling.mixture_plan_sql(
+            _MIXTURE_DOCS_SQL, budget_tokens=1_000_000),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_quality": urlfns.host_quality_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),

@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fraction", "hash_split", "sample_by",
+__all__ = ["mixture_plan", "mixture_plan_sql",
+           "hash_fraction", "hash_split", "sample_by",
            "temperature_sample"]
 
 _SCALE = float(1 << 32)
@@ -176,4 +177,88 @@ r as (select {group_col},
 select d.{id_col}, d.{group_col}, round(r.keep_rate, 6) as keep_rate
 from {table} d join r using ({group_col})
 where {u} < r.keep_rate
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture planning (data-constrained scaling)
+# ---------------------------------------------------------------------------
+
+MIX_MAX_EPOCHS = 4.0  # repeated-data value decays past ~4 epochs
+                      # (Muennighoff et al. 2023, "Scaling Data-
+                      # Constrained Language Models")
+
+
+def mixture_plan(docs: DataFrame, budget_tokens: int,
+                 stratum_col: str = "source", text_col: str = "text",
+                 weight_col: str = "weight",
+                 max_epochs: float = MIX_MAX_EPOCHS) -> DataFrame:
+    """Pretraining-mixture planner: given per-doc strata with RELATIVE
+    mixture weights (a ``weight_col`` the caller derives scan-side)
+    and a total token budget, compute per stratum the target token
+    share, the repetition factor (epochs) needed to meet it from the
+    available tokens, the epoch cap at ``max_epochs`` (past which
+    repeated data stops helping — the data-constrained-scaling rule),
+    and the resulting planned/deficit tokens.  This is the sizing
+    table every mixture decision (how much code vs web vs books, what
+    to upsample) is read off.
+
+    Plan shape: token counts are scan-side, ONE stratum-keyed hash
+    aggregate (map-side combinable), a 1-row weight-sum broadcast
+    joined back — nothing shuffles but S stratum rows.  All arithmetic
+    rounds to 6 decimals for the cross-engine oracle."""
+    from lexor_spark.textfns import token_count
+    per = (docs.select(F.col(stratum_col).alias("stratum"),
+                       F.col(weight_col).alias("w"),
+                       token_count(F.col(text_col)).alias("tc"))
+           .groupBy("stratum")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("tc").alias("avail_tokens"),
+                F.max("w").alias("w")))  # w constant per stratum; max is order-free
+    tot = per.agg(F.sum("w").alias("w_sum"))
+    j = per.crossJoin(F.broadcast(tot))
+    target = F.round(F.lit(float(budget_tokens)) * F.col("w")
+                     / F.col("w_sum"), 6)
+    epochs_raw = F.round(target / F.col("avail_tokens"), 6)
+    epochs = F.least(epochs_raw, F.lit(float(max_epochs)))
+    planned = F.round(F.col("avail_tokens") * epochs, 6)
+    return (j.select(
+        "stratum", "n_docs", "avail_tokens",
+        F.round(F.col("w") / F.col("w_sum"), 6).alias("mix_weight"),
+        target.alias("target_tokens"),
+        epochs_raw.alias("epochs_raw"),
+        epochs.alias("epochs"),
+        planned.alias("planned_tokens"),
+        F.round(target - planned, 6).alias("deficit_tokens"))
+        .orderBy("stratum"))
+
+
+def mixture_plan_sql(docs_sql: str, budget_tokens: int,
+                     stratum_col: str = "source",
+                     text_col: str = "text",
+                     weight_col: str = "weight",
+                     max_epochs: float = MIX_MAX_EPOCHS) -> str:
+    """DuckDB mirror of :func:`mixture_plan` over a SELECT producing
+    (stratum_col, weight_col, text_col)."""
+    from lexor_spark.textfns import SQL
+    tc = SQL.TOKEN_COUNT.format(c=text_col)
+    return f"""
+with mixsrc as ({docs_sql}),
+per as (select {stratum_col} as stratum, count(*) as n_docs,
+               sum({tc})::bigint as avail_tokens,
+               max({weight_col}) as w
+        from mixsrc group by 1),
+tot as (select sum(w) as w_sum from per),
+j as (select per.*, tot.w_sum,
+             round({float(budget_tokens)} * w / w_sum, 6) as target
+      from per cross join tot),
+k as (select *, round(target / avail_tokens, 6) as epochs_raw from j),
+l as (select *, least(epochs_raw, {float(max_epochs)}) as epochs from k)
+select stratum, n_docs, avail_tokens,
+       round(w / w_sum, 6) as mix_weight,
+       target as target_tokens, epochs_raw, epochs,
+       round(avail_tokens * epochs, 6) as planned_tokens,
+       round(target - round(avail_tokens * epochs, 6), 6)
+         as deficit_tokens
+from l order by stratum
 """

@@ -75,3 +75,22 @@ def test_single_split_sql_parses():
     sql2 = sampling.sample_by_sql("t", {}, default=1.0)
     assert duckdb.sql("with t as (select 1 as doc_id, 'en' as lang) "
                       + sql2).fetchall()
+
+
+def test_mixture_plan_epoch_cap_and_downsample(spark):
+    from lexor_spark.sampling import mixture_plan
+
+    # stratum a: 10 tokens available; stratum b: 1000 tokens available
+    docs = spark.createDataFrame(
+        [("a", "t " * 10, 9.0), ("b", "t " * 1000, 1.0)],
+        "source string, text string, weight double")
+    got = {r.stratum: r for r in
+           mixture_plan(docs, budget_tokens=1000).collect()}
+    a, b = got["a"], got["b"]
+    # a wants 900 tokens from 10 available -> raw 90 epochs, capped at 4
+    assert a.target_tokens == 900.0 and a.epochs_raw == 90.0
+    assert a.epochs == 4.0 and a.planned_tokens == 40.0
+    assert a.deficit_tokens == 860.0
+    # b wants 100 of 1000 -> downsample, no deficit
+    assert b.epochs == 0.1 and b.planned_tokens == 100.0
+    assert b.deficit_tokens == 0.0
