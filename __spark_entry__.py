@@ -2042,6 +2042,14 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(docs, threshold=0.2).orderBy("doc_id")
 
 
+def _q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper per near-dup cluster (RefinedWeb-style:
+    best heuristic score wins, min id breaks ties) composed on the
+    dup_clusters propagation — value-oracled."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.cluster_keepers(docs, threshold=0.2)
+
+
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _SAMPLE_FRACS = {"en": 0.5, "de": 0.25}
 
@@ -2263,8 +2271,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  107 queries are
-    value-oracled, so 57 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  108 queries are
+    value-oracled, so 58 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -2352,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment,
         "revisit_records": _q_revisit,
         "mixture_plan": _q_mixture_plan,
+        "cluster_keepers": _q_cluster_keepers,
         "anchor_texts": _q_anchor_texts,
         "host_quality": _q_host_quality,
         "host_filter_docs": _q_host_filter_docs,
@@ -2366,7 +2375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_extract": _q_density_extract,
         "quality_verdict": _q_quality_verdict,
         # -- group 2: last driver-green in r01/r02 — rotate back in --
-        "dedup_exact": _q_exact_dedup,
         "bpe_merges": _q_bpe_merges,
         "ann_bucketed": _q_ann_bucketed,
         # -- group 3 slot, taken by the late-r4 ngram operator
@@ -2420,6 +2428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash_split's slot went to mixture_plan (sampling.py's r4 delta
         # IS mixture_plan, which covers the module in-window)
         "hash_split": _q_hash_split,
+        # dedup_exact's slot went to cluster_keepers (exact fingerprint
+        # machinery stays pytest-pinned; the dedup family is in-window
+        # via minhash_est/containment_pairs/cluster_keepers)
+        "dedup_exact": _q_exact_dedup,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "sitemap_index": _q_sitemap_index,
@@ -2584,6 +2596,8 @@ def oracle_sql() -> dict[str, str]:
         "revisit_records": _warc_revisit_sql(),
         "mixture_plan": sampling.mixture_plan_sql(
             _MIXTURE_DOCS_SQL, budget_tokens=1_000_000),
+        "cluster_keepers": dedup.cluster_keepers_sql(
+            "documents", threshold=0.2),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_quality": urlfns.host_quality_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),

@@ -31,7 +31,8 @@ __all__ = [
     "shingles", "exact_dedup", "minhash_signature", "lsh_pairs",
     "jaccard_pairs", "containment_pairs",
     "containment_pairs_sql", "simhash_df", "decontam_overlap", "span_dedup",
-    "host_boilerplate", "dup_clusters", "minhash_est_pairs",
+    "host_boilerplate", "dup_clusters", "cluster_keepers",
+    "cluster_keepers_sql", "minhash_est_pairs",
     "minhash_est_pairs_sql",
     "SHINGLE_N", "MINHASH_K", "LSH_BANDS", "SPAN_WORDS",
 ]
@@ -868,4 +869,64 @@ select p.a, p.b, p.jaccard, {est} as est_jaccard,
 from pairs p
 join sig sa on p.a = sa.{id_col}
 join sig sb on p.b = sb.{id_col}
+"""
+
+
+def cluster_keepers(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    threshold: float = 0.5) -> DataFrame:
+    """Quality-aware representative selection per near-dup cluster —
+    the refinement real pipelines apply on top of min-id canonical
+    picking (:func:`dup_clusters` marks min id): among near-duplicates
+    keep the HIGHEST-quality member (RefinedWeb keeps by heuristic
+    score; min doc id breaks quality ties deterministically).
+
+    Output per cluster: (cluster_id, keep_id, keep_quality,
+    cluster_size, n_dropped).  Plan: the dup_clusters propagation
+    (edges-only pointer jumping), a scan-side quality score, ONE
+    cluster-keyed max aggregate + a same-key filtered min — both
+    map-side combinable on the cluster key, no window over the
+    corpus."""
+    from lexor_spark.textfns import quality_score
+    clusters = dup_clusters(docs, text_col, id_col, threshold)
+    q = docs.select(F.col(id_col),
+                    quality_score(F.col(text_col)).alias("q"))
+    j = clusters.join(q, id_col)
+    m = (j.groupBy("cluster_id")
+         .agg(F.max("q").alias("keep_quality"),
+              F.count("*").alias("cluster_size")))
+    k = (j.join(m, "cluster_id")
+         .filter(F.col("q") == F.col("keep_quality"))
+         .groupBy("cluster_id")
+         .agg(F.min(id_col).alias("keep_id")))
+    return (m.join(k, "cluster_id")
+            .select("cluster_id", "keep_id", "keep_quality",
+                    "cluster_size",
+                    (F.col("cluster_size") - 1).alias("n_dropped"))
+            .orderBy("cluster_id"))
+
+
+def cluster_keepers_sql(table: str, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.5) -> str:
+    """DuckDB mirror of :func:`cluster_keepers` (recursive-CTE
+    components, small-scale oracle only)."""
+    from lexor_spark.textfns import SQL
+    clusters = dup_clusters_sql(table, text_col, id_col, threshold)
+    qs = SQL.quality_score(text_col)
+    return f"""
+with clus as ({clusters}),
+q as (select {id_col}, {qs} as q from {table}),
+j as (select clus.cluster_id, clus.{id_col} as id, q.q
+      from clus join q on clus.{id_col} = q.{id_col}),
+m as (select cluster_id, max(q) as keep_quality,
+             count(*)::bigint as cluster_size
+      from j group by 1),
+k as (select j.cluster_id, min(j.id) as keep_id
+      from j join m on j.cluster_id = m.cluster_id
+      where j.q = m.keep_quality group by 1)
+select m.cluster_id, k.keep_id, m.keep_quality, m.cluster_size,
+       m.cluster_size - 1 as n_dropped
+from m join k on m.cluster_id = k.cluster_id
+order by m.cluster_id
 """

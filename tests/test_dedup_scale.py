@@ -315,3 +315,20 @@ def test_containment_asymmetric(spark):
     assert (2, 1) in rows and rows[(2, 1)] >= 0.9
     assert (1, 2) not in rows
     assert not any(3 in k for k in rows)
+
+
+def test_cluster_keepers_quality_wins(spark):
+    from lexor_spark.dedup import cluster_keepers
+
+    # docs 1/2 are near-dups; 2 is longer/higher quality; 3 standalone
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "going with more and more words that pad this out ") * 4
+    docs = spark.createDataFrame(
+        [(1, base[:150]), (2, base), (3, "short unrelated thing")],
+        "doc_id long, text string")
+    got = {r.cluster_id: r for r in
+           cluster_keepers(docs, threshold=0.2).collect()}
+    dup = got[1]
+    assert dup.cluster_size == 2 and dup.n_dropped == 1
+    assert dup.keep_id == 2  # higher quality beats lower id
+    assert got[3].cluster_size == 1 and got[3].keep_id == 3
