@@ -183,6 +183,16 @@ def main() -> None:
                                                     k=100),
         "url_bloom": lambda: _entry._q_url_bloom(spark, SF_DIR),
         "quality_verdict": lambda: _entry._q_quality_verdict(spark, SF_DIR),
+        # round-4 crawl-ecosystem / curation additions
+        "containment_pairs": lambda: _entry._q_containment(spark, SF_DIR),
+        "cluster_keepers": lambda: dedup.cluster_keepers(docs,
+                                                         threshold=0.2),
+        "mixture_plan": lambda: _entry._q_mixture_plan(spark, SF_DIR),
+        "crawl_traps": lambda: _entry._q_crawl_traps(spark, SF_DIR),
+        "revisit_records": lambda: _entry._q_revisit(spark, SF_DIR),
+        "extract_eval": lambda: _entry._q_extract_eval(spark, SF_DIR),
+        "redirect_resolve": lambda: _entry._q_redirect_resolve(spark,
+                                                               SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)
