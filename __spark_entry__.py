@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lexor_spark import (bpe, cdx, chunking, classify, content, crawlqa,  # noqa: E402
                          dedup, dsir, evals, feeds, frontier, graph,
-                         httpfns, lm,
+                         httpfns, lm, mimesniff,
                          multimodal, packing, robots, sampling, search,
                          sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
@@ -1409,6 +1409,102 @@ from documents
 """
 
 
+def _mime_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixed-payload fixture for MIME sniffing: 14
+    classes by doc_id cover every branch — magic bytes (PDF, PNG, GIF,
+    JPEG, ZIP, gzip), tag sniff (doctype'd, bare upper-case), feed
+    sniff (RSS mislabeled as text/html, bare Atom), the Apache-bug
+    binary check (text/plain with a control byte), a trusted specific
+    type (JSON), ``<?xml`` fallback, and plain prose.  Payloads are
+    latin-1-safe strings encoded to the binary column Spark sniffs;
+    the DuckDB mirror keeps the identical characters as VARCHAR."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    m = F.pmod(d, F.lit(14))
+    payload = (
+        F.when(m == 0, F.concat(F.lit("%PDF-1.7\n1 0 obj p"), ds))
+        .when(m == 1, F.concat(F.lit("\x89PNG\r\n\x1a\nIDAT"), ds))
+        .when(m == 2, F.concat(F.lit("GIF89a\x01img"), ds))
+        .when(m == 3, F.concat(F.lit("\xff\xd8\xff\xe0JFIF"), ds))
+        .when(m == 4, F.concat(
+            F.lit("  \t\n<!DOCTYPE html><html><body>doc "), ds))
+        .when(m == 5, F.concat(
+            F.lit('<?xml version="1.0" encoding="utf-8"?>\n'
+                  '<rss version="2.0"><channel><title>f'), ds,
+            F.lit("</title></channel></rss>")))
+        .when(m == 6, F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>f'),
+            ds, F.lit("</title></feed>")))
+        .when(m == 7, F.concat(F.lit("Plain prose document "), ds,
+                               F.lit(" with no markup at all.")))
+        .when(m == 8, F.concat(F.lit("looks textual but\x07rings "), ds))
+        .when(m == 9, F.concat(F.lit('{"doc": '), ds, F.lit("}")))
+        .when(m == 10, F.concat(F.lit("PK\x03\x04zip"), ds))
+        .when(m == 11, F.concat(F.lit("<HTML><BODY>UPPERCASE "), ds))
+        .when(m == 12, F.concat(F.lit("\x1f\x8b\x08gz"), ds))
+        .otherwise(F.concat(
+            F.lit('<?xml version="1.0"?><data>x'), ds, F.lit("</data>"))))
+    ct = (F.when(m == 1, F.lit("application/octet-stream"))
+          .when(m == 5, F.lit("text/html"))
+          .when(m == 8, F.lit("text/plain"))
+          .when(m == 9, F.lit("application/json"))
+          .when(m == 10, F.lit("application/octet-stream"))
+          .when(m == 12, F.lit("unknown/unknown"))
+          .otherwise(F.lit(None).cast("string")))
+    return docs.select(
+        F.concat(F.lit("p"), ds).alias("url"),
+        F.encode(payload, "ISO-8859-1").alias("payload"),
+        ct.alias("content_type"))
+
+
+_MIME_PAGES_SQL = """
+select 'p' || doc_id as url,
+  case doc_id % 14
+    when 0 then '%PDF-1.7' || chr(10) || '1 0 obj p' || doc_id
+    when 1 then chr(137) || 'PNG' || chr(13) || chr(10) || chr(26)
+             || chr(10) || 'IDAT' || doc_id
+    when 2 then 'GIF89a' || chr(1) || 'img' || doc_id
+    when 3 then chr(255) || chr(216) || chr(255) || chr(224)
+             || 'JFIF' || doc_id
+    when 4 then '  ' || chr(9) || chr(10)
+             || '<!DOCTYPE html><html><body>doc ' || doc_id
+    when 5 then '<?xml version="1.0" encoding="utf-8"?>' || chr(10)
+             || '<rss version="2.0"><channel><title>f' || doc_id
+             || '</title></channel></rss>'
+    when 6 then '<feed xmlns="http://www.w3.org/2005/Atom"><title>f'
+             || doc_id || '</title></feed>'
+    when 7 then 'Plain prose document ' || doc_id
+             || ' with no markup at all.'
+    when 8 then 'looks textual but' || chr(7) || 'rings ' || doc_id
+    when 9 then '{"doc": ' || doc_id || '}'
+    when 10 then 'PK' || chr(3) || chr(4) || 'zip' || doc_id
+    when 11 then '<HTML><BODY>UPPERCASE ' || doc_id
+    when 12 then chr(31) || chr(139) || chr(8) || 'gz' || doc_id
+    else '<?xml version="1.0"?><data>x' || doc_id || '</data>'
+  end as payload,
+  case doc_id % 14
+    when 1 then 'application/octet-stream'
+    when 5 then 'text/html'
+    when 8 then 'text/plain'
+    when 9 then 'application/json'
+    when 10 then 'application/octet-stream'
+    when 12 then 'unknown/unknown'
+    else null
+  end as content_type
+from documents
+"""
+
+
+def _q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG-subset MIME sniffing → extractor dispatch over the
+    14-class mixed-payload fixture: magic bytes, tag/feed sniff,
+    Apache-bug binary check, header-trust rules — both engines run the
+    identical regex ladder (Spark on the decoded binary head, DuckDB
+    on the same characters)."""
+    return mimesniff.sniff_mime(_mime_pages_df(spark, sf_dir))
+
+
 def _q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP response-header parsing (status line, Content-Type +
     charset, Location, Content-Length, redirect verdict) as pure
@@ -2356,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_collapse": _q_alias_collapse,
         "feed_entries": _q_feed_entries,
         "http_headers": _q_http_headers,
+        "mime_sniff": _q_mime_sniff,
         "extract_eval": _q_extract_eval,
         "containment_pairs": _q_containment,
         "revisit_records": _q_revisit,
@@ -2588,6 +2685,7 @@ def oracle_sql() -> dict[str, str]:
         "feed_entries": _FEED_ENTRIES_SQL,
         "http_headers": httpfns.parse_http_headers_sql(
             _HTTP_RESPONSES_SQL.format(url=_URL_SQL)),
+        "mime_sniff": mimesniff.sniff_mime_sql(_MIME_PAGES_SQL),
         "extract_eval": evals.eval_extraction_sql(
             "select doc_id, text from documents",
             _EXTRACTED_VARIANT_SQL),
