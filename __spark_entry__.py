@@ -1496,6 +1496,126 @@ from documents
 """
 
 
+_CACHE_NOW = "Tue, 19 Aug 2025 12:00:00 GMT"
+
+
+def _cache_responses_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cached-response header blocks for the RFC 9111
+    revalidation planner — 11 classes by doc_id cover every freshness
+    source (max-age, Expires, the Last-Modified heuristic), both
+    freshness outcomes each, Age-header accumulation, no-store /
+    no-cache directives, validator selection (ETag vs Last-Modified),
+    an unparseable Date, and a header block with no caching fields."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    m = F.pmod(d, F.lit(11))
+    crlf = F.lit("\r\n")
+    base = F.concat(F.lit("HTTP/1.1 200 OK"), crlf,
+                    F.lit("Content-Type: text/html"), crlf)
+    d100 = F.concat(F.lit("Date: Tue, 19 Aug 2025 11:58:20 GMT"), crlf)
+    headers = (
+        # 0: max-age fresh → serve_cached
+        F.when(m == 0, F.concat(base, d100,
+               F.lit("Cache-Control: max-age="),
+               (3600 + F.pmod(d, F.lit(10))).cast("string"), crlf))
+        # 1: max-age stale + ETag → revalidate_etag
+        .when(m == 1, F.concat(base, d100,
+              F.lit("cache-control: max-age="),
+              F.pmod(d, F.lit(50)).cast("string"), crlf,
+              F.lit('ETag: "v'), ds, F.lit('"'), crlf))
+        # 2: Expires in the future → serve_cached
+        .when(m == 2, F.concat(base, d100,
+              F.lit("Expires: Tue, 19 Aug 2025 13:08:20 GMT"), crlf))
+        # 3: Expires stale (wins over LM heuristic) → revalidate_lm
+        .when(m == 3, F.concat(base, d100,
+              F.lit("Expires: Tue, 19 Aug 2025 11:59:20 GMT"), crlf,
+              F.lit("Last-Modified: Tue, 19 Aug 2025 10:35:00 GMT"),
+              crlf))
+        # 4: heuristic fresh (10% of Date-LM = 500 s > age 100)
+        .when(m == 4, F.concat(base, d100,
+              F.lit("Last-Modified: Tue, 19 Aug 2025 10:35:00 GMT"),
+              crlf))
+        # 5: heuristic stale (50 s < age 100) → revalidate_lm
+        .when(m == 5, F.concat(base, d100,
+              F.lit("last-modified: Tue, 19 Aug 2025 11:50:00 GMT"),
+              crlf))
+        # 6: no-store → refetch always
+        .when(m == 6, F.concat(base, d100,
+              F.lit("Cache-Control: no-store, max-age=3600"), crlf))
+        # 7: no-cache trumps freshness → revalidate_etag
+        .when(m == 7, F.concat(base, d100,
+              F.lit("Cache-Control: no-cache, max-age=3600"), crlf,
+              F.lit('Etag: W/"w'), ds, F.lit('"'), crlf))
+        # 8: Age header pushes past max-age, no validator → refetch
+        .when(m == 8, F.concat(base, d100,
+              F.lit("Age: "), (200 + F.pmod(d, F.lit(7))).cast("string"),
+              crlf, F.lit("Cache-Control: max-age=250"), crlf))
+        # 9: no caching headers → lifetime 0 → refetch
+        .when(m == 9, base)
+        # 10: garbage Date, Age-only residence → still fresh
+        .otherwise(F.concat(base, F.lit("Date: not a date"), crlf,
+                   F.lit("Age: 50"), crlf,
+                   F.lit("Cache-Control: max-age=500"), crlf)))
+    return docs.select(F.concat(F.lit("p"), ds).alias("url"),
+                       headers.alias("headers"))
+
+
+_CACHE_RESPONSES_SQL = """
+select 'p' || doc_id as url,
+  'HTTP/1.1 200 OK' || chr(13) || chr(10)
+  || 'Content-Type: text/html' || chr(13) || chr(10)
+  || case doc_id % 11
+    when 0 then 'Date: Tue, 19 Aug 2025 11:58:20 GMT' || chr(13)
+      || chr(10) || 'Cache-Control: max-age=' || (3600 + doc_id % 10)
+      || chr(13) || chr(10)
+    when 1 then 'Date: Tue, 19 Aug 2025 11:58:20 GMT' || chr(13)
+      || chr(10) || 'cache-control: max-age=' || (doc_id % 50)
+      || chr(13) || chr(10) || 'ETag: "v' || doc_id || '"'
+      || chr(13) || chr(10)
+    when 2 then 'Date: Tue, 19 Aug 2025 11:58:20 GMT' || chr(13)
+      || chr(10) || 'Expires: Tue, 19 Aug 2025 13:08:20 GMT'
+      || chr(13) || chr(10)
+    when 3 then 'Date: Tue, 19 Aug 2025 11:58:20 GMT' || chr(13)
+      || chr(10) || 'Expires: Tue, 19 Aug 2025 11:59:20 GMT'
+      || chr(13) || chr(10)
+      || 'Last-Modified: Tue, 19 Aug 2025 10:35:00 GMT'
+      || chr(13) || chr(10)
+    when 4 then 'Date: Tue, 19 Aug 2025 11:58:20 GMT' || chr(13)
+      || chr(10) || 'Last-Modified: Tue, 19 Aug 2025 10:35:00 GMT'
+      || chr(13) || chr(10)
+    when 5 then 'Date: Tue, 19 Aug 2025 11:58:20 GMT' || chr(13)
+      || chr(10) || 'last-modified: Tue, 19 Aug 2025 11:50:00 GMT'
+      || chr(13) || chr(10)
+    when 6 then 'Date: Tue, 19 Aug 2025 11:58:20 GMT' || chr(13)
+      || chr(10) || 'Cache-Control: no-store, max-age=3600'
+      || chr(13) || chr(10)
+    when 7 then 'Date: Tue, 19 Aug 2025 11:58:20 GMT' || chr(13)
+      || chr(10) || 'Cache-Control: no-cache, max-age=3600'
+      || chr(13) || chr(10) || 'Etag: W/"w' || doc_id || '"'
+      || chr(13) || chr(10)
+    when 8 then 'Date: Tue, 19 Aug 2025 11:58:20 GMT' || chr(13)
+      || chr(10) || 'Age: ' || (200 + doc_id % 7) || chr(13) || chr(10)
+      || 'Cache-Control: max-age=250' || chr(13) || chr(10)
+    when 9 then ''
+    else 'Date: not a date' || chr(13) || chr(10) || 'Age: 50'
+      || chr(13) || chr(10) || 'Cache-Control: max-age=500'
+      || chr(13) || chr(10)
+  end as headers
+from documents
+"""
+
+
+def _q_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 cache-revalidation planning (current age, freshness
+    lifetime from max-age/Expires/heuristic, serve-vs-revalidate-vs-
+    refetch action with validator selection) over the 11-class header
+    fixture — both engines run the identical regex ladder and
+    difference-only timestamp arithmetic."""
+    return httpfns.cache_plan(_cache_responses_df(spark, sf_dir),
+                              now=_CACHE_NOW)
+
+
 def _q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHATWG-subset MIME sniffing → extractor dispatch over the
     14-class mixed-payload fixture: magic bytes, tag/feed sniff,
@@ -2453,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": _q_feed_entries,
         "http_headers": _q_http_headers,
         "mime_sniff": _q_mime_sniff,
+        "cache_plan": _q_cache_plan,
         "extract_eval": _q_extract_eval,
         "containment_pairs": _q_containment,
         "revisit_records": _q_revisit,
@@ -2686,6 +2807,8 @@ def oracle_sql() -> dict[str, str]:
         "http_headers": httpfns.parse_http_headers_sql(
             _HTTP_RESPONSES_SQL.format(url=_URL_SQL)),
         "mime_sniff": mimesniff.sniff_mime_sql(_MIME_PAGES_SQL),
+        "cache_plan": httpfns.cache_plan_sql(_CACHE_RESPONSES_SQL,
+                                             now=_CACHE_NOW),
         "extract_eval": evals.eval_extraction_sql(
             "select doc_id, text from documents",
             _EXTRACTED_VARIANT_SQL),
