@@ -1926,6 +1926,57 @@ from documents
 """
 
 
+def _refetch_sitemaps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-entry sitemap bodies over the corpus urls, lastmod varying
+    by doc_id % 5: absent (→ unknown_lastmod), a date after the last
+    capture (→ modified), a date before it (→ current), a full W3C
+    datetime after it (→ modified, exercising the second parse
+    format), and a loc the capture history has never seen
+    (→ never_fetched).  Parsed by the real robots.sitemap_entries
+    before joining — the sitemap→refetch path runs end to end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    m = F.pmod(did, F.lit(5))
+    loc = F.when(m == 4, F.concat(_corpus_url(), F.lit("?new=1"))) \
+           .otherwise(_corpus_url())
+    lastmod = (F.when(m == 1, F.lit("<lastmod>2024-01-15</lastmod>"))
+               .when(m == 2, F.lit("<lastmod>2023-10-01</lastmod>"))
+               .when(m == 3,
+                     F.lit("<lastmod>2024-02-01T06:30:00Z</lastmod>"))
+               .otherwise(F.lit("")))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n  <url><loc>'), loc,
+        F.lit("</loc>"), lastmod, F.lit("</url>\n</urlset>"))
+    host = F.concat(F.lit("site"), F.pmod(did, F.lit(97)).cast("string"),
+                    F.lit(".example"))
+    return docs.select(host.alias("host"), xml.alias("sitemap_xml"))
+
+
+_REFETCH_SITEMAPS_SQL = f"""
+select 'site' || (doc_id % 97)::varchar || '.example' as host,
+  '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10)
+  || '  <url><loc>' || {_CORPUS_URL_SQL}
+  || (case when doc_id % 5 = 4 then '?new=1' else '' end)
+  || '</loc>'
+  || (case doc_id % 5
+        when 1 then '<lastmod>2024-01-15</lastmod>'
+        when 2 then '<lastmod>2023-10-01</lastmod>'
+        when 3 then '<lastmod>2024-02-01T06:30:00Z</lastmod>'
+        else '' end)
+  || '</url>' || chr(10) || '</urlset>' as sitemap_xml
+from documents
+"""
+
+
+def _q_sitemap_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-lastmod-driven refetch prioritization: real
+    sitemap_entries parse → max-capture join → status/priority ladder,
+    covering all four statuses and both lastmod formats —
+    value-oracled end to end."""
+    entries = robots.sitemap_entries(_refetch_sitemaps_df(spark, sf_dir))
+    return frontier.sitemap_refetch(entries, _captures_df(spark, sf_dir))
+
+
 def _q_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive revisit scheduling (Cho & Garcia-Molina-style) over the
     capture-history fixture: per-url digest-change stats and the next
@@ -2574,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_headers": _q_http_headers,
         "mime_sniff": _q_mime_sniff,
         "cache_plan": _q_cache_plan,
+        "sitemap_refetch": _q_sitemap_refetch,
         "extract_eval": _q_extract_eval,
         "containment_pairs": _q_containment,
         "revisit_records": _q_revisit,
@@ -2809,6 +2861,9 @@ def oracle_sql() -> dict[str, str]:
         "mime_sniff": mimesniff.sniff_mime_sql(_MIME_PAGES_SQL),
         "cache_plan": httpfns.cache_plan_sql(_CACHE_RESPONSES_SQL,
                                              now=_CACHE_NOW),
+        "sitemap_refetch": frontier.sitemap_refetch_sql(
+            robots.sitemap_entries_sql(_REFETCH_SITEMAPS_SQL),
+            _CAPTURES_SQL),
         "extract_eval": evals.eval_extraction_sql(
             "select doc_id, text from documents",
             _EXTRACTED_VARIANT_SQL),

@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["fetch_schedule", "fetch_schedule_sql",
-           "recrawl_schedule", "recrawl_schedule_sql"]
+           "recrawl_schedule", "recrawl_schedule_sql",
+           "sitemap_refetch", "sitemap_refetch_sql"]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)"
 
@@ -205,4 +206,103 @@ select url, n_captures, n_changes,
                     + (next_interval_h * 3600.0)::bigint
                     )::timestamp as next_fetch_ts
 from i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sitemap-driven refetch prioritization
+# ---------------------------------------------------------------------------
+
+# W3C datetime (the sitemaps protocol's lastmod grammar): full UTC
+# datetime or date-only.  Parsed with a two-format chain; anything else
+# → NULL (crawlers must not trust malformed lastmod).
+_W3C_FULL = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+_W3C_DATE = "yyyy-MM-dd"
+
+
+def sitemap_refetch(entries: DataFrame, captures: DataFrame,
+                    loc_col: str = "loc",
+                    lastmod_col: str = "lastmod") -> DataFrame:
+    """Join sitemap ``(host, loc, lastmod)`` entries against the crawl's
+    capture history and decide, per advertised URL, whether a refetch
+    is due — the sitemaps protocol's whole point (lastmod is the site's
+    own change signal; www.sitemaps.org/protocol.html) and the
+    cheapest change-detection channel a 10^12-page recrawl has, ahead
+    of :func:`recrawl_schedule`'s behavioral estimator and
+    conditional-GET revalidation.
+
+    Output per entry: ``lastmod_ts`` (parsed W3C datetime, NULL when
+    absent/malformed), ``last_fetch_ts`` (latest capture, NULL when
+    never fetched), ``status`` — ``never_fetched`` /
+    ``modified_since_fetch`` / ``fetched_current`` /
+    ``unknown_lastmod`` — ``fetch_needed``, and ``priority`` (0 =
+    fetch first; drain order ``priority, lastmod desc``).
+
+    Plan at scale: captures collapse to one map-side-combinable
+    ``max(ts)`` per url BEFORE the join, so the join's right side is
+    one row per known url; both sides hash-partition on the url — one
+    co-located exchange each, nothing quadratic, no UDF."""
+    lm_raw = F.col(lastmod_col)
+    lm = F.coalesce(F.try_to_timestamp(lm_raw, F.lit(_W3C_FULL)),
+                    F.try_to_timestamp(lm_raw, F.lit(_W3C_DATE)))
+    last = captures.groupBy(F.col("url").alias(loc_col)).agg(
+        F.max("ts").alias("last_fetch_ts"))
+    e = entries.select("host", loc_col, lm.alias("lastmod_ts"))
+    j = e.join(last, loc_col, "left")
+    status = (
+        F.when(F.col("last_fetch_ts").isNull(), "never_fetched")
+        .when(F.col("lastmod_ts").isNull(), "unknown_lastmod")
+        .when(F.col("lastmod_ts") > F.col("last_fetch_ts"),
+              "modified_since_fetch")
+        .otherwise("fetched_current"))
+    prio = (F.when(status == "never_fetched", 0)
+            .when(status == "modified_since_fetch", 1)
+            .when(status == "unknown_lastmod", 2)
+            .otherwise(3))
+    return j.select(
+        "host", F.col(loc_col).alias("loc"), "lastmod_ts",
+        "last_fetch_ts", status.alias("status"),
+        status.isin("never_fetched", "modified_since_fetch")
+              .alias("fetch_needed"),
+        prio.cast("int").alias("priority"),
+    ).orderBy("loc")
+
+
+def sitemap_refetch_sql(entries_sql: str, captures_sql: str,
+                        loc_col: str = "loc",
+                        lastmod_col: str = "lastmod") -> str:
+    """DuckDB mirror of :func:`sitemap_refetch` (same two-format
+    lastmod parse chain, same status/priority ladder)."""
+    return f"""
+with smentries as ({entries_sql}),
+smcaps as ({captures_sql}),
+last as (
+  select url as {loc_col}, max(ts)::timestamp as last_fetch_ts
+  from smcaps group by url
+),
+e as (
+  select host, {loc_col},
+         coalesce(try_strptime({lastmod_col}, '%Y-%m-%dT%H:%M:%SZ'),
+                  try_strptime({lastmod_col}, '%Y-%m-%d')) as lastmod_ts
+  from smentries
+),
+j as (
+  select e.host, e.{loc_col}, e.lastmod_ts, last.last_fetch_ts,
+    case
+      when last.last_fetch_ts is null then 'never_fetched'
+      when e.lastmod_ts is null then 'unknown_lastmod'
+      when e.lastmod_ts > last.last_fetch_ts then 'modified_since_fetch'
+      else 'fetched_current'
+    end as status
+  from e left join last using ({loc_col})
+)
+select host, {loc_col} as loc, lastmod_ts, last_fetch_ts, status,
+  status in ('never_fetched', 'modified_since_fetch') as fetch_needed,
+  (case status
+     when 'never_fetched' then 0
+     when 'modified_since_fetch' then 1
+     when 'unknown_lastmod' then 2
+     else 3
+   end)::int as priority
+from j order by loc
 """

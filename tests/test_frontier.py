@@ -120,3 +120,43 @@ def test_recrawl_change_then_quiet(spark):
     r = _sched(spark, rows)["u"]
     assert (r["n_changes"], r["unchanged_streak"]) == (1, 2)
     assert r["next_interval_h"] == 48.0
+
+
+def test_sitemap_refetch_statuses_and_priority(spark):
+    from datetime import datetime
+    from lexor_spark.frontier import sitemap_refetch
+    entries = spark.createDataFrame([
+        ("h", "https://h/x/never", "2024-01-01"),
+        ("h", "https://h/x/modified", "2024-01-15"),
+        ("h", "https://h/x/current", "2023-01-01"),
+        ("h", "https://h/x/nolastmod", None),
+        ("h", "https://h/x/fulldt", "2024-02-01T06:30:00Z"),
+        ("h", "https://h/x/badlastmod", "15 Jan 2024"),
+    ], "host string, loc string, lastmod string")
+    caps = spark.createDataFrame([
+        ("https://h/x/modified", datetime(2023, 12, 1), "d1"),
+        ("https://h/x/modified", datetime(2023, 12, 20), "d2"),
+        ("https://h/x/current", datetime(2023, 12, 20), "d1"),
+        ("https://h/x/nolastmod", datetime(2023, 12, 20), "d1"),
+        ("https://h/x/fulldt", datetime(2023, 12, 20), "d1"),
+        ("https://h/x/badlastmod", datetime(2023, 12, 20), "d1"),
+    ], "url string, ts timestamp, digest string")
+    got = {r.loc: r for r in sitemap_refetch(entries, caps).collect()}
+    assert got["https://h/x/never"].status == "never_fetched"
+    assert got["https://h/x/never"].priority == 0
+    assert got["https://h/x/never"].fetch_needed
+    m = got["https://h/x/modified"]
+    # max(ts) = Dec 20, lastmod Jan 15 2024 > it
+    assert m.status == "modified_since_fetch" and m.priority == 1
+    assert m.last_fetch_ts == datetime(2023, 12, 20)
+    c = got["https://h/x/current"]
+    assert c.status == "fetched_current" and not c.fetch_needed
+    assert c.priority == 3
+    assert got["https://h/x/nolastmod"].status == "unknown_lastmod"
+    assert got["https://h/x/nolastmod"].priority == 2
+    f = got["https://h/x/fulldt"]
+    assert f.status == "modified_since_fetch"
+    assert f.lastmod_ts == datetime(2024, 2, 1, 6, 30)
+    # malformed lastmod parses to NULL → treated as unknown, not a crash
+    b = got["https://h/x/badlastmod"]
+    assert b.status == "unknown_lastmod" and b.lastmod_ts is None
