@@ -2538,8 +2538,8 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  108 queries are
-    value-oracled, so 58 must sit past the window (sitemap_index, a
+    the first 50 entries), rows-only entries after.  111 queries are
+    value-oracled, so 61 must sit past the window (sitemap_index, a
     late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
 
@@ -2601,7 +2601,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter_ua": _q_robots_filter_ua,
         "robots_rules": _q_robots_rules,
         "robots_filter": _q_robots_filter,
-        "robots_sitemaps": _q_robots_sitemaps,
         "url_bloom": _q_url_bloom,
         "jsonld_extract": _q_jsonld,
         "microdata_extract": _q_microdata,
@@ -2644,14 +2643,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": _q_page_meta,
         "density_extract": _q_density_extract,
         "quality_verdict": _q_quality_verdict,
-        # -- group 2: last driver-green in r01/r02 — rotate back in --
-        "bpe_merges": _q_bpe_merges,
-        "ann_bucketed": _q_ann_bucketed,
         # -- group 3 slot, taken by the late-r4 ngram operator
         #    (repetition_stats — r03-green; textfns shared code stays
         #    in-window via text_features/script_profile/gopher_filter) --
         "ngram_counts": _q_ngram_counts,
     }
+    # the bpe_merges / ann_bucketed group-2 rotation slots and
+    # robots_sitemaps' slot went to the session-tail never-verified
+    # operators mime_sniff, cache_plan and sitemap_refetch
+    # (never-verified outranks refreshing prior-green entries;
+    # robots_sitemaps' sitemap_entries code path now runs IN-window
+    # end-to-end inside sitemap_refetch, and robots.py keeps four
+    # other in-window entries); all three wait just past the boundary,
+    # still swept by scripts/check_oracles.py
     # the pricing_summary / parts_shipped group-2 rotation slots went to
     # the late-r4 microdata_extract + recrawl_schedule (never-verified
     # operators outrank refreshing r01/r02-green entries); both wait
@@ -2668,6 +2672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r01/r02-green refresh; the urlfns family stays in-window via
         # url_stats + url_bloom, the cosine family via cosine_topk +
         # ann_bucketed)
+        "robots_sitemaps": _q_robots_sitemaps,
+        "bpe_merges": _q_bpe_merges,
+        "ann_bucketed": _q_ann_bucketed,
         "url_filter": _q_url_filter,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # dedup_jaccard_pairs'/simhash'/cosine_topk's/sample_stratified's

@@ -193,6 +193,10 @@ def main() -> None:
         "extract_eval": lambda: _entry._q_extract_eval(spark, SF_DIR),
         "redirect_resolve": lambda: _entry._q_redirect_resolve(spark,
                                                                SF_DIR),
+        "mime_sniff": lambda: _entry._q_mime_sniff(spark, SF_DIR),
+        "cache_plan": lambda: _entry._q_cache_plan(spark, SF_DIR),
+        "sitemap_refetch": lambda: _entry._q_sitemap_refetch(spark,
+                                                             SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)
