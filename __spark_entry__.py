@@ -28,8 +28,8 @@ from lexor_spark import (bpe, cdx, chunking, classify, content, crawlqa,  # noqa
                          sim, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_density_pages, extract_pages,
-                             normalize_html, partition_metrics,
-                             sniff_charsets)
+                             extract_routed, normalize_html,
+                             partition_metrics, sniff_charsets)
 from lexor_spark.pages import encoded_pages_df, pages_df  # noqa: E402
 from lexor_spark.pdfjob import extract_pdfs, pdf_pages_df  # noqa: E402
 from lexor_spark.queries import RELATIONAL_QUERIES, RELATIONAL_SQL  # noqa: E402
@@ -1432,10 +1432,14 @@ def _mime_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 5, F.concat(
             F.lit('<?xml version="1.0" encoding="utf-8"?>\n'
                   '<rss version="2.0"><channel><title>f'), ds,
-            F.lit("</title></channel></rss>")))
+            F.lit("</title><item><title>e"), ds,
+            F.lit("</title><link>https://f.example/e"), ds,
+            F.lit("</link></item></channel></rss>")))
         .when(m == 6, F.concat(
             F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>f'),
-            ds, F.lit("</title></feed>")))
+            ds, F.lit('</title><entry><title>a'), ds,
+            F.lit('</title><link href="https://f.example/a'), ds,
+            F.lit('"/></entry></feed>')))
         .when(m == 7, F.concat(F.lit("Plain prose document "), ds,
                                F.lit(" with no markup at all.")))
         .when(m == 8, F.concat(F.lit("looks textual but\x07rings "), ds))
@@ -1471,9 +1475,13 @@ select 'p' || doc_id as url,
              || '<!DOCTYPE html><html><body>doc ' || doc_id
     when 5 then '<?xml version="1.0" encoding="utf-8"?>' || chr(10)
              || '<rss version="2.0"><channel><title>f' || doc_id
-             || '</title></channel></rss>'
+             || '</title><item><title>e' || doc_id
+             || '</title><link>https://f.example/e' || doc_id
+             || '</link></item></channel></rss>'
     when 6 then '<feed xmlns="http://www.w3.org/2005/Atom"><title>f'
-             || doc_id || '</title></feed>'
+             || doc_id || '</title><entry><title>a' || doc_id
+             || '</title><link href="https://f.example/a' || doc_id
+             || '"/></entry></feed>'
     when 7 then 'Plain prose document ' || doc_id
              || ' with no markup at all.'
     when 8 then 'looks textual but' || chr(7) || 'rings ' || doc_id
@@ -1623,6 +1631,16 @@ def _q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical regex ladder (Spark on the decoded binary head, DuckDB
     on the same characters)."""
     return mimesniff.sniff_mime(_mime_pages_df(spark, sf_dir))
+
+
+def _q_extract_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format routed extraction over the 14-class mixed-payload
+    fixture: sniff → html kernel / PDF text layer / feed entries /
+    charset-sniffed plain decode / passthrough, reunited as the
+    uniform (url, route, ok, text).  Rows-only (kernel and PDF text
+    are not ANSI-SQL-mirrorable); the router is the value-oracled
+    mime_sniff and every branch is pytest-pinned."""
+    return extract_routed(_mime_pages_df(spark, sf_dir))
 
 
 def _q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2759,6 +2777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_explanations": _q_log_explanations,
         # PDF extraction (pure-Python kernel; rows-only)
         "pdf_extract": _q_pdf_extract,
+        # sniff-routed multi-format extraction (rows-only: kernel/PDF
+        # text is not SQL-mirrorable; the router itself is the
+        # value-oracled mime_sniff and every branch is pytest-pinned)
+        "extract_routed": _q_extract_routed,
         # multimodal: real BMP/WAV codecs + deterministic-fallback
         # plumbing (rows-only — pixel/waveform math is not ANSI SQL)
         "media_features": _q_media_features,

@@ -865,3 +865,106 @@ def run_job_table(spark: SparkSession, pages: DataFrame, table: str,
         "skipped_committed": sorted(done),
         "complete": expected <= committed_groups_table(spark, table),
     }
+
+
+# ---------------------------------------------------------------------------
+# Multi-format routed extraction: sniff → per-type extractor
+# ---------------------------------------------------------------------------
+
+ROUTED_SCHEMA = "url string, route string, ok boolean, text string"
+
+_DECODED_ARROW = pa.schema([
+    ("url", pa.string()), ("route", pa.string()), ("body", pa.string()),
+])
+
+
+def _decode_routed_batches(batches: Iterator[pa.RecordBatch]
+                           ) -> Iterator[pa.RecordBatch]:
+    """Charset-sniffed payload decode (WHATWG chain, errors=replace —
+    hostile bytes yield U+FFFD, never a task failure) for the textual
+    routes.  Arrow-batched; the same decode the HTML kernel runs."""
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        routes = batch.column("route").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        bodies = [decode_html(p if p is not None else b"")[0]
+                  for p in payloads]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(urls, pa.string()), pa.array(routes, pa.string()),
+             pa.array(bodies, pa.string())], schema=_DECODED_ARROW)
+
+
+def extract_routed(pages: DataFrame, salt_buckets: int = 256,
+                   partitions: Optional[int] = None) -> DataFrame:
+    """Mixed-format corpus → text, routed per payload by MIME sniffing
+    (:mod:`lexor_spark.mimesniff`): ``html_kernel`` rows run the full
+    lexer→parser→converter→writer chain (`extract_pages`),
+    ``pdf_text`` rows the PDF text layer (`extract_pdfs`),
+    ``feed_parser`` rows the RSS/Atom entry extractor (entries
+    re-serialized one ``title\\ttab\\tlink`` line each, document
+    order), ``plain_text`` rows the charset-sniffed decode, and
+    ``media_decode``/``skip`` rows pass through with NULL text —
+    nothing in a 10^12-row crawl slice aborts the job.  Output is the
+    uniform ``(url, route, ok, text)``.
+
+    Input: ``(url string, payload binary, content_type string|NULL)``
+    — exactly what a WARC/CDX fetch layer lands.
+
+    Plan at scale: the route is a pure scan-side expression, so each
+    branch is a filtered projection of the same columnar scan with the
+    route predicate pushed down; branches reunite with a zero-shuffle
+    ``unionByName``.  A production run materializes the routed frame
+    once as a ``partitionBy(route)`` table so each extractor scan
+    prunes to its own files — same plan, amortized scan.  The two
+    kernel branches keep their own salted exchanges (giant-blob skew
+    insurance); the decode branch reuses the identical salting."""
+    from lexor_spark.mimesniff import dispatch_expr
+    route = F.col("route")
+    routed = pages.select(
+        "url", "payload",
+        dispatch_expr("payload", "content_type").alias("route"))
+
+    html = routed.filter(route == "html_kernel") \
+                 .select("url", F.col("payload").alias("html"))
+    html_out = (extract_pages(html, salt_buckets, partitions)
+                .select("url", F.lit("html_kernel").alias("route"),
+                        "ok", "text"))
+
+    from lexor_spark.pdfjob import extract_pdfs
+    pdf = routed.filter(route == "pdf_text") \
+                .select("url", F.col("payload").alias("pdf"))
+    pdf_out = (extract_pdfs(pdf, salt_buckets, partitions)
+               .select("url", F.lit("pdf_text").alias("route"),
+                       "ok", "text"))
+
+    sc = pages.sparkSession.sparkContext
+    n_parts = partitions or sc.defaultParallelism * 4
+    textual = (routed.filter(route.isin("plain_text", "feed_parser"))
+               .repartition(n_parts, F.pmod(F.xxhash64("url"),
+                                            F.lit(salt_buckets)))
+               .mapInArrow(_decode_routed_batches,
+                           "url string, route string, body string"))
+    plain_out = (textual.filter(route == "plain_text")
+                 .select("url", "route", F.lit(True).alias("ok"),
+                         F.col("body").alias("text")))
+
+    from lexor_spark.feeds import feed_entries
+    feed_bodies = textual.filter(route == "feed_parser")
+    entries = feed_entries(feed_bodies, body_col="body")
+    feed_text = entries.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("entry_idx", "title", "link"))),
+                lambda s: F.concat_ws("\t", s.title, s.link)),
+            "\n").alias("text"))
+    feed_out = (feed_bodies.select("url").join(feed_text, "url", "left")
+                .select("url", F.lit("feed_parser").alias("route"),
+                        F.lit(True).alias("ok"), "text"))
+
+    rest_out = (routed.filter(route.isin("media_decode", "skip"))
+                .select("url", "route", F.lit(True).alias("ok"),
+                        F.lit(None).cast("string").alias("text")))
+
+    return (html_out.unionByName(pdf_out).unionByName(plain_out)
+            .unionByName(feed_out).unionByName(rest_out))

@@ -47,7 +47,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sniff_mime", "sniff_mime_sql", "DISPATCH"]
+__all__ = ["sniff_mime", "sniff_mime_sql", "sniff_expr",
+           "dispatch_expr", "DISPATCH"]
 
 # WHATWG §6.1 magic-byte table (prefix → essence), latin-1-decoded.
 _MAGIC = [
@@ -120,19 +121,16 @@ def _dispatch(mime: Column) -> Column:
     return out.otherwise("skip")
 
 
-def sniff_mime(pages: DataFrame, bin_col: str = "payload",
-               ct_col: str = "content_type",
-               url_col: str = "url") -> DataFrame:
-    """Per payload: ``sniffed_mime`` (the WHATWG §7 decision given the
-    supplied Content-Type essence and the first 512 bytes) and
-    ``dispatch`` (which extractor the pipeline should route the row
-    to).  ``ct_col`` holds the header essence (lower-cased, no
-    parameters — :func:`lexor_spark.httpfns.parse_http_headers` emits
-    exactly this) or NULL when absent."""
+def sniff_expr(bin_col: str = "payload",
+               ct_col: str = "content_type") -> Column:
+    """The sniffed-essence Column (the WHATWG §7 decision given the
+    supplied Content-Type essence and the first 512 payload bytes) —
+    exposed so composed jobs (:func:`lexor_spark.job.extract_routed`)
+    can sniff without materializing the audit frame."""
     head = F.decode(F.substring(F.col(bin_col), 1, 512), "ISO-8859-1")
     ct = F.lower(F.col(ct_col))
     unknown = ct.isNull() | ct.isin(*_GENERIC)
-    sniffed = (
+    return (
         F.when(unknown, _sniff_unknown(head))
         # supplied text/html: feed sniff still applies (§7.3)
         .when(ct == "text/html",
@@ -144,9 +142,26 @@ def sniff_mime(pages: DataFrame, bin_col: str = "payload",
               F.when(head.rlike(_BINARY_RE), "application/octet-stream")
                .otherwise("text/plain"))
         .otherwise(ct))
+
+
+def dispatch_expr(bin_col: str = "payload",
+                  ct_col: str = "content_type") -> Column:
+    """The extractor-route Column for a payload (sniff + route table)."""
+    return _dispatch(sniff_expr(bin_col, ct_col))
+
+
+def sniff_mime(pages: DataFrame, bin_col: str = "payload",
+               ct_col: str = "content_type",
+               url_col: str = "url") -> DataFrame:
+    """Per payload: ``sniffed_mime`` and ``dispatch`` (which extractor
+    the pipeline should route the row to).  ``ct_col`` holds the
+    header essence (lower-cased, no parameters —
+    :func:`lexor_spark.httpfns.parse_http_headers` emits exactly
+    this) or NULL when absent."""
+    sniffed = sniff_expr(bin_col, ct_col)
     return pages.select(
         F.col(url_col).alias("url"),
-        ct.alias("content_type"),
+        F.lower(F.col(ct_col)).alias("content_type"),
         sniffed.alias("sniffed_mime"),
         _dispatch(sniffed).alias("dispatch"),
     ).orderBy("url")
