@@ -1633,6 +1633,57 @@ def _q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mimesniff.sniff_mime(_mime_pages_df(spark, sf_dir))
 
 
+def _surt_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL fixture for SURT keying — 8 classes exercise case folding,
+    www stripping, multi-label host reversal, non-default vs default
+    ports, empty path, the canonical corpus url, an unparseable
+    string (→ NULL key) and query sorting with empty params."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    m = F.pmod(d, F.lit(8))
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW.Example.COM/Path/Page?b=2&a="), ds,
+            F.lit("#frag")))
+        .when(m == 1, F.concat(
+            F.lit("http://sub.news.example.co.uk/a/p"), ds))
+        .when(m == 2, F.concat(F.lit("http://example.com:8080/x?z="),
+                               ds))
+        .when(m == 3, F.concat(F.lit("https://example.com:443/y"), ds))
+        .when(m == 4, F.concat(F.lit("http://host"), ds,
+                               F.lit(".example.org")))
+        .when(m == 5, _corpus_url())
+        .when(m == 6, F.concat(F.lit("not a url "), ds))
+        .otherwise(F.concat(F.lit("http://example.com/search?utm=1&q="),
+                            ds, F.lit("&"))))
+    return docs.select(url.alias("url"))
+
+
+_SURT_URLS_SQL = f"""
+select case doc_id % 8
+  when 0 then 'HTTPS://WWW.Example.COM/Path/Page?b=2&a=' || doc_id
+           || '#frag'
+  when 1 then 'http://sub.news.example.co.uk/a/p' || doc_id
+  when 2 then 'http://example.com:8080/x?z=' || doc_id
+  when 3 then 'https://example.com:443/y' || doc_id
+  when 4 then 'http://host' || doc_id || '.example.org'
+  when 5 then {_CORPUS_URL_SQL}
+  when 6 then 'not a url ' || doc_id
+  else 'http://example.com/search?utm=1&q=' || doc_id || '&'
+end as url
+from documents
+"""
+
+
+def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT urlkey generation (lowercase, scheme/www/default-port
+    dropped, host labels reversed comma-joined, fragment dropped,
+    query params sorted) over the 8-class URL fixture — the key form
+    the CDX index family buckets and range-prunes by."""
+    return urlfns.surt_keys(_surt_urls_df(spark, sf_dir))
+
+
 def _q_extract_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-format routed extraction over the 14-class mixed-payload
     fixture: sniff → html kernel / PDF text layer / feed entries /
@@ -2693,6 +2744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "bpe_merges": _q_bpe_merges,
         "ann_bucketed": _q_ann_bucketed,
+        # session-tail addition: waits here for a round-5 window slot
+        # (the 50 in-window entries are all never-driver-verified too)
+        "surt_keys": _q_surt_keys,
         "url_filter": _q_url_filter,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # dedup_jaccard_pairs'/simhash'/cosine_topk's/sample_stratified's
@@ -2893,6 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_refetch": frontier.sitemap_refetch_sql(
             robots.sitemap_entries_sql(_REFETCH_SITEMAPS_SQL),
             _CAPTURES_SQL),
+        "surt_keys": urlfns.surt_keys_sql(f"({_SURT_URLS_SQL})"),
         "extract_eval": evals.eval_extraction_sql(
             "select doc_id, text from documents",
             _EXTRACTED_VARIANT_SQL),

@@ -197,6 +197,8 @@ def main() -> None:
         "cache_plan": lambda: _entry._q_cache_plan(spark, SF_DIR),
         "sitemap_refetch": lambda: _entry._q_sitemap_refetch(spark,
                                                              SF_DIR),
+        "extract_routed": lambda: _entry._q_extract_routed(spark, SF_DIR),
+        "surt_keys": lambda: _entry._q_surt_keys(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -28,6 +28,7 @@ __all__ = ["host_of", "domain_of", "path_of", "path_depth", "is_https",
            "host_quality", "host_quality_sql",
            "host_filter_docs", "host_filter_docs_sql",
            "canonical_url", "url_canonicalize", "url_canonicalize_sql",
+           "surt_key", "surt_keys", "surt_keys_sql",
            "SQL_URL"]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
@@ -334,3 +335,83 @@ def url_canonicalize_sql(table: str, url_col: str = "url") -> str:
              f" end)")
     return (f"select {u} as url, {canon} as canon_url, "
             f"({canon} <> {u}) as changed from {table}")
+
+
+# ---------------------------------------------------------------------------
+# SURT keys (Sort-friendly URI Reordering Transform)
+# ---------------------------------------------------------------------------
+
+# The key form web archives actually index by: Heritrix/OpenWayback SURT
+# with Common-Crawl-style canonicalization (lowercase, scheme dropped,
+# leading www. stripped, host labels reversed comma-joined, default
+# ports dropped, fragment dropped, query params sorted) — e.g.
+#   https://WWW.Example.com/A/b?z=1&a=2#f  →  com,example)/a/b?a=2&z=1
+# Reversed-host keys make every page of a site (and of its subdomains)
+# lexicographically adjacent, which is what lets a petabyte CDX index
+# range-prune lookups (`cdx.lookup_fetch`) and lets per-site operators
+# range-partition without a host hash.  Public format: the SURT spec in
+# Heritrix docs + the Common Crawl index's urlkey field.
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_SURT_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+_SURT_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)"
+_SURT_REST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
+
+
+def surt_key(url: Column) -> Column:
+    """The SURT urlkey Column for an absolute http(s)-style URL; NULL
+    for anything that doesn't parse as ``scheme://host...``."""
+    u = F.lower(F.trim(url))
+    scheme = F.regexp_extract(u, _SCHEME_RE, 1)
+    host = F.regexp_extract(u, _SURT_HOST_RE, 1)
+    port = F.regexp_extract(u, _SURT_PORT_RE, 1)
+    rest = F.regexp_extract(u, _SURT_REST_RE, 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    default = ((scheme == "http") & (port == "80")) | \
+              ((scheme == "https") & (port == "443"))
+    portpart = F.when((port == "") | default, F.lit("")) \
+                .otherwise(F.concat(F.lit(":"), port))
+    q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")),
+        "&")
+    qpart = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(
+        F.concat(rev, portpart, F.lit(")"), path, qpart))
+
+
+def surt_keys(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, urlkey) per page — scan → project, no shuffle.  Feed
+    ``urlkey`` to the CDX writer (`cdx.write_fetch_list` buckets by
+    urlkey prefix) and to range-partitioned per-site operators."""
+    u = F.col(url_col)
+    return pages.select(u.alias("url"), surt_key(u).alias("urlkey"))
+
+
+def surt_keys_sql(table: str, url_col: str = "url") -> str:
+    """DuckDB mirror of :func:`surt_keys` (same regexes; string_split
+    with a literal separator mirrors Spark's ``split('\\\\.')``)."""
+    u = f"lower(trim({url_col}))"
+    scheme = f"coalesce(regexp_extract({u}, '{_SCHEME_RE}', 1), '')"
+    host0 = f"coalesce(regexp_extract({u}, '{_SURT_HOST_RE}', 1), '')"
+    host = f"regexp_replace({host0}, '^www\\.', '')"
+    port = f"coalesce(regexp_extract({u}, '{_SURT_PORT_RE}', 1), '')"
+    rest = f"coalesce(regexp_extract({u}, '{_SURT_REST_RE}', 1), '')"
+    path0 = f"coalesce(regexp_extract({rest}, '^([^?]*)', 1), '')"
+    path = f"(case when {path0} = '' then '/' else {path0} end)"
+    query = f"coalesce(regexp_extract({rest}, '\\?(.*)$', 1), '')"
+    rev = (f"array_to_string(list_reverse(string_split({host}, '.')), "
+           f"',')")
+    default = (f"(({scheme} = 'http' and {port} = '80') or "
+               f"({scheme} = 'https' and {port} = '443'))")
+    portpart = (f"(case when {port} = '' or {default} then '' "
+                f"else ':' || {port} end)")
+    q = (f"coalesce(array_to_string(list_sort(list_filter("
+         f"string_split({query}, '&'), p -> p <> '')), '&'), '')")
+    qpart = f"(case when {q} = '' then '' else '?' || {q} end)"
+    key = (f"(case when {host} = '' then null else "
+           f"{rev} || {portpart} || ')' || {path} || {qpart} end)")
+    return f"select {url_col} as url, {key} as urlkey from {table}"
