@@ -2359,6 +2359,53 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ).orderBy("doc_id")
 
 
+def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020 §2.2): line rules
+    (terminal punctuation, >= 3 words, no 'javascript'), the rejoined
+    clean text, and the page verdict (>= 5 sentences, no lorem ipsum,
+    no '{') — scan-side higher-order functions, map-only at 10^12
+    docs.  The corpus text is single-line, so the query derives a
+    deterministic multi-line variant in BOTH engines that exercises
+    every line rule and both page-verdict branches."""
+    docs = dedup._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = F.col("doc_id")
+    ml = F.concat(
+        F.lit("Short line\n"),
+        F.lit("This javascript line should be dropped.\n"),
+        F.when(F.pmod(d, F.lit(6)) == 0,
+               F.lit("lorem ipsum dolor sit amet.\n")).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(9)) == 0,
+               F.lit("code { display: none; }\n")).otherwise(F.lit("")),
+        F.substring("text", 1, 120), F.lit(".\n"),
+        F.substring("text", 121, 200), F.lit("?\n"),
+        F.lit("One two.\n"),
+        F.substring("text", 321, 1_000_000))
+    sigs = textfns.c4_signals(ml)
+    return (docs.select("doc_id",
+                        *[v.alias(k) for k, v in sigs.items()])
+            .orderBy("doc_id"))
+
+
+_C4_ML = (
+    "('Short line' || chr(10) || "
+    "'This javascript line should be dropped.' || chr(10) || "
+    "(case when doc_id % 6 = 0 then 'lorem ipsum dolor sit amet.' "
+    "|| chr(10) else '' end) || "
+    "(case when doc_id % 9 = 0 then 'code ' || chr(123) "
+    "|| ' display: none; ' || chr(125) || chr(10) else '' end) || "
+    "substr(text, 1, 120) || '.' || chr(10) || "
+    "substr(text, 121, 200) || '?' || chr(10) || "
+    "'One two.' || chr(10) || substr(text, 321))")
+
+
+def _c4_filter_sql() -> str:
+    sigs = textfns.SQL.c4_signals("mlt")
+    cols = ",\n       ".join(f"{e} as {k}" for k, e in sigs.items())
+    return (f"with t as (select doc_id, {_C4_ML} as mlt "
+            f"from documents)\n"
+            f"select doc_id,\n       {cols}\nfrom t order by doc_id")
+
+
 def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail bucketing: per-language thirds of the LM
     score distribution, cut on distinct score VALUES (order-independent
@@ -2744,9 +2791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "bpe_merges": _q_bpe_merges,
         "ann_bucketed": _q_ann_bucketed,
-        # session-tail addition: waits here for a round-5 window slot
+        # session-tail additions: wait here for round-5 window slots
         # (the 50 in-window entries are all never-driver-verified too)
         "surt_keys": _q_surt_keys,
+        "c4_filter": _q_c4_filter,
         "url_filter": _q_url_filter,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # dedup_jaccard_pairs'/simhash'/cosine_topk's/sample_stratified's
@@ -2948,6 +2996,7 @@ def oracle_sql() -> dict[str, str]:
             robots.sitemap_entries_sql(_REFETCH_SITEMAPS_SQL),
             _CAPTURES_SQL),
         "surt_keys": urlfns.surt_keys_sql(f"({_SURT_URLS_SQL})"),
+        "c4_filter": _c4_filter_sql(),
         "extract_eval": evals.eval_extraction_sql(
             "select doc_id, text from documents",
             _EXTRACTED_VARIANT_SQL),

@@ -199,6 +199,7 @@ def main() -> None:
                                                              SF_DIR),
         "extract_routed": lambda: _entry._q_extract_routed(spark, SF_DIR),
         "surt_keys": lambda: _entry._q_surt_keys(spark, SF_DIR),
+        "c4_filter": lambda: _entry._q_c4_filter(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -21,7 +21,7 @@ __all__ = [
     "token_count", "word_count", "normalize_text", "fingerprint",
     "lang_id", "lang_id_ngram", "quality_score",
     "dup_line_fraction", "dup_line_char_fraction", "top_bigram_fraction",
-    "gopher_signals", "GOPHER_KEEP_RULE",
+    "gopher_signals", "GOPHER_KEEP_RULE", "c4_signals",
     "script_profile", "SCRIPT_RANGES",
     "redact_pii", "pii_count",
     "SQL",
@@ -412,6 +412,64 @@ def pii_count(col: Column, kind: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pat), 0))
 
 
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning with a Unified Text-to-Text Transformer", §2.2) — the most
+# widely replicated public cleaning recipe, implemented beside the
+# Gopher rule set as pure scan-side expressions.
+# ---------------------------------------------------------------------------
+
+# line ends in a terminal punctuation mark (period / exclamation /
+# question mark / end quotation mark, per the paper)
+_C4_TERMINAL_RE = '[.!?"\u201d]$'
+_C4_JS_RE = r"\bjavascript\b"
+
+
+def c4_signals(col: Column) -> dict[str, Column]:
+    """The C4 per-document signals as named Columns:
+
+    * ``n_lines`` — non-empty trimmed lines;
+    * ``n_kept`` — lines surviving the C4 line rules (ends in terminal
+      punctuation AND >= 3 whitespace words AND no word 'javascript');
+    * ``text_clean`` — the kept lines rejoined;
+    * ``n_sentences`` — terminal-punctuation count of the cleaned text
+      (the documented approximation of the paper's sentence count);
+    * ``kept`` — the page verdict: >= 5 sentences, no 'lorem ipsum',
+      no '{' (the paper's code-page proxy).
+
+    The paper's bad-words page filter is a data artifact (a blocklist
+    join), not engine work — broadcast-join such a list and AND it in.
+    All expressions are whole-stage-codegen scan work: at 10^12 docs
+    this is a map-only pass, no shuffle, no UDF."""
+    def _sig(lines: Column) -> Column:
+        kept = F.filter(
+            lines,
+            lambda l: l.rlike(_C4_TERMINAL_RE)
+            & (F.size(F.filter(F.split(l, r"\s+"), lambda x: x != ""))
+               >= 3)
+            & ~F.lower(l).rlike(_C4_JS_RE))
+        return F.struct(F.size(lines).alias("nl"),
+                        F.size(kept).alias("nk"),
+                        F.array_join(kept, "\n").alias("tc"))
+
+    sig = _let(_lines(col), _sig)
+    text_clean = sig.tc
+    n_sent = F.size(F.regexp_extract_all(text_clean, F.lit("[.!?]"),
+                                         F.lit(0)))
+    kept = ((n_sent >= 5)
+            & ~F.lower(col).contains("lorem ipsum")
+            & ~col.contains("{"))
+    return {
+        "n_lines": sig.nl,
+        "n_kept": sig.nk,
+        "n_sentences": n_sent,
+        "kept": kept,
+        "text_clean": text_clean,
+    }
+
+
 class SQL:
     """DuckDB mirrors of the expressions above.  Each is a format string
     taking the source column name."""
@@ -581,3 +639,27 @@ class SQL:
                 f" + (case when {stop} >= 2 then 0.25 else 0 end)"
                 f" + (case when {mean_wl} between 3.0 and 12.0 then 0.25 else 0 end)"
                 ", 2)::double")
+
+
+    @classmethod
+    def c4_signals(cls, c: str) -> dict[str, str]:
+        """DuckDB mirrors of :func:`c4_signals`, same keys."""
+        lines = ("list_filter(list_transform(regexp_split_to_array("
+                 f"{c}, '\\n'), x -> trim(x)), x -> x <> '')")
+        kept_lines = (
+            f"list_filter({lines}, l -> "
+            "regexp_matches(l, '[.!?\"\u201d]$') and "
+            r"len(list_filter(regexp_split_to_array(l, '\s+'), "
+            "x -> x <> '')) >= 3 and "
+            r"not regexp_matches(lower(l), '\bjavascript\b'))")
+        tc = f"coalesce(array_to_string({kept_lines}, chr(10)), '')"
+        n_sent = f"len(regexp_extract_all({tc}, '[.!?]'))"
+        kept = (f"({n_sent} >= 5 and not contains(lower({c}), "
+                f"'lorem ipsum') and not contains({c}, chr(123)))")
+        return {
+            "n_lines": f"len({lines})",
+            "n_kept": f"len({kept_lines})",
+            "n_sentences": n_sent,
+            "kept": kept,
+            "text_clean": tc,
+        }

@@ -1,0 +1,55 @@
+"""C4 cleaning rules (Raffel et al. 2020 §2.2): line-rule branches and
+the page verdict, pinned on hand-built documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lexor_spark import textfns
+
+
+def _run(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    sigs = textfns.c4_signals(F.col("text"))
+    out = df.select("doc_id", *[v.alias(k) for k, v in sigs.items()])
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_line_rules(spark):
+    got = _run(spark, [
+        "Keep this full sentence here.\n"
+        "no terminal punctuation\n"
+        "Too few.\n"
+        "Enable javascript to view this page.\n"
+        'He said "stop right there."\n',
+    ])[0]
+    assert got.n_lines == 5
+    # kept: sentence 1 and the quoted line; dropped: no-punct, 2-word,
+    # javascript
+    assert got.n_kept == 2
+    assert got.text_clean == ('Keep this full sentence here.\n'
+                              'He said "stop right there."')
+
+
+def test_page_verdict(spark):
+    five = "This is a full sentence number %d okay.\n"
+    good = "".join(five % i for i in range(5))
+    got = _run(spark, [
+        good,
+        good + "some lorem ipsum filler text here.\n",
+        good + "var x = { a: 1 };\n",
+        "Only one sentence lives here today.\n",
+    ])
+    assert got[0].kept
+    assert not got[1].kept          # lorem ipsum page filter
+    assert not got[2].kept          # curly-brace page filter
+    assert not got[3].kept and got[3].n_sentences == 1
+
+
+def test_empty_and_hostile(spark):
+    got = _run(spark, ["", "\n\n\n", "....." ])
+    assert got[0].n_lines == 0 and got[0].text_clean == ""
+    assert not got[0].kept and not got[1].kept
+    # '.....' is one line ending in '.', but < 3 words → dropped
+    assert got[2].n_kept == 0
