@@ -2046,6 +2046,23 @@ def _q_sitemap_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier.sitemap_refetch(entries, _captures_df(spark, sf_dir))
 
 
+_FRONTIER_NOW = "2023-12-08 00:00:00"
+
+
+def _q_frontier_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled crawl frontier: sitemap_refetch's fetch_needed
+    rows merged with recrawl_schedule's due-by-now rows into one
+    deduplicated per-host ranked queue (sitemap signals outrank the
+    estimator; overlapping urls picked once) — the full
+    signal→queue→politeness loop composed from value-oracled parts,
+    itself value-oracled end to end."""
+    refetch = frontier.sitemap_refetch(
+        robots.sitemap_entries(_refetch_sitemaps_df(spark, sf_dir)),
+        _captures_df(spark, sf_dir))
+    recrawl = frontier.recrawl_schedule(_captures_df(spark, sf_dir))
+    return frontier.frontier_queue(refetch, recrawl, now=_FRONTIER_NOW)
+
+
 def _q_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive revisit scheduling (Cho & Garcia-Molina-style) over the
     capture-history fixture: per-url digest-change stats and the next
@@ -2795,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the 50 in-window entries are all never-driver-verified too)
         "surt_keys": _q_surt_keys,
         "c4_filter": _q_c4_filter,
+        "frontier_queue": _q_frontier_queue,
         "url_filter": _q_url_filter,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # dedup_jaccard_pairs'/simhash'/cosine_topk's/sample_stratified's
@@ -2997,6 +3015,12 @@ def oracle_sql() -> dict[str, str]:
             _CAPTURES_SQL),
         "surt_keys": urlfns.surt_keys_sql(f"({_SURT_URLS_SQL})"),
         "c4_filter": _c4_filter_sql(),
+        "frontier_queue": frontier.frontier_queue_sql(
+            frontier.sitemap_refetch_sql(
+                robots.sitemap_entries_sql(_REFETCH_SITEMAPS_SQL),
+                _CAPTURES_SQL),
+            frontier.recrawl_schedule_sql(_CAPTURES_SQL),
+            now=_FRONTIER_NOW),
         "extract_eval": evals.eval_extraction_sql(
             "select doc_id, text from documents",
             _EXTRACTED_VARIANT_SQL),

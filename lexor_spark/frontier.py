@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["fetch_schedule", "fetch_schedule_sql",
            "recrawl_schedule", "recrawl_schedule_sql",
-           "sitemap_refetch", "sitemap_refetch_sql"]
+           "sitemap_refetch", "sitemap_refetch_sql",
+           "frontier_queue", "frontier_queue_sql"]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)"
 
@@ -305,4 +306,75 @@ select host, {loc_col} as loc, lastmod_ts, last_fetch_ts, status,
      else 3
    end)::int as priority
 from j order by loc
+"""
+
+
+# ---------------------------------------------------------------------------
+# The assembled frontier: one ranked per-host queue from all signals
+# ---------------------------------------------------------------------------
+
+def frontier_queue(refetch: DataFrame, recrawl: DataFrame,
+                   now: str) -> DataFrame:
+    """Assemble the crawl frontier: merge the sitemap change signal
+    (:func:`sitemap_refetch` rows with ``fetch_needed``) with the
+    behavioral recrawl estimator (:func:`recrawl_schedule` rows whose
+    ``next_fetch_ts`` has arrived by ``now``) into ONE deduplicated,
+    per-host-ranked fetch queue — the queue
+    :func:`fetch_schedule` then dispatches under Crawl-delay
+    politeness.  Sitemap-driven entries outrank estimator-driven ones
+    (priority 0-3 vs 4): the site said it changed; the estimator only
+    guesses.
+
+    Output: ``(host, url, priority, source, host_rank)`` — drain each
+    host's queue in ``host_rank`` order.
+
+    Plan at scale: two filtered projections union (no shuffle), one
+    url-keyed dedup window, one host-keyed ranking window — both
+    windows bounded by per-key row counts (a url appears ≤ 2×; a
+    host's queue is its due-url count), never corpus-wide."""
+    sm = (refetch.filter(F.col("fetch_needed"))
+          .select("host", F.col("loc").alias("url"), "priority",
+                  F.lit("sitemap").alias("source")))
+    rc = (recrawl
+          .filter(F.col("next_fetch_ts") <= F.lit(now).cast("timestamp"))
+          .select(F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+                  "url", F.lit(4).alias("priority"),
+                  F.lit("recrawl").alias("source")))
+    merged = sm.unionByName(rc)
+    pick = Window.partitionBy("url").orderBy("priority", "source")
+    best = (merged.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1).drop("rn"))
+    rank = Window.partitionBy("host").orderBy("priority", "url")
+    return (best.withColumn("host_rank",
+                            F.row_number().over(rank).cast("int"))
+            .orderBy("host", "host_rank"))
+
+
+def frontier_queue_sql(refetch_sql: str, recrawl_sql: str,
+                       now: str) -> str:
+    """DuckDB mirror of :func:`frontier_queue`."""
+    return f"""
+with fq_refetch as ({refetch_sql}),
+fq_recrawl as ({recrawl_sql}),
+merged as (
+  select host, loc as url, priority, 'sitemap' as source
+  from fq_refetch where fetch_needed
+  union all
+  select regexp_extract(url, '{_HOST_RE}', 1) as host, url,
+         4 as priority, 'recrawl' as source
+  from fq_recrawl
+  where next_fetch_ts <= timestamp '{now}'
+),
+best as (
+  select * from (
+    select *, row_number() over
+        (partition by url order by priority, source) as rn
+    from merged
+  ) where rn = 1
+)
+select host, url, priority, source,
+       row_number() over (partition by host order by priority, url)::int
+         as host_rank
+from best
+order by host, host_rank
 """

@@ -160,3 +160,38 @@ def test_sitemap_refetch_statuses_and_priority(spark):
     # malformed lastmod parses to NULL → treated as unknown, not a crash
     b = got["https://h/x/badlastmod"]
     assert b.status == "unknown_lastmod" and b.lastmod_ts is None
+
+
+def test_frontier_queue_merge_and_rank(spark):
+    from lexor_spark.frontier import frontier_queue
+    refetch = spark.createDataFrame([
+        # (host, loc, status, fetch_needed, priority)
+        ("h1.ex", "https://h1.ex/a", "never_fetched", True, 0),
+        ("h1.ex", "https://h1.ex/b", "modified_since_fetch", True, 1),
+        ("h1.ex", "https://h1.ex/c", "fetched_current", False, 3),
+        ("h2.ex", "https://h2.ex/x", "modified_since_fetch", True, 1),
+    ], "host string, loc string, status string, fetch_needed boolean, "
+       "priority int")
+    from datetime import datetime
+    recrawl = spark.createDataFrame([
+        # due (next_fetch in the past), overlaps a sitemap row
+        ("https://h1.ex/b", datetime(2023, 12, 1)),
+        # due, recrawl-only
+        ("https://h2.ex/y", datetime(2023, 12, 2)),
+        # not yet due
+        ("https://h2.ex/z", datetime(2024, 6, 1)),
+    ], "url string, next_fetch_ts timestamp")
+    got = frontier_queue(refetch, recrawl,
+                         now="2023-12-08 00:00:00").collect()
+    rows = {(r.host, r.url): r for r in got}
+    assert len(got) == 4                      # c filtered, z not due
+    # the overlapping url keeps its sitemap priority, once
+    b = rows[("h1.ex", "https://h1.ex/b")]
+    assert b.priority == 1 and b.source == "sitemap"
+    # per-host rank follows priority
+    assert rows[("h1.ex", "https://h1.ex/a")].host_rank == 1
+    assert b.host_rank == 2
+    y = rows[("h2.ex", "https://h2.ex/y")]
+    assert y.source == "recrawl" and y.priority == 4
+    assert rows[("h2.ex", "https://h2.ex/x")].host_rank == 1
+    assert y.host_rank == 2
