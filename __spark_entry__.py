@@ -1684,6 +1684,54 @@ def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfns.surt_keys(_surt_urls_df(spark, sf_dir))
 
 
+def _q_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexability gate: robots.txt allowance × kernel-parsed
+    <meta name=robots> noindex × X-Robots-Tag response header, with
+    the first-blocking-channel reason — the page-admission decision a
+    compliant corpus pipeline makes before any content work.  The meta
+    channel rides the REAL kernel parse (the page_directives fixture);
+    the header and REP channels are doc_id-rule fixtures both engines
+    reconstruct."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://site"),
+                   F.pmod(d, F.lit(97)).cast("string"),
+                   F.lit(".example/"), F.col("source"), F.lit("/p"),
+                   d.cast("string"))
+    crlf = F.lit("\r\n")
+    headers = F.concat(
+        F.lit("HTTP/1.1 200 OK"), crlf,
+        F.when(d % 7 == 0, F.concat(F.lit("X-Robots-Tag: noindex"),
+                                    crlf)).otherwise(F.lit("")),
+        F.when(d % 13 == 0,
+               F.concat(F.lit("X-ROBOTS-TAG: otherbot: none"), crlf))
+         .otherwise(F.lit("")),
+        F.lit("Content-Type: text/html"), crlf)
+    responses = docs.select(url.alias("url"), headers.alias("headers"))
+    rep = docs.select(url.alias("url"),
+                      (F.pmod(d, F.lit(11)) != 0).alias("allowed"))
+    return robots.index_gate(_q_page_directives(spark, sf_dir),
+                             responses, rep)
+
+
+def _index_gate_sql() -> str:
+    responses = f"""
+select {_URL_SQL} as url,
+  'HTTP/1.1 200 OK' || chr(13) || chr(10)
+  || (case when doc_id % 7 = 0
+           then 'X-Robots-Tag: noindex' || chr(13) || chr(10)
+           else '' end)
+  || (case when doc_id % 13 = 0
+           then 'X-ROBOTS-TAG: otherbot: none' || chr(13) || chr(10)
+           else '' end)
+  || 'Content-Type: text/html' || chr(13) || chr(10) as headers
+from documents
+"""
+    rep = (f"select {_URL_SQL} as url, (doc_id % 11 <> 0) as allowed "
+           f"from documents")
+    return robots.index_gate_sql(_page_directives_sql(), responses, rep)
+
+
 def _q_extract_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-format routed extraction over the 14-class mixed-payload
     fixture: sniff → html kernel / PDF text layer / feed entries /
@@ -2813,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": _q_surt_keys,
         "c4_filter": _q_c4_filter,
         "frontier_queue": _q_frontier_queue,
+        "index_gate": _q_index_gate,
         "url_filter": _q_url_filter,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # dedup_jaccard_pairs'/simhash'/cosine_topk's/sample_stratified's
@@ -3021,6 +3070,7 @@ def oracle_sql() -> dict[str, str]:
                 _CAPTURES_SQL),
             frontier.recrawl_schedule_sql(_CAPTURES_SQL),
             now=_FRONTIER_NOW),
+        "index_gate": _index_gate_sql(),
         "extract_eval": evals.eval_extraction_sql(
             "select doc_id, text from documents",
             _EXTRACTED_VARIANT_SQL),

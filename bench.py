@@ -201,6 +201,7 @@ def main() -> None:
         "surt_keys": lambda: _entry._q_surt_keys(spark, SF_DIR),
         "c4_filter": lambda: _entry._q_c4_filter(spark, SF_DIR),
         "frontier_queue": lambda: _entry._q_frontier_queue(spark, SF_DIR),
+        "index_gate": lambda: _entry._q_index_gate(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -48,7 +48,8 @@ __all__ = ["robots_fixture_df", "ROBOTS_FIXTURE_SQL", "parse_robots",
            "robots_sitemaps", "robots_sitemaps_sql", "sitemap_entries",
            "sitemap_entries_sql", "sitemap_fixture_df",
            "sitemap_index", "sitemap_index_sql", "sitemap_index_fixture_df",
-           "SITEMAP_FIXTURE_SQL"]
+           "SITEMAP_FIXTURE_SQL",
+           "x_robots_noindex", "index_gate", "index_gate_sql"]
 
 
 # ---------------------------------------------------------------------------
@@ -626,4 +627,98 @@ select 'site' || h::varchar || '.example' as host,
        chr(10) || '<sitemap><lastmod>2024-02-01</lastmod></sitemap>' ||
        chr(10) || '</sitemapindex>' as sitemap_xml
 from (select distinct doc_id % 97 as h from documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Indexability gate: REP × meta robots × X-Robots-Tag
+# ---------------------------------------------------------------------------
+
+# any X-Robots-Tag header carrying noindex/none (RFC 9309's §2.2.4
+# custom-rule slot hosts the REP side; the header form is Google's
+# documented X-Robots-Tag extension — the third, header-level channel
+# beside robots.txt and <meta name=robots>)
+_XROBOTS_NOINDEX_RE = (r"(?i)(?:^|\n)x-robots-tag:[^\r\n]*"
+                       r"\b(?:noindex|none)\b")
+
+
+def x_robots_noindex(headers: "Column"):
+    """Boolean Column: any X-Robots-Tag header in the raw response
+    block carries ``noindex``/``none``."""
+    return headers.rlike(_XROBOTS_NOINDEX_RE)
+
+
+def index_gate(directives: DataFrame, responses: DataFrame,
+               rep: DataFrame, headers_col: str = "headers"
+               ) -> DataFrame:
+    """May this page enter the corpus at all?  The three exclusion
+    channels a compliant pipeline must honor, combined per url:
+
+    * ``robots.txt`` (the REP decision — :func:`robots_filter`'s
+      ``allowed``; absent url → allowed, REP is opt-out);
+    * ``<meta name=robots>`` ``noindex`` (kernel-parsed —
+      :func:`lexor_spark.graph.extract_directives`);
+    * the ``X-Robots-Tag`` response header (``noindex``/``none``).
+
+    Output: (url, allowed, meta_noindex, header_noindex, indexable,
+    reason) with ``reason`` naming the FIRST blocking channel in
+    precedence order robots_txt → meta_robots → x_robots_tag (a
+    disallowed fetch never sees the page's own directives).
+
+    Plan at scale: two url-keyed left joins onto the directives table
+    (all three inputs are one-row-per-url projections of scans that
+    already exist in the pipeline); everything else is scan-side
+    boolean logic."""
+    xr = responses.select(
+        F.col("url"),
+        x_robots_noindex(F.col(headers_col)).alias("header_noindex"))
+    base = directives.select(
+        "url", F.col("noindex").alias("meta_noindex"))
+    j = (base.join(xr, "url", "left")
+         .join(rep.select("url", "allowed"), "url", "left"))
+    allowed = F.coalesce(F.col("allowed"), F.lit(True))
+    meta_noindex = F.coalesce(F.col("meta_noindex"), F.lit(False))
+    header_noindex = F.coalesce(F.col("header_noindex"), F.lit(False))
+    reason = (F.when(~allowed, "robots_txt")
+              .when(meta_noindex, "meta_robots")
+              .when(header_noindex, "x_robots_tag")
+              .otherwise("indexable"))
+    return j.select(
+        "url", allowed.alias("allowed"),
+        meta_noindex.alias("meta_noindex"),
+        header_noindex.alias("header_noindex"),
+        (allowed & ~meta_noindex & ~header_noindex).alias("indexable"),
+        reason.alias("reason"),
+    ).orderBy("url")
+
+
+def index_gate_sql(directives_sql: str, responses_sql: str,
+                   rep_sql: str, headers_col: str = "headers") -> str:
+    """DuckDB mirror of :func:`index_gate`."""
+    return f"""
+with ig_dir as ({directives_sql}),
+ig_resp as ({responses_sql}),
+ig_rep as ({rep_sql}),
+xr as (
+  select url, regexp_matches({headers_col},
+      '{_XROBOTS_NOINDEX_RE}') as header_noindex
+  from ig_resp
+),
+j as (
+  select d.url,
+         coalesce(r.allowed, true) as allowed,
+         coalesce(d.noindex, false) as meta_noindex,
+         coalesce(xr.header_noindex, false) as header_noindex
+  from ig_dir d
+  left join xr using (url)
+  left join ig_rep r using (url)
+)
+select url, allowed, meta_noindex, header_noindex,
+       (allowed and not meta_noindex and not header_noindex)
+         as indexable,
+       case when not allowed then 'robots_txt'
+            when meta_noindex then 'meta_robots'
+            when header_noindex then 'x_robots_tag'
+            else 'indexable' end as reason
+from j order by url
 """

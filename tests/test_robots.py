@@ -324,3 +324,46 @@ def test_sitemap_index_parse(spark):
         ("h.example", "https://h.example/s1.xml", "2024-02-01"),
         ("h.example", "https://h.example/s2.xml", None),
     ]
+
+
+def test_index_gate_channels_and_precedence(spark):
+    from lexor_spark.robots import index_gate
+    directives = spark.createDataFrame([
+        ("u/meta", True), ("u/hdr", False), ("u/rep", False),
+        ("u/ok", False), ("u/all", True),
+    ], "url string, noindex boolean")
+    responses = spark.createDataFrame([
+        ("u/hdr", "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n"),
+        ("u/all", "HTTP/1.1 200 OK\r\nx-robots-tag: a=b, NONE\r\n"),
+        ("u/ok", "HTTP/1.1 200 OK\r\nX-Robots-Tag: noarchive\r\n"),
+        ("u/meta", "HTTP/1.1 200 OK\r\n"),
+        ("u/rep", "HTTP/1.1 200 OK\r\n"),
+    ], "url string, headers string")
+    rep = spark.createDataFrame([
+        ("u/rep", False), ("u/all", False), ("u/meta", True),
+        ("u/hdr", True), ("u/ok", True),
+    ], "url string, allowed boolean")
+    got = {r.url: r for r in
+           index_gate(directives, responses, rep).collect()}
+    assert not got["u/meta"].indexable
+    assert got["u/meta"].reason == "meta_robots"
+    assert not got["u/hdr"].indexable
+    assert got["u/hdr"].reason == "x_robots_tag"
+    assert not got["u/rep"].indexable
+    assert got["u/rep"].reason == "robots_txt"
+    # noarchive alone does not block indexing
+    assert got["u/ok"].indexable and got["u/ok"].reason == "indexable"
+    # all three blocked: robots.txt wins the reason (fetch never
+    # happens, page-level directives are unseen)
+    assert got["u/all"].reason == "robots_txt"
+
+
+def test_index_gate_missing_rows_default_open(spark):
+    from lexor_spark.robots import index_gate
+    directives = spark.createDataFrame([("u/x", False)],
+                                       "url string, noindex boolean")
+    responses = spark.createDataFrame([], "url string, headers string")
+    rep = spark.createDataFrame([], "url string, allowed boolean")
+    got = index_gate(directives, responses, rep).collect()[0]
+    # REP is opt-out; absent header/REP rows must not block
+    assert got.indexable and got.reason == "indexable"
