@@ -1684,6 +1684,77 @@ def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfns.surt_keys(_surt_urls_df(spark, sf_dir))
 
 
+def _q_truncated_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated/overlong fetch detection: declared Content-Length vs
+    stored payload bytes, 4 fixture classes (exact, truncated,
+    overlong, undeclared) — ASCII payloads keep byte and character
+    length equal across engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    m = F.pmod(d, F.lit(4))
+    payload = F.rpad(F.lit("x"), (20 + F.pmod(d, F.lit(30)))
+                     .cast("int"), "x")
+    plen = F.length(payload)
+    clen = (F.when(m == 0, plen)
+            .when(m == 1, plen + 50)
+            .when(m == 2, plen - 10))
+    headers = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"),
+        F.when(m == 3, F.lit("")).otherwise(
+            F.concat(F.lit("Content-Length: "), clen.cast("string"),
+                     F.lit("\r\n"))))
+    resp = docs.select(
+        F.concat(F.lit("p"), ds).alias("url"),
+        headers.alias("headers"),
+        F.encode(payload, "ISO-8859-1").alias("payload"))
+    return crawlqa.truncated_fetch(resp)
+
+
+_TRUNCATED_FETCH_SQL = """
+select 'p' || doc_id as url,
+  'HTTP/1.1 200 OK' || chr(13) || chr(10)
+  || (case when doc_id % 4 = 3 then '' else
+      'Content-Length: ' ||
+      (case doc_id % 4
+         when 0 then 20 + doc_id % 30
+         when 1 then 20 + doc_id % 30 + 50
+         else 20 + doc_id % 30 - 10 end)
+      || chr(13) || chr(10) end) as headers,
+  repeat('x', 20 + doc_id % 30) as payload
+from documents
+"""
+
+
+def _q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (double-encoded UTF-8) signature scoring over a
+    derived corpus variant: every 5th doc gains three signatures
+    (flagged), the next a single one (counted, below the flag
+    threshold), the rest stay clean."""
+    docs = dedup._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.pmod(d, F.lit(5)) == 0,
+               F.lit(" cafÃ© crÃ¨me â€™tis")).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(5)) == 1,
+               F.lit(" naÃ¯ve")).otherwise(F.lit("")))
+    return (docs.select(
+        "doc_id",
+        textfns.mojibake_count(t).alias("mojibake_hits"),
+        textfns.mojibake_flag(t).alias("mojibake"))
+        .orderBy("doc_id"))
+
+
+def _mojibake_sql() -> str:
+    t = ("(text || (case when doc_id % 5 = 0 then ' cafÃ© crÃ¨me â€™tis'"
+         " else '' end) || (case when doc_id % 5 = 1 then ' naÃ¯ve' "
+         "else '' end))")
+    cnt = textfns.SQL.mojibake_count(t)
+    return (f"select doc_id, {cnt} as mojibake_hits, "
+            f"({cnt} >= 2) as mojibake from documents order by doc_id")
+
+
 def _q_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexability gate: robots.txt allowance × kernel-parsed
     <meta name=robots> noindex × X-Robots-Tag response header, with
@@ -2862,6 +2933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": _q_c4_filter,
         "frontier_queue": _q_frontier_queue,
         "index_gate": _q_index_gate,
+        "truncated_fetch": _q_truncated_fetch,
+        "mojibake_stats": _q_mojibake,
         "url_filter": _q_url_filter,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # dedup_jaccard_pairs'/simhash'/cosine_topk's/sample_stratified's
@@ -3071,6 +3144,9 @@ def oracle_sql() -> dict[str, str]:
             frontier.recrawl_schedule_sql(_CAPTURES_SQL),
             now=_FRONTIER_NOW),
         "index_gate": _index_gate_sql(),
+        "truncated_fetch": crawlqa.truncated_fetch_sql(
+            _TRUNCATED_FETCH_SQL),
+        "mojibake_stats": _mojibake_sql(),
         "extract_eval": evals.eval_extraction_sql(
             "select doc_id, text from documents",
             _EXTRACTED_VARIANT_SQL),

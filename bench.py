@@ -202,6 +202,9 @@ def main() -> None:
         "c4_filter": lambda: _entry._q_c4_filter(spark, SF_DIR),
         "frontier_queue": lambda: _entry._q_frontier_queue(spark, SF_DIR),
         "index_gate": lambda: _entry._q_index_gate(spark, SF_DIR),
+        "truncated_fetch": lambda: _entry._q_truncated_fetch(spark,
+                                                             SF_DIR),
+        "mojibake_stats": lambda: _entry._q_mojibake(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

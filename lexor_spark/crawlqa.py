@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 from lexor_spark.urlfns import SQL_URL, host_of, path_of
 
 __all__ = ["SOFT404_PHRASES", "soft404_score", "soft404_score_sql",
-           "crawl_traps", "crawl_traps_sql"]
+           "crawl_traps", "crawl_traps_sql",
+           "truncated_fetch", "truncated_fetch_sql"]
 
 
 # ---------------------------------------------------------------------------
@@ -188,4 +189,68 @@ select host, n_urls, avg_depth, max_depth, repeat_frac, query_frac,
        (max_depth >= {max_depth} and repeat_frac >= {repeat_frac})
          as is_trap
 from a order by host
+"""
+
+
+# ---------------------------------------------------------------------------
+# Truncated/overlong fetch detection
+# ---------------------------------------------------------------------------
+
+_TF_CLEN_RE = r"(?i)(?:^|\n)content-length:[ \t]*([0-9]+)"
+
+
+def truncated_fetch(responses: DataFrame, url_col: str = "url",
+                    headers_col: str = "headers",
+                    payload_col: str = "payload") -> DataFrame:
+    """Per fetch: does the stored payload match the declared
+    Content-Length?  Truncated bodies (connection cut, crawler byte
+    cap) are the silent extraction poison — a half page parses fine
+    and yields confidently wrong text — and overlong bodies signal
+    chunked-encoding bugs in the fetch layer.  Output: url,
+    content_length (NULL when undeclared), actual_bytes, verdict
+    ('ok' / 'truncated' / 'overlong' / 'undeclared'), completeness
+    (actual/declared, 4 dp, NULL when undeclared).  Pure scan-side
+    arithmetic; at 10^12 fetches this rides the payload scan."""
+    h = F.col(headers_col)
+    clen = F.nullif(F.regexp_extract(h, _TF_CLEN_RE, 1),
+                    F.lit("")).cast("bigint")
+    actual = F.coalesce(F.length(F.col(payload_col)),
+                        F.lit(0)).cast("bigint")
+    verdict = (F.when(clen.isNull(), "undeclared")
+               .when(actual < clen, "truncated")
+               .when(actual > clen, "overlong")
+               .otherwise("ok"))
+    ratio = F.when(clen > 0, F.round(actual / clen.cast("double"), 4))
+    return responses.select(
+        F.col(url_col).alias("url"),
+        clen.alias("content_length"),
+        actual.alias("actual_bytes"),
+        verdict.alias("verdict"),
+        ratio.alias("completeness"),
+    ).orderBy("url")
+
+
+def truncated_fetch_sql(responses_sql: str, url_col: str = "url",
+                        headers_col: str = "headers",
+                        payload_expr: str = "payload") -> str:
+    """DuckDB mirror (fixtures keep payloads ASCII so character length
+    equals byte length in both engines)."""
+    return f"""
+with tfsrc as ({responses_sql}),
+x as (
+  select {url_col} as url,
+    nullif(regexp_extract({headers_col}, '{_TF_CLEN_RE}', 1), '')::bigint
+      as content_length,
+    coalesce(length({payload_expr}), 0)::bigint as actual_bytes
+  from tfsrc
+)
+select url, content_length, actual_bytes,
+  case when content_length is null then 'undeclared'
+       when actual_bytes < content_length then 'truncated'
+       when actual_bytes > content_length then 'overlong'
+       else 'ok' end as verdict,
+  case when content_length > 0
+       then round(actual_bytes / content_length::double, 4) end
+    as completeness
+from x order by url
 """

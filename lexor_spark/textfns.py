@@ -22,6 +22,7 @@ __all__ = [
     "lang_id", "lang_id_ngram", "quality_score",
     "dup_line_fraction", "dup_line_char_fraction", "top_bigram_fraction",
     "gopher_signals", "GOPHER_KEEP_RULE", "c4_signals",
+    "mojibake_count", "mojibake_flag",
     "script_profile", "SCRIPT_RANGES",
     "redact_pii", "pii_count",
     "SQL",
@@ -470,6 +471,37 @@ def c4_signals(col: Column) -> dict[str, Column]:
     }
 
 
+
+
+# ---------------------------------------------------------------------------
+# Mojibake detection (double-encoded UTF-8 signatures)
+# ---------------------------------------------------------------------------
+
+# The classic UTF-8-read-as-latin1 signatures (ftfy's core heuristic,
+# Speer 2014): a multibyte UTF-8 sequence mis-decoded one byte at a
+# time yields 'A-tilde/A-circumflex + continuation-range char' pairs
+# ("Ã©" for é, "â€™" for ', "â€œ" for ") that essentially never occur
+# in clean text.  Counting them is a scan-side regex; re-decoding is a
+# data fix outside the engine (document → repair tool), the pipeline's
+# job is to FLAG and route.
+_MOJIBAKE_RE = (
+    "Ã[\u0080-\u00bf\u20ac\u2122\u0153\u201d\u2018\u2019]"
+    "|â€[\u0080-\u00bf\u2122\u0153\u201c\u201d\u2018\u2019]"
+    "|Â[\u00a0-\u00bf]")
+
+
+def mojibake_count(col: Column) -> Column:
+    """Number of double-encoding signature hits in the text."""
+    return F.size(F.regexp_extract_all(col, F.lit(_MOJIBAKE_RE),
+                                       F.lit(0)))
+
+
+def mojibake_flag(col: Column, min_hits: int = 2) -> Column:
+    """True when the text shows ``min_hits``+ mojibake signatures (one
+    hit can be a legitimate rare bigram; two are not)."""
+    return mojibake_count(col) >= min_hits
+
+
 class SQL:
     """DuckDB mirrors of the expressions above.  Each is a format string
     taking the source column name."""
@@ -663,3 +695,10 @@ class SQL:
             "kept": kept,
             "text_clean": tc,
         }
+
+    @classmethod
+    def mojibake_count(cls, c: str) -> str:
+        """DuckDB mirror of :func:`mojibake_count` (same regex; RE2
+        reads the same \\uXXXX ranges via the literal chars)."""
+        pat = _MOJIBAKE_RE.replace("'", "''")
+        return f"len(regexp_extract_all({c}, '{pat}'))"

@@ -35,3 +35,25 @@ def test_crawl_traps_repeated_segments(spark):
     assert not ok.is_trap and ok.max_depth == 2 and ok.repeat_frac == 0.0
     f = got["faceted.example"]
     assert f.query_frac == 1.0 and not f.is_trap
+
+
+def test_truncated_fetch_verdicts(spark):
+    from lexor_spark.crawlqa import truncated_fetch
+    rows = [
+        ("ok", "HTTP/1.1 200 OK\r\nContent-Length: 5\r\n", b"12345"),
+        ("trunc", "HTTP/1.1 200 OK\r\ncontent-length: 100\r\n", b"abc"),
+        ("over", "HTTP/1.1 200 OK\r\nContent-Length: 2\r\n", b"abcd"),
+        ("none", "HTTP/1.1 200 OK\r\n", b"xyz"),
+        ("empty", "HTTP/1.1 200 OK\r\nContent-Length: 10\r\n", b""),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, headers string, payload binary")
+    got = {r.url: r for r in truncated_fetch(df).collect()}
+    assert got["ok"].verdict == "ok" and got["ok"].completeness == 1.0
+    assert got["trunc"].verdict == "truncated"
+    assert got["trunc"].completeness == 0.03
+    assert got["over"].verdict == "overlong"
+    assert got["none"].verdict == "undeclared"
+    assert got["none"].completeness is None
+    assert got["empty"].verdict == "truncated"
+    assert got["empty"].completeness == 0.0

@@ -53,3 +53,21 @@ def test_empty_and_hostile(spark):
     assert not got[0].kept and not got[1].kept
     # '.....' is one line ending in '.', but < 3 words → dropped
     assert got[2].n_kept == 0
+
+
+def test_mojibake_signatures(spark):
+    from lexor_spark import textfns
+    df = spark.createDataFrame([
+        (0, "a clean sentence with café and naïve"),
+        (1, "double encoded cafÃ© and crÃ¨me and â€œquotesâ€�"),
+        (2, "one stray Ã© only"),
+        (3, "nbsp runsÂ here and hereÂ too"),
+    ], "doc_id int, text string")
+    out = df.select("doc_id",
+                    textfns.mojibake_count(F.col("text")).alias("n"),
+                    textfns.mojibake_flag(F.col("text")).alias("bad"))
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].n == 0 and not got[0].bad        # real accents are fine
+    assert got[1].n >= 3 and got[1].bad
+    assert got[2].n == 1 and not got[2].bad        # single hit tolerated
+    assert got[3].n == 2 and got[3].bad            # Â+nbsp pairs
