@@ -152,6 +152,29 @@ NOTES = {
         "(N/chunk rows — the only unpartitioned window, bounded by "
         "construction), then a bounded in-chunk cumsum; no "
         "corpus-sized single-task window anywhere."),
+    "mime_sniff": (
+        "The whole WHATWG ladder (magic table, tag/feed sniff, binary "
+        "test, header-trust rules) is one Project over the scan — no "
+        "UDF, no shuffle except the final presentation sort.  At 10^12 "
+        "rows this rides the payload scan for free."),
+    "frontier_queue": (
+        "Two filtered projections union without a shuffle; the url "
+        "dedup window and the per-host ranking window are the only "
+        "exchanges, both bounded by per-key row counts (a url appears "
+        "<= 2x, a host's queue is its due-url count) — never "
+        "corpus-wide state."),
+    "index_gate": (
+        "Three one-row-per-url projections meet in two url-keyed "
+        "joins; the X-Robots-Tag and verdict logic is scan-side "
+        "boolean CASE work.  The meta channel's input is the real "
+        "kernel directive parse (MapInArrow upstream)."),
+    "extract_routed": (
+        "The route is a scan-side expression, so every branch is a "
+        "filtered projection of the same columnar source with the "
+        "dispatch predicate pushed down; branches reunite with a "
+        "zero-shuffle Union.  The two kernel branches keep their own "
+        "salted exchanges (giant-blob skew insurance); media/skip "
+        "rows never leave the JVM."),
 }
 
 
@@ -178,7 +201,8 @@ def main() -> None:
                  "sample_stratified", "semantic_dedup", "ann_pq",
                  "ann_ivfpq", "pagerank", "bm25_search", "dsir_weights",
                  "temperature_sample", "tfidf_keywords", "robots_filter",
-                 "lr_weights", "pack_bins"):
+                 "lr_weights", "pack_bins", "mime_sniff",
+                 "frontier_queue", "index_gate", "extract_routed"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
@@ -189,7 +213,13 @@ def main() -> None:
             out.append(NOTES[name])
             out.append("")
         out.append("```")
-        out.append(buf.getvalue().rstrip())
+        plan_txt = buf.getvalue().rstrip()
+        # the mime-sniff magic-byte literals put raw control chars into
+        # the plan string — escape them so EXPLAINS.md stays text
+        plan_txt = "".join(
+            ch if ch in "\n\t" or ord(ch) >= 0x20 else f"\\x{ord(ch):02x}"
+            for ch in plan_txt)
+        out.append(plan_txt)
         out.append("```")
         out.append("")
     with open(os.path.join(REPO, "EXPLAINS.md"), "w") as fh:
