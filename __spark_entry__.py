@@ -1809,8 +1809,12 @@ def _q_extract_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     charset-sniffed plain decode / passthrough, reunited as the
     uniform (url, route, ok, text).  Rows-only (kernel and PDF text
     are not ANSI-SQL-mirrorable); the router is the value-oracled
-    mime_sniff and every branch is pytest-pinned."""
-    return extract_routed(_mime_pages_df(spark, sf_dir))
+    mime_sniff and every branch is pytest-pinned.  Partitions are
+    pinned to the session parallelism here: the default (4× slots —
+    giant-blob insurance) is sized for real corpora, not a
+    500-row-per-branch fixture where task setup dominates."""
+    return extract_routed(_mime_pages_df(spark, sf_dir),
+                          partitions=spark.sparkContext.defaultParallelism)
 
 
 def _q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
