@@ -1995,6 +1995,71 @@ def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_sample(docs, alpha=0.5).orderBy("doc_id")
 
 
+def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over the documents table — one row per
+    (term, doc) with tf and dash-joined sorted positions.  Postings as
+    ROWS (never per-term arrays: a stopword's posting list must not be
+    one collect_list key), built by one posexplode + one map-side-
+    combinable aggregation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (search.build_postings(docs)
+            .orderBy("term", "doc_id"))
+
+
+def _q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search by positional-posting intersection (term i's
+    positions shifted by -i, arrays intersected) — top-k docs for a
+    two-term phrase; the repeated-term case ("table table") is pinned
+    by pytest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search.phrase_search(docs, "fast table", k=15)
+
+
+def _q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-likeness routing signals over a derived corpus variant:
+    every 7th doc gains a brace/semicolon function block (code), the
+    next an indented block (code via indentation), the next a single
+    'import os;' line (counted, below every verdict branch), the next
+    bare keywords without symbols (also below verdict)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.pmod(d, F.lit(7)) == 0,
+               F.lit("\nfunction init() {\n  var x = 1;\n  return x;\n}")
+               ).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(7)) == 1,
+               F.lit("\n    indented block one\n    indented block two"
+                     "\n\ttabbed code")).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(7)) == 2,
+               F.lit("\nimport os;")).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(7)) == 3,
+               F.lit(" return import class x")).otherwise(F.lit("")))
+    sig = textfns.code_signals(t)
+    return (docs.select(
+        "doc_id", *[c.alias(k) for k, c in sig.items()])
+        .orderBy("doc_id"))
+
+
+_CODE_DETECT_T_SQL = (
+    "(text || (case when doc_id % 7 = 0 then chr(10) || 'function init()"
+    " {' || chr(10) || '  var x = 1;' || chr(10) || '  return x;' ||"
+    " chr(10) || '}' else '' end)"
+    " || (case when doc_id % 7 = 1 then chr(10) || '    indented block"
+    " one' || chr(10) || '    indented block two' || chr(10) || chr(9)"
+    " || 'tabbed code' else '' end)"
+    " || (case when doc_id % 7 = 2 then chr(10) || 'import os;'"
+    " else '' end)"
+    " || (case when doc_id % 7 = 3 then ' return import class x'"
+    " else '' end))")
+
+
+def _code_detect_sql() -> str:
+    m = textfns.SQL.code_signals(_CODE_DETECT_T_SQL)
+    cols = ", ".join(f"{v} as {k}" for k, v in m.items())
+    return f"select doc_id, {cols} from documents order by doc_id"
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (search.tfidf_keywords(docs, k=3)
@@ -2794,10 +2859,14 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  111 queries are
-    value-oracled, so 61 must sit past the window (sitemap_index, a
-    late-r4 mechanical sibling of the in-window sitemap_entries, sits
-    just past the boundary — verified by scripts/check_oracles.py).  Round-4 allocation:
+    the first 50 entries), rows-only entries after.  120 queries are
+    value-oracled, so the rest must sit past the window (sitemap_index,
+    a late-r4 mechanical sibling of the in-window sitemap_entries, sits
+    just past the boundary — verified by scripts/check_oracles.py).
+    Session tail: postings_index/phrase_hits/code_detect (new search.py
+    + textfns.py code, never verified) took the slots of robots_rules,
+    cdx_fetch_list and crawl_delays, whose code paths stay in-window
+    via module siblings (see the inline comments).  Round-4 allocation:
 
     1. never driver-hash-verified, or changed since their last green
        driver record (27): the r03 red row (pq_codes, re-shaped), the
@@ -2855,7 +2924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_firstfit": _q_pack_firstfit,
         "pagerank_links": _q_pagerank_links,
         "robots_filter_ua": _q_robots_filter_ua,
-        "robots_rules": _q_robots_rules,
         "robots_filter": _q_robots_filter,
         "url_bloom": _q_url_bloom,
         "jsonld_extract": _q_jsonld,
@@ -2867,10 +2935,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_search": _q_bm25_search,
         "pack_bins": _q_pack_bins,
-        "cdx_fetch_list": _q_cdx_fetch_list,
         "cdx_diff": _q_cdx_diff,
-        "crawl_delays": _q_crawl_delays,
         "fetch_schedule": _q_fetch_schedule,
+        # -- session-tail never-verified additions: postings/phrase
+        #    (new search.py code) and code_detect (new textfns code);
+        #    their slots come from robots_rules, cdx_fetch_list and
+        #    crawl_delays, whose code paths stay in-window via
+        #    robots_filter/robots_filter_ua, cdx_lookup/cdx_diff and
+        #    fetch_schedule (which consumes crawl-delay extraction) --
+        "postings_index": _q_postings,
+        "phrase_hits": _q_phrase_hits,
+        "code_detect": _q_code_detect,
         "hits": _q_hits,
         "redirect_resolve": _q_redirect_resolve,
         "soft404_detect": _q_soft404,
@@ -2929,6 +3004,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # url_stats + url_bloom, the cosine family via cosine_topk +
         # ann_bucketed)
         "robots_sitemaps": _q_robots_sitemaps,
+        # displaced by the session-tail postings_index/phrase_hits/
+        # code_detect (never-verified new code outranks re-verifying
+        # these three, whose modules stay in-window via siblings)
+        "robots_rules": _q_robots_rules,
+        "cdx_fetch_list": _q_cdx_fetch_list,
+        "crawl_delays": _q_crawl_delays,
         "bpe_merges": _q_bpe_merges,
         "ann_bucketed": _q_ann_bucketed,
         # session-tail additions: wait here for round-5 window slots
@@ -3180,6 +3261,12 @@ def oracle_sql() -> dict[str, str]:
             "documents", k=50, target_pred="lang = 'en'"),
         "bm25_search": search.bm25_topk_sql(
             "documents", "spark join window", k=15),
+        "postings_index": ("select * from ("
+                           + search.build_postings_sql("documents")
+                           + ") order by term, doc_id"),
+        "phrase_hits": search.phrase_search_sql(
+            "documents", "fast table", k=15),
+        "code_detect": _code_detect_sql(),
         "temperature_sample": ("select * from ("
                                + sampling.temperature_sample_sql(
                                    "documents", alpha=0.5)

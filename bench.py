@@ -205,6 +205,11 @@ def main() -> None:
         "truncated_fetch": lambda: _entry._q_truncated_fetch(spark,
                                                              SF_DIR),
         "mojibake_stats": lambda: _entry._q_mojibake(spark, SF_DIR),
+        # session-tail: positional index, phrase probe, code routing
+        "postings_index": lambda: search.build_postings(docs),
+        "phrase_hits": lambda: search.phrase_search(docs, "fast table",
+                                                    k=15),
+        "code_detect": lambda: _entry._q_code_detect(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

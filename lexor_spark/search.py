@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 from lexor_spark.textfns import SQL, _let, normalize_text
 
 __all__ = ["bm25_topk", "bm25_topk_sql", "tfidf_keywords",
-           "tfidf_keywords_sql", "ngram_counts", "ngram_counts_sql"]
+           "tfidf_keywords_sql", "ngram_counts", "ngram_counts_sql",
+           "build_postings", "build_postings_sql", "phrase_search",
+           "phrase_search_sql"]
 
 
 def _norm_terms(query: str) -> list[str]:
@@ -239,4 +241,146 @@ select gram, tf, df from agg
 where df >= {min_df}
 order by df desc, tf desc, gram asc
 limit {k}
+"""
+
+def build_postings(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Positional inverted index: one row per (term, document) —
+    ``(term, doc_id, tf, positions)`` with the 0-based token positions
+    sorted and dash-joined (``"3-17-40"``).  The index-construction
+    step of a corpus search/retrieval stack (Zobel & Moffat 2006,
+    "Inverted files for text search engines"); BM25 above SCANS for
+    one ad-hoc query, an index amortizes the scan across all of them.
+
+    Plan shape at 10^12 docs: one scan-side split + posexplode, then
+    ONE (term, doc) map-side-combinable aggregation — within-document
+    repetition collapses before the shuffle, and the per-row position
+    list is bounded by document length, never by corpus size.  The
+    postings themselves are ROWS, not per-term arrays: a stopword's
+    posting list must NOT become one ``collect_list`` array (one key =
+    one task = one OOM); as rows it stays partitioned, and a sink
+    bucketing by ``term`` gives point lookups partition pruning the
+    same way the CDX fetch list does (cdx.py)."""
+    toks = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " "))
+        .alias("pos", "term"))
+        .filter(F.col("term") != ""))
+    return (toks.groupBy("term", id_col)
+            .agg(F.count("*").alias("tf"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list("pos")),
+                                 lambda x: x.cast("string")), "-")
+                 .alias("positions")))
+
+
+def build_postings_sql(table: str, text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    norm = SQL.NORMALIZE.format(c=text_col)
+    return f"""
+with d as (
+  select {id_col}, regexp_split_to_array({norm}, ' ') as toks from {table}
+),
+tk as (
+  select {id_col}, unnest(toks) as term,
+         generate_subscripts(toks, 1) - 1 as pos
+  from d
+)
+select term, {id_col}, count(*)::bigint as tf,
+       array_to_string(list_sort(list(pos)), '-') as positions
+from tk where term <> ''
+group by 1, 2
+"""
+
+
+def phrase_search(docs: DataFrame, phrase: str, k: int = 20,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact-phrase match via positional-posting intersection:
+    ``(doc_id, n_hits, first_pos)`` for documents containing the
+    normalized ``phrase`` as consecutive tokens, ordered by hits desc
+    then doc_id, top ``k``.  The standard positional-index query
+    (Manning/Raghavan/Schütze IR ch.2): term i's positions shift by
+    ``-i`` and the phrase occurrences are the intersection.
+
+    Plan shape at scale: the phrase's terms are a tiny Python constant,
+    so the token explode FILTERS to those terms scan-side — only
+    phrase-term occurrences (the posting lists being probed) ever
+    shuffle, never the corpus vocabulary.  ONE ``doc_id``-keyed
+    conditional aggregation builds every term's position array in a
+    single pass (no per-term self-joins — same-lineage self-joins are
+    also a column-resolution hazard), and the intersection of the
+    shifted arrays is a per-row expression bounded by document length.
+    Top-k is a TakeOrderedAndProject.  A repeated term in the phrase
+    ("buffalo buffalo") reuses the same position array under two
+    shifts — consecutive-repeat semantics fall out of the algebra."""
+    terms = phrase.lower().split()
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    uterms = sorted(set(terms))
+    toks = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " "))
+        .alias("pos", "term"))
+        .filter(F.col("term").isin(uterms)))
+    per_doc = toks.groupBy(id_col).agg(*[
+        F.array_sort(F.collect_list(
+            F.when(F.col("term") == t, F.col("pos")))).alias(f"ps_{j}")
+        for j, t in enumerate(uterms)])
+    tidx = {t: j for j, t in enumerate(uterms)}
+
+    def _shift(col: Column, by: int) -> Column:
+        # NB: must stay a 1-arg lambda — pyspark treats a 2-arg
+        # transform lambda as (element, array_index).
+        return F.transform(col, lambda x: x - F.lit(by))
+
+    inter = None
+    for i, t in enumerate(terms):
+        pi = _shift(F.col(f"ps_{tidx[t]}"), i)
+        inter = pi if inter is None else F.array_intersect(inter, pi)
+    hits = per_doc.select(F.col(id_col), inter.alias("hits"))
+    return (hits.select(
+        F.col(id_col),
+        F.size("hits").cast("long").alias("n_hits"),
+        F.array_min("hits").alias("first_pos"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.desc("n_hits"), id_col).limit(k))
+
+
+def phrase_search_sql(table: str, phrase: str, k: int = 20,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    terms = phrase.lower().split()
+    norm = SQL.NORMALIZE.format(c=text_col)
+    tlist = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    term_ctes = ",\n".join(
+        f"t{i} as (select {id_col}, list_transform(ps, x -> x - {i}) "
+        f"as p{i} from pl where term = '" + t.replace("'", "''") + "')"
+        for i, t in enumerate(terms))
+    joins = " ".join(f"join t{i} using ({id_col})"
+                     for i in range(1, len(terms)))
+    inter = "p0"
+    for i in range(1, len(terms)):
+        inter = f"list_intersect({inter}, p{i})"
+    return f"""
+with d as (
+  select {id_col}, regexp_split_to_array({norm}, ' ') as toks from {table}
+),
+tk as (
+  select {id_col}, unnest(toks) as term,
+         generate_subscripts(toks, 1) - 1 as pos
+  from d
+),
+pl as (
+  select {id_col}, term, list_sort(list(pos)) as ps
+  from tk where term in ({tlist}) group by 1, 2
+),
+{term_ctes},
+j as (
+  select t0.{id_col}, {inter} as hits from t0 {joins}
+)
+select {id_col}, len(hits)::bigint as n_hits, list_min(hits) as first_pos
+from j where len(hits) > 0
+order by n_hits desc, {id_col} limit {k}
 """

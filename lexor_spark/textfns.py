@@ -22,7 +22,7 @@ __all__ = [
     "lang_id", "lang_id_ngram", "quality_score",
     "dup_line_fraction", "dup_line_char_fraction", "top_bigram_fraction",
     "gopher_signals", "GOPHER_KEEP_RULE", "c4_signals",
-    "mojibake_count", "mojibake_flag",
+    "mojibake_count", "mojibake_flag", "code_signals",
     "script_profile", "SCRIPT_RANGES",
     "redact_pii", "pii_count",
     "SQL",
@@ -502,6 +502,77 @@ def mojibake_flag(col: Column, min_hits: int = 2) -> Column:
     return mojibake_count(col) >= min_hits
 
 
+# ---------------------------------------------------------------------------
+# Code-likeness detection (corpus routing/filtering signal)
+# ---------------------------------------------------------------------------
+
+# Per-line code markers: statement/brace endings, or a leading keyword.
+# ^/$ anchor per LINE because the expressions below apply the regex to
+# already-split line strings (no MULTILINE flag needed — identical
+# semantics in Java regex and RE2).
+_CODE_LINE_RE = (r"[;{}()]\s*$"
+                 r"|^\s*(def |class |import |from |function |var |const "
+                 r"|let |return|#include|public |private |if \(|for \()")
+_CODE_INDENT_RE = r"^(    |\t)"
+_CODE_SYM_RE = r"[={}();<>\[\]]"
+_CODE_KW_RE = (r"\b(def|function|return|import|include|class|const|var"
+               r"|void|printf|public|static|elif|lambda)\b")
+
+
+def code_signals(col: Column) -> dict[str, Column]:
+    """Code-likeness signals as named Columns — the router/filter web
+    pipelines apply before prose-only curation (prose filters like
+    Gopher mis-score source code, and code destined for a code corpus
+    takes a different cleaning path entirely):
+
+    * ``n_lines`` — non-blank lines;
+    * ``code_line_frac`` — fraction of non-blank lines that end in
+      ``;``/``{``/``}``/``)`` or open with a code keyword;
+    * ``indent_frac`` — fraction opening with a tab or 4+ spaces
+      (lines are NOT trimmed first — indentation IS the signal);
+    * ``sym_frac`` — code-symbol characters over text length;
+    * ``kw_hits`` — code-keyword occurrences in the whole text;
+    * ``is_code`` — the verdict: a third of lines code-shaped (on 3+
+      lines), OR symbol-dense with 2+ keywords, OR half indented.
+
+    All scan-side regex/HOF expressions — a map-only pass at 10^12
+    docs, same shape as :func:`gopher_signals`."""
+    def _sig(lines: Column) -> Column:
+        nb = F.filter(lines, lambda l: F.trim(l) != "")
+        return F.struct(
+            F.size(nb).alias("nl"),
+            F.size(F.filter(nb, lambda l: l.rlike(_CODE_LINE_RE)))
+            .alias("nc"),
+            F.size(F.filter(nb, lambda l: l.rlike(_CODE_INDENT_RE)))
+            .alias("ni"))
+
+    sig = _let(F.split(col, r"\n"), _sig)
+    nl = sig.nl
+
+    def _frac(num: Column) -> Column:
+        return F.when(nl > 0, F.round(num.cast("double") / nl, 4)) \
+                .otherwise(F.lit(0.0))
+
+    code_frac = _frac(sig.nc)
+    indent_frac = _frac(sig.ni)
+    sym_frac = F.round(
+        F.size(F.regexp_extract_all(col, F.lit(_CODE_SYM_RE), F.lit(0)))
+        .cast("double") / F.greatest(F.length(col), F.lit(1)), 4)
+    kw_hits = F.size(F.regexp_extract_all(col, F.lit(_CODE_KW_RE),
+                                          F.lit(0)))
+    is_code = (((code_frac >= 0.3) & (nl >= 3))
+               | ((sym_frac >= 0.06) & (kw_hits >= 2))
+               | (indent_frac >= 0.5))
+    return {
+        "n_lines": nl,
+        "code_line_frac": code_frac,
+        "indent_frac": indent_frac,
+        "sym_frac": sym_frac,
+        "kw_hits": kw_hits,
+        "is_code": is_code,
+    }
+
+
 class SQL:
     """DuckDB mirrors of the expressions above.  Each is a format string
     taking the source column name."""
@@ -702,3 +773,31 @@ class SQL:
         reads the same \\uXXXX ranges via the literal chars)."""
         pat = _MOJIBAKE_RE.replace("'", "''")
         return f"len(regexp_extract_all({c}, '{pat}'))"
+
+    @classmethod
+    def code_signals(cls, c: str) -> dict[str, str]:
+        """DuckDB mirrors of :func:`code_signals`, same keys."""
+        line_re = _CODE_LINE_RE.replace("'", "''")
+        nb = f"list_filter(string_split({c}, chr(10)), l -> trim(l) <> '')"
+        nl = f"len({nb})"
+        nc = (f"len(list_filter({nb}, l -> "
+              f"regexp_matches(l, '{line_re}')))")
+        ni = (f"len(list_filter({nb}, l -> "
+              f"regexp_matches(l, '{_CODE_INDENT_RE}')))")
+        def frac(num: str) -> str:
+            return (f"(case when {nl} > 0 then "
+                    f"round({num}::double / {nl}, 4) else 0.0 end)")
+        sym = (f"round(len(regexp_extract_all({c}, '{_CODE_SYM_RE}'))"
+               f"::double / greatest(len({c}), 1), 4)")
+        kw = f"len(regexp_extract_all({c}, '{_CODE_KW_RE}'))"
+        code_frac, indent_frac = frac(nc), frac(ni)
+        return {
+            "n_lines": nl,
+            "code_line_frac": code_frac,
+            "indent_frac": indent_frac,
+            "sym_frac": sym,
+            "kw_hits": kw,
+            "is_code": (f"(({code_frac} >= 0.3 and {nl} >= 3) or "
+                        f"({sym} >= 0.06 and {kw} >= 2) or "
+                        f"{indent_frac} >= 0.5)"),
+        }

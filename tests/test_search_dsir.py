@@ -321,3 +321,41 @@ def test_ngram_counts_basic(spark):
     # min_df=2 keeps only the shared gram
     out2 = [tuple(r) for r in ngram_counts(docs, n=3, min_df=2, k=10).collect()]
     assert out2 == [("a b c", 3, 2)]
+
+
+# --------------------------------------------- positional postings
+
+
+def test_postings_positions_and_tf(spark):
+    out = {(r.term, r.doc_id): (r.tf, r.positions)
+           for r in search.build_postings(_docs(spark)).collect()}
+    assert out[("spark", 0)] == (3, "0-3-4")       # spark at 0, 3, 4
+    assert out[("window", 7)] == (6, "0-1-2-3-4-5")
+    assert out[("the", 2)] == (2, "0-6")
+    assert ("", 5) not in out                      # empty doc emits nothing
+    assert all(k[1] != 5 for k in out)
+
+
+def test_phrase_search_adjacency(spark):
+    out = {r.doc_id: (r.n_hits, r.first_pos) for r in
+           search.phrase_search(_docs(spark), "join window", k=10).collect()}
+    # doc 0: "spark join window ..." -> join@1 window@2; doc 1: join@0 window@1
+    assert out == {0: (1, 1), 1: (1, 0)}
+
+
+def test_phrase_search_repeated_term(spark):
+    out = {r.doc_id: (r.n_hits, r.first_pos) for r in
+           search.phrase_search(_docs(spark), "window window", k=10).collect()}
+    # only doc 7 has consecutive windows: positions 0..5 -> 5 starts
+    assert out == {7: (5, 0)}
+
+
+def test_phrase_search_normalizes_case(spark):
+    a = search.phrase_search(_docs(spark), "JOIN Window", k=10).collect()
+    b = search.phrase_search(_docs(spark), "join window", k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_phrase_search_empty_phrase_raises(spark):
+    with pytest.raises(ValueError):
+        search.phrase_search(_docs(spark), "   ")

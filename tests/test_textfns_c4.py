@@ -71,3 +71,30 @@ def test_mojibake_signatures(spark):
     assert got[1].n >= 3 and got[1].bad
     assert got[2].n == 1 and not got[2].bad        # single hit tolerated
     assert got[3].n == 2 and got[3].bad            # Â+nbsp pairs
+
+
+def test_code_signals_branches(spark):
+    from lexor_spark import textfns
+    df = spark.createDataFrame([
+        (0, "a plain prose paragraph about nothing in particular"),
+        (1, "function init() {\n  var x = 1;\n  return x;\n}"),
+        (2, "prose line\n    indented one\n    indented two\n\ttabbed"),
+        (3, "short\nimport os;"),
+        (4, "words return import class here and there"),
+        (5, ""),
+    ], "doc_id int, text string")
+    sig = textfns.code_signals(F.col("text"))
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", *[c.alias(k) for k, c in sig.items()]).collect()}
+    assert not got[0].is_code and got[0].code_line_frac == 0.0
+    # brace/semicolon block: every line code-shaped, keywords dense
+    assert got[1].is_code and got[1].code_line_frac == 1.0
+    assert got[1].kw_hits >= 3
+    # indentation majority (3 of 4 lines)
+    assert got[2].is_code and got[2].indent_frac == 0.75
+    # one 'import os;' line of two: frac 0.5 but < 3 lines, 1 keyword
+    assert not got[3].is_code and got[3].code_line_frac == 0.5
+    # bare keywords without symbol density
+    assert not got[4].is_code and got[4].kw_hits >= 3
+    # empty text: zero everything, not code
+    assert not got[5].is_code and got[5].n_lines == 0
