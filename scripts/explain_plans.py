@@ -175,6 +175,23 @@ NOTES = {
         "zero-shuffle Union.  The two kernel branches keep their own "
         "salted exchanges (giant-blob skew insurance); media/skip "
         "rows never leave the JVM."),
+    "postings_index": (
+        "One scan-side split+posexplode, then ObjectHashAggregate "
+        "twice — partial (map-side, collapsing within-document "
+        "repetition before the shuffle) and final after ONE exchange "
+        "keyed by (term, doc).  Position lists are bounded by document "
+        "length; no per-term collect anywhere."),
+    "phrase_hits": (
+        "The token explode filters to the phrase's terms scan-side, so "
+        "only probed posting rows reach the single doc_id-keyed "
+        "aggregate that builds every term's position array in one "
+        "pass; the shifted-array intersection is a per-row Project and "
+        "the top-k is TakeOrderedAndProject — no self-joins, k rows to "
+        "the driver."),
+    "code_detect": (
+        "All six signals live in ONE Project of scan-side regex/HOF "
+        "expressions — a map-only pass; the only exchange is the "
+        "gate's presentation orderBy."),
 }
 
 
@@ -202,7 +219,8 @@ def main() -> None:
                  "ann_ivfpq", "pagerank", "bm25_search", "dsir_weights",
                  "temperature_sample", "tfidf_keywords", "robots_filter",
                  "lr_weights", "pack_bins", "mime_sniff",
-                 "frontier_queue", "index_gate", "extract_routed"):
+                 "frontier_queue", "index_gate", "extract_routed",
+                 "postings_index", "phrase_hits", "code_detect"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
