@@ -291,7 +291,8 @@ def _script_profile_sql() -> str:
 def _q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page index/canonical directives through the REAL kernel
     parse: deterministic <head> blocks (robots metas on doc_id%3/%4,
-    canonical on %2, two hreflang alternates on %5) are injected
+    canonical on %2, two hreflang alternates on %5, a root lang
+    attribute on %6 — one messy-cased/padded variant) are injected
     around the corpus text, parsed by extract_directives, and the
     DuckDB mirror reconstructs the expected outputs from the same
     doc_id rules — the anchor_texts/pagerank_links trick: a value
@@ -299,7 +300,11 @@ def _q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     html = F.concat(
-        F.lit("<html><head>"),
+        F.when(F.pmod(did, F.lit(6)) == 0, F.lit('<html lang="de">'))
+         .when(F.pmod(did, F.lit(6)) == 1,
+               F.lit('<html LANG=" EN-US ">'))  # must trim + lower
+         .otherwise(F.lit("<html>")),
+        F.lit("<head>"),
         F.when(F.pmod(did, F.lit(3)) == 0,
                F.lit('<meta name="robots" content="NOINDEX, follow">'))
          .otherwise(F.lit("")),
@@ -340,9 +345,60 @@ e as (select url,
   (case when doc_id % 2 = 0 then
      'https://site' || (doc_id % 97) || '.example/c/' || doc_id
    end) as canonical_abs,
-  (case when doc_id % 5 = 0 then 2 else 0 end) as n_hreflang
+  (case when doc_id % 5 = 0 then 2 else 0 end) as n_hreflang,
+  (case when doc_id % 6 = 0 then 'de'
+        when doc_id % 6 = 1 then 'en-us' end) as html_lang
 from d)
 select * from e order by url
+"""
+
+
+def _q_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language QA — the metadata-consistency
+    check multilingual pipelines run before trusting either channel:
+    the kernel-parsed root ``<html lang>`` attribute (riding the
+    page_directives fixture, so the declared channel is a REAL parse)
+    joined on url with the marker-based detector over the text;
+    ``mismatch`` fires only when both channels speak and the declared
+    primary subtag disagrees."""
+    dirs = _q_page_directives(spark, sf_dir).select("url", "html_lang")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), F.pmod(did, F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"),
+        did.cast("string"))
+    det = docs.select(url.alias("url"),
+                      textfns.lang_id(F.col("text")).alias("detected"))
+    j = dirs.join(det, "url")
+    primary = F.split(F.col("html_lang"), "-").getItem(0)
+    return (j.select(
+        "url",
+        F.col("html_lang").alias("declared"),
+        primary.alias("declared_primary"),
+        "detected",
+        F.coalesce((primary != F.col("detected"))
+                   & (F.col("detected") != F.lit("und")),
+                   F.lit(False)).alias("mismatch"))
+        .orderBy("url"))
+
+
+def _lang_consistency_sql() -> str:
+    det = textfns.SQL.lang_id("text")
+    return f"""
+with d as (select doc_id, {_URL_SQL} as url, text from documents),
+e as (select url,
+  (case when doc_id % 6 = 0 then 'de'
+        when doc_id % 6 = 1 then 'en-us' end) as declared,
+  string_split((case when doc_id % 6 = 0 then 'de'
+                     when doc_id % 6 = 1 then 'en-us' end), '-')[1]
+    as declared_primary,
+  ({det}) as detected
+from d)
+select url, declared, declared_primary, detected,
+  coalesce(declared_primary <> detected and detected <> 'und', false)
+    as mismatch
+from e order by url
 """
 
 
@@ -2859,7 +2915,7 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  120 queries are
+    the first 50 entries), rows-only entries after.  121 queries are
     value-oracled, so the rest must sit past the window (sitemap_index,
     a late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).
@@ -3013,7 +3069,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "ann_bucketed": _q_ann_bucketed,
         # session-tail additions: wait here for round-5 window slots
-        # (the 50 in-window entries are all never-driver-verified too)
+        # (the 50 in-window entries are all never-driver-verified too;
+        # lang_consistency's new kernel code — the html_lang walk — IS
+        # in-window via page_directives)
+        "lang_consistency": _q_lang_consistency,
         "surt_keys": _q_surt_keys,
         "c4_filter": _q_c4_filter,
         "frontier_queue": _q_frontier_queue,
@@ -3147,6 +3206,7 @@ def oracle_sql() -> dict[str, str]:
         "host_boilerplate": _host_boilerplate_sql(),
         "script_profile": _script_profile_sql(),
         "page_directives": _page_directives_sql(),
+        "lang_consistency": _lang_consistency_sql(),
         "charset_sniff": _charset_sniff_sql(),
         "html_tables": _html_tables_sql(),
         "page_meta": _page_meta_sql(),

@@ -210,6 +210,8 @@ def main() -> None:
         "phrase_hits": lambda: search.phrase_search(docs, "fast table",
                                                     k=15),
         "code_detect": lambda: _entry._q_code_detect(spark, SF_DIR),
+        "lang_consistency": lambda: _entry._q_lang_consistency(spark,
+                                                               SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

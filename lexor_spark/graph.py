@@ -186,13 +186,14 @@ def _links_batches(batches: Iterator[pa.RecordBatch]
 
 DIRECTIVES_SCHEMA = ("url string, meta_robots string, noindex boolean, "
                      "nofollow boolean, canonical string, "
-                     "canonical_abs string, n_hreflang int")
+                     "canonical_abs string, n_hreflang int, "
+                     "html_lang string")
 
 _DIRECTIVES_ARROW = pa.schema([
     ("url", pa.string()), ("meta_robots", pa.string()),
     ("noindex", pa.bool_()), ("nofollow", pa.bool_()),
     ("canonical", pa.string()), ("canonical_abs", pa.string()),
-    ("n_hreflang", pa.int32()),
+    ("n_hreflang", pa.int32()), ("html_lang", pa.string()),
 ])
 
 
@@ -214,9 +215,15 @@ def _directives_batches(batches: Iterator[pa.RecordBatch]
                 robots: list[str] = []
                 canonical = None
                 n_hreflang = 0
+                html_lang = None
                 doc = None
                 try:
                     doc, _ = parse_html(decode_html(html or b"")[0], url)
+                    for el in doc.get_nodes_by_name("html"):
+                        lang = (el.attrs or {}).get("lang")
+                        if lang and lang.strip():
+                            html_lang = lang.strip().lower()
+                        break  # root element only
                     for el in doc.get_nodes_by_name("meta"):
                         a = el.attrs or {}
                         if (a.get("name") or "").strip().lower() == "robots":
@@ -245,6 +252,7 @@ def _directives_batches(batches: Iterator[pa.RecordBatch]
                 cols["canonical_abs"].append(
                     _resolve(url, canonical) if canonical else None)
                 cols["n_hreflang"].append(n_hreflang)
+                cols["html_lang"].append(html_lang)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[n], type=_DIRECTIVES_ARROW.field(n).type)
                  for n in _DIRECTIVES_ARROW.names], schema=_DIRECTIVES_ARROW)
@@ -263,7 +271,9 @@ def extract_directives(pages: DataFrame, salt_buckets: int = 256,
     these gate INDEXING/link-following), the first
     ``<link rel=canonical>`` (first-wins, the documented crawler
     behavior for conflicting canonicals) with its absolute resolution,
-    and the ``hreflang`` alternate count.  Same fused one-pass
+    the ``hreflang`` alternate count, and the root ``<html lang>``
+    attribute (trimmed/lowercased; the declared-language channel a
+    metadata-vs-content language QA joins against).  Same fused one-pass
     ``mapInArrow`` plan as :func:`extract_links` — at 10^12 pages this
     adds zero shuffles beyond the salted exchange it shares with every
     kernel pass."""

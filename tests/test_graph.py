@@ -159,7 +159,7 @@ def test_extract_directives(spark):
 
     rows = [
         ("https://a.example/x/page",
-         b'<html><head>'
+         b'<html LANG=" EN-GB "><head>'
          b'<meta NAME="Robots" content="NOINDEX, follow">'
          b'<meta name="robots" content="nofollow">'
          b'<link rel="canonical" href="/c/1">'
@@ -170,7 +170,8 @@ def test_extract_directives(spark):
         ("https://b.example/", b'<html><head>'
          b'<meta name="robots" content="none"></head></html>'),
         ("https://c.example/",
-         b'<html><head><link rel="CANONICAL" href="https://other/x">'
+         b'<html lang=" "><head>'
+         b'<link rel="CANONICAL" href="https://other/x">'
          b'</head></html>'),
         ("https://d.example/", b"<p>no head at all"),
         ("https://e.example/", None),
@@ -183,14 +184,18 @@ def test_extract_directives(spark):
     assert a.canonical == "/c/1"                # first wins
     assert a.canonical_abs == "https://a.example/c/1"
     assert a.n_hreflang == 2
+    assert a.html_lang == "en-gb"               # trimmed + lowercased
     b = got["https://b.example/"]
     assert b.meta_robots == "none" and b.noindex and b.nofollow
+    assert b.html_lang is None
     c = got["https://c.example/"]
     assert not c.noindex and c.canonical_abs == "https://other/x"
+    assert c.html_lang is None                  # blank lang attr ignored
     for u in ("https://d.example/", "https://e.example/"):
         r = got[u]
         assert r.meta_robots is None and not r.noindex and not r.nofollow
         assert r.canonical is None and r.n_hreflang == 0
+        assert r.html_lang is None              # no root element at all
 
 
 # --------------------------------------------------------- link context
