@@ -2071,6 +2071,15 @@ def _q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.phrase_search(docs, "fast table", k=15)
 
 
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-biased snippet extraction: the width-8 token window with
+    the most query-term hits per document, top-12 docs — entirely
+    scan-side (let-bound split, O(hits²) array expressions), only the
+    TakeOrderedAndProject moves rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search.snippets(docs, "spark join window", width=8, k=12)
+
+
 def _q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-likeness routing signals over a derived corpus variant:
     every 7th doc gains a brace/semicolon function block (code), the
@@ -2915,7 +2924,7 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  121 queries are
+    the first 50 entries), rows-only entries after.  122 queries are
     value-oracled, so the rest must sit past the window (sitemap_index,
     a late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).
@@ -3073,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lang_consistency's new kernel code — the html_lang walk — IS
         # in-window via page_directives)
         "lang_consistency": _q_lang_consistency,
+        "snippet_topk": _q_snippets,
         "surt_keys": _q_surt_keys,
         "c4_filter": _q_c4_filter,
         "frontier_queue": _q_frontier_queue,
@@ -3326,6 +3336,8 @@ def oracle_sql() -> dict[str, str]:
                            + ") order by term, doc_id"),
         "phrase_hits": search.phrase_search_sql(
             "documents", "fast table", k=15),
+        "snippet_topk": search.snippets_sql(
+            "documents", "spark join window", width=8, k=12),
         "code_detect": _code_detect_sql(),
         "temperature_sample": ("select * from ("
                                + sampling.temperature_sample_sql(

@@ -212,6 +212,8 @@ def main() -> None:
         "code_detect": lambda: _entry._q_code_detect(spark, SF_DIR),
         "lang_consistency": lambda: _entry._q_lang_consistency(spark,
                                                                SF_DIR),
+        "snippet_topk": lambda: search.snippets(
+            docs, "spark join window", width=8, k=12),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from lexor_spark.textfns import SQL, _let, normalize_text
 
 __all__ = ["bm25_topk", "bm25_topk_sql", "tfidf_keywords",
+           "snippets", "snippets_sql",
            "tfidf_keywords_sql", "ngram_counts", "ngram_counts_sql",
            "build_postings", "build_postings_sql", "phrase_search",
            "phrase_search_sql"]
@@ -383,4 +384,105 @@ j as (
 select {id_col}, len(hits)::bigint as n_hits, list_min(hits) as first_pos
 from j where len(hits) > 0
 order by n_hits desc, {id_col} limit {k}
+"""
+
+def snippets(docs: DataFrame, query: str, width: int = 8, k: int = 10,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Query-biased snippet extraction — the result-presentation step
+    of a search stack (Tombros & Sanderson 1998): the ``width``-token
+    window with the most query-term hits per document, reported as
+    ``(doc_id, best_pos, window_hits, snippet)`` for the top-``k``
+    documents by window hits (ties: lowest doc_id; within a document,
+    the earliest best window).
+
+    Plan shape at 10^12 docs: ENTIRELY scan-side — the query terms are
+    a tiny constant, the hit-position array comes from one let-bound
+    token split (no explode, no shuffle, like ``bm25_topk``), and the
+    best window is an O(hits²) per-row array expression bounded by the
+    per-document query-hit count, not document length.  The only
+    movement is the top-k TakeOrderedAndProject: k rows to the driver."""
+    terms = _norm_terms(query)
+    if not terms:
+        raise ValueError("snippets: empty query")
+
+    def _is_term(tok: Column) -> Column:
+        cond = tok == F.lit(terms[0])
+        for t in terms[1:]:
+            cond = cond | (tok == F.lit(t))
+        return cond
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def _build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - 1)
+        ps = F.filter(idx, lambda i: _is_term(F.element_at(t, i + 1)))
+
+        def _with_ps(ps_: Column) -> Column:
+            def _cnt(p: Column) -> Column:
+                return F.size(F.filter(
+                    ps_, lambda q: (q >= p) & (q < p + F.lit(width))))
+
+            def _with_best(best: Column) -> Column:
+                best_pos = F.array_min(
+                    F.filter(ps_, lambda p: _cnt(p) == best))
+                return F.struct(
+                    best.alias("hits"), best_pos.alias("pos"),
+                    F.array_join(F.slice(t, best_pos + 1, width), " ")
+                    .alias("snippet"))
+
+            return _let(F.coalesce(
+                F.array_max(F.transform(ps_, _cnt)), F.lit(0)),
+                _with_best)
+
+        return _let(ps, _with_ps)
+
+    s = docs.select(F.col(id_col), _let(toks, _build).alias("s"))
+    return (s.select(
+        F.col(id_col),
+        F.col("s.pos").alias("best_pos"),
+        F.col("s.hits").cast("long").alias("window_hits"),
+        F.col("s.snippet").alias("snippet"))
+        .filter(F.col("window_hits") >= 1)
+        .orderBy(F.desc("window_hits"), id_col).limit(k))
+
+
+def snippets_sql(table: str, query: str, width: int = 8, k: int = 10,
+                 text_col: str = "text", id_col: str = "doc_id") -> str:
+    terms = _norm_terms(query)
+    norm = SQL.NORMALIZE.format(c=text_col)
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    w = width
+    cnt = f"len(list_filter(ps, q -> q >= p and q < p + {w}))"
+    cnt2 = f"len(list_filter(ps, q2 -> q2 >= p2 and q2 < p2 + {w}))"
+    return f"""
+with d as (
+  select {id_col}, regexp_split_to_array({norm}, ' ') as toks from {table}
+),
+t as (
+  select {id_col}, unnest(toks) as term,
+         generate_subscripts(toks, 1) - 1 as pos
+  from d
+),
+p as (
+  select {id_col}, list_sort(list(pos)) as ps
+  from t where term in ({tlist}) group by 1
+),
+win as (
+  select {id_col},
+         list_max(list_transform(ps, p -> {cnt})) as window_hits,
+         list_min(list_filter(ps, p ->
+           {cnt} = list_max(list_transform(ps, p2 -> {cnt2}))))
+           as best_pos
+  from p
+),
+s as (
+  select win.{id_col}, best_pos, window_hits,
+         array_to_string(d.toks[best_pos + 1 : best_pos + {w}], ' ')
+           as snippet
+  from win join d using ({id_col})
+)
+select {id_col}, best_pos::int as best_pos,
+       window_hits::bigint as window_hits, snippet
+from s where window_hits >= 1
+order by window_hits desc, {id_col} limit {k}
 """

@@ -359,3 +359,35 @@ def test_phrase_search_normalizes_case(spark):
 def test_phrase_search_empty_phrase_raises(spark):
     with pytest.raises(ValueError):
         search.phrase_search(_docs(spark), "   ")
+
+
+# --------------------------------------------------------- snippets
+
+
+def test_snippets_best_window(spark):
+    out = {r.doc_id: r for r in
+           search.snippets(_docs(spark), "spark window", width=3,
+                           k=10).collect()}
+    # doc 0 "spark join window spark spark": windows of 3 starting at a
+    # hit: pos 2 covers {2,3,4} = 3 hits (window, spark, spark) — best
+    r0 = out[0]
+    assert (r0.window_hits, r0.best_pos) == (3, 2)
+    assert r0.snippet == "window spark spark"
+    # doc 7 is six windows: any 3-window holds 3
+    assert out[7].window_hits == 3 and out[7].best_pos == 0
+    # docs without any hit are absent
+    assert 3 not in out and 5 not in out
+
+
+def test_snippets_earliest_tie_and_ordering(spark):
+    rows = search.snippets(_docs(spark), "window", width=2, k=10).collect()
+    # ordering: hits desc then doc_id asc
+    hits = [(r.window_hits, r.doc_id) for r in rows]
+    assert hits == sorted(hits, key=lambda h: (-h[0], h[1]))
+    first = {r.doc_id: r.best_pos for r in rows}
+    assert first[7] == 0                  # tie among windows -> earliest
+
+
+def test_snippets_empty_query_raises(spark):
+    with pytest.raises(ValueError):
+        search.snippets(_docs(spark), "")
