@@ -1987,6 +1987,26 @@ def _q_host_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    min_docs=2, min_avg_chars=300.0)
 
 
+def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-budget allocation composed on host_quality:
+    score = avg page length, capacity = known page count, 300-page
+    round budget split proportionally with per-host caps and a
+    min-allocation floor; spare reports what the caps freed."""
+    hq = urlfns.host_quality(_docs_urls_df(spark, sf_dir),
+                             min_docs=2, min_avg_chars=300.0)
+    hosts = hq.select("host", F.col("avg_chars").alias("score"),
+                      F.col("n_docs").alias("n_urls"))
+    return frontier.crawl_budget(hosts, budget_pages=300)
+
+
+def _crawl_budget_sql() -> str:
+    hq = urlfns.host_quality_sql(_DOCS_URLS_TABLE, "url",
+                                 min_docs=2, min_avg_chars=300.0)
+    hosts = (f"select host, avg_chars as score, n_docs as n_urls "
+             f"from ({hq})")
+    return frontier.crawl_budget_sql(hosts, budget_pages=300)
+
+
 def _q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Site-level boilerplate line removal: lines repeated across a
     host's pages (nav, footer) are template and get stripped; unique
@@ -2078,6 +2098,19 @@ def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject moves rows."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return search.snippets(docs, "spark join window", width=8, k=12)
+
+
+def _q_serp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-time near-dup suppression over the BM25 top-25: greedy
+    rank-order walk dropping results within 6 simhash bits of an
+    already-kept higher rank.  The ranked side broadcasts; the greedy
+    walk is one bounded applyInPandas group (25 rows); the DuckDB
+    oracle replays it as a recursive CTE carrying the kept-signature
+    list."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranked = search.bm25_topk(docs, "spark join window", k=25)
+    sigs = dedup.simhash_df(docs)
+    return search.serp_dedup(ranked, sigs, max_hamming=6)
 
 
 def _q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2924,7 +2957,7 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  122 queries are
+    the first 50 entries), rows-only entries after.  124 queries are
     value-oracled, so the rest must sit past the window (sitemap_index,
     a late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).
@@ -3083,6 +3116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via page_directives)
         "lang_consistency": _q_lang_consistency,
         "snippet_topk": _q_snippets,
+        "crawl_budget": _q_crawl_budget,
+        "serp_dedup": _q_serp_dedup,
         "surt_keys": _q_surt_keys,
         "c4_filter": _q_c4_filter,
         "frontier_queue": _q_frontier_queue,
@@ -3317,6 +3352,7 @@ def oracle_sql() -> dict[str, str]:
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),
         "host_filter_docs": urlfns.host_filter_docs_sql(
             _DOCS_URLS_TABLE, "url", min_docs=2, min_avg_chars=300.0),
+        "crawl_budget": _crawl_budget_sql(),
         "pagerank_links": (
             "select node_id as url, rank from ("
             + graph.pagerank_sql("select * from ("
@@ -3338,6 +3374,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", "fast table", k=15),
         "snippet_topk": search.snippets_sql(
             "documents", "spark join window", width=8, k=12),
+        "serp_dedup": search.serp_dedup_sql(
+            search.bm25_topk_sql("documents", "spark join window", k=25),
+            dedup.simhash_sql("documents"), max_hamming=6),
         "code_detect": _code_detect_sql(),
         "temperature_sample": ("select * from ("
                                + sampling.temperature_sample_sql(

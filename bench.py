@@ -214,6 +214,8 @@ def main() -> None:
                                                                SF_DIR),
         "snippet_topk": lambda: search.snippets(
             docs, "spark join window", width=8, k=12),
+        "serp_dedup": lambda: _entry._q_serp_dedup(spark, SF_DIR),
+        "crawl_budget": lambda: _entry._q_crawl_budget(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["fetch_schedule", "fetch_schedule_sql",
+           "crawl_budget", "crawl_budget_sql",
            "recrawl_schedule", "recrawl_schedule_sql",
            "sitemap_refetch", "sitemap_refetch_sql",
            "frontier_queue", "frontier_queue_sql"]
@@ -377,4 +378,73 @@ select host, url, priority, source,
          as host_rank
 from best
 order by host, host_rank
+"""
+
+def crawl_budget(hosts: DataFrame, budget_pages: int,
+                 score_col: str = "score", urls_col: str = "n_urls",
+                 min_alloc: int = 1) -> DataFrame:
+    """Per-host crawl-budget allocation — the sizing decision a crawl
+    round makes after quality scoring and before frontier assembly
+    (Cho & Garcia-Molina's page-selection problem in its operational
+    form): split ``budget_pages`` across hosts proportionally to a
+    caller-derived quality ``score``, cap each host at its known URL
+    count (you cannot fetch pages you have not discovered), floor
+    positive-score hosts at ``min_alloc`` (starving a host forever
+    means never re-learning its quality), and report the spare budget
+    the caps freed (the next round's re-allocation input, mirroring
+    ``sampling.mixture_plan``'s deficit accounting).
+
+    Input: one row per host carrying ``score`` (>= 0) and ``n_urls``.
+    Output: (host, n_urls, score, share, alloc_raw, alloc, spare).
+
+    Plan shape at scale: the input is already host-sized (one
+    map-side-combinable aggregate upstream, e.g.
+    ``urlfns.host_quality``); here only a 1-row score-sum broadcast
+    joins back — nothing shuffles but H host rows.  Arithmetic rounds
+    to 6 for the cross-engine oracle; allocation is floor-integer so
+    sum(alloc) <= budget always holds."""
+    tot = hosts.agg(F.sum(F.col(score_col)).alias("s_sum"))
+    j = hosts.crossJoin(F.broadcast(tot))
+    share = F.round(F.col(score_col) / F.col("s_sum"), 6)
+    raw = F.round(share * F.lit(float(budget_pages)), 6)
+    alloc = F.least(
+        F.greatest(F.floor(raw),
+                   F.when(F.col(score_col) > 0, F.lit(min_alloc))
+                    .otherwise(F.lit(0))),
+        F.col(urls_col).cast("long"))
+    return (j.select(
+        "host", F.col(urls_col).cast("long").alias("n_urls"),
+        F.round(F.col(score_col), 6).alias("score"),
+        share.alias("share"),
+        raw.alias("alloc_raw"),
+        alloc.alias("alloc"),
+        (F.floor(raw) - alloc).cast("long").alias("spare"))
+        .orderBy("host"))
+
+
+def crawl_budget_sql(hosts_sql: str, budget_pages: int,
+                     min_alloc: int = 1) -> str:
+    """DuckDB mirror of :func:`crawl_budget` (``hosts_sql`` yields
+    (host, score, n_urls))."""
+    return f"""
+with h as ({hosts_sql}),
+t as (select sum(score) as s_sum from h),
+j as (
+  select h.host, h.n_urls::bigint as n_urls,
+         round(h.score, 6) as score,
+         round(h.score / t.s_sum, 6) as share,
+         round(round(h.score / t.s_sum, 6) * {float(budget_pages)}, 6)
+           as alloc_raw
+  from h cross join t
+),
+a as (
+  select *, least(greatest(floor(alloc_raw),
+                           case when score > 0 then {min_alloc}
+                                else 0 end),
+                  n_urls)::bigint as alloc
+  from j
+)
+select host, n_urls, score, share, alloc_raw, alloc,
+       (floor(alloc_raw) - alloc)::bigint as spare
+from a order by host
 """

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from lexor_spark.textfns import SQL, _let, normalize_text
 
 __all__ = ["bm25_topk", "bm25_topk_sql", "tfidf_keywords",
-           "snippets", "snippets_sql",
+           "snippets", "snippets_sql", "serp_dedup", "serp_dedup_sql",
            "tfidf_keywords_sql", "ngram_counts", "ngram_counts_sql",
            "build_postings", "build_postings_sql", "phrase_search",
            "phrase_search_sql"]
@@ -485,4 +485,87 @@ select {id_col}, best_pos::int as best_pos,
        window_hits::bigint as window_hits, snippet
 from s where window_hits >= 1
 order by window_hits desc, {id_col} limit {k}
+"""
+
+def serp_dedup(ranked: DataFrame, signatures: DataFrame,
+               max_hamming: int = 6, id_col: str = "doc_id",
+               order_col: str = "bm25") -> DataFrame:
+    """Near-duplicate suppression over a RANKED result list — the
+    serve-time diversification every search result page applies
+    (Broder 1997's near-dup application; a SERP showing five mirrors
+    of one page is broken even when each mirror ranks honestly): walk
+    the list in rank order and keep a result unless its simhash is
+    within ``max_hamming`` bits of an ALREADY-KEPT higher-ranked
+    result.  Greedy by construction (a dropped result does not
+    suppress anything below it), so chains A~B~C with A≁C keep A and C.
+
+    Output: (doc_id, rank, simhash, kept) for all k inputs — the
+    dropped rows stay visible for relevance debugging.
+
+    Plan shape at scale: ``ranked`` is a top-k (k = a result page,
+    bounded by construction), so it BROADCASTS into the signature
+    table join — the corpus-sized side never shuffles; the greedy walk
+    is inherently sequential in rank, so it runs as ONE applyInPandas
+    group over exactly k rows (the ``pack_firstfit`` recipe: bounded
+    sequential state in one task, never corpus-scale)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import Window
+
+    j = F.broadcast(ranked.select(id_col, order_col)) \
+        .join(signatures.select(id_col, "simhash"), id_col)
+    w = Window.orderBy(F.desc(order_col), id_col)
+    ranked_k = j.select(F.col(id_col),
+                        F.row_number().over(w).alias("rank"),
+                        F.col("simhash"))
+
+    def _walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("rank").reset_index(drop=True)
+        kept_sigs: list[int] = []
+        kept: list[bool] = []
+        for s in pdf["simhash"]:
+            ok = all(bin(int(s) ^ int(t)).count("1") > max_hamming
+                     for t in kept_sigs)
+            kept.append(ok)
+            if ok:
+                kept_sigs.append(int(s))
+        pdf["kept"] = kept
+        return pdf[[id_col, "rank", "simhash", "kept"]]
+
+    schema = f"{id_col} long, rank int, simhash long, kept boolean"
+    # NB: groupBy(F.lit(0)) would be read as a group-by ORDINAL —
+    # ground the constant group in a named column instead.
+    return (ranked_k.withColumn("_g", F.lit(0)).groupBy("_g")
+            .applyInPandas(lambda _, pdf: _walk(pdf), schema)
+            .orderBy("rank"))
+
+
+def serp_dedup_sql(ranked_sql: str, signatures_sql: str,
+                   max_hamming: int = 6, id_col: str = "doc_id",
+                   order_col: str = "bm25") -> str:
+    """DuckDB mirror: the same greedy walk as a recursive CTE carrying
+    the kept-signature list (the ``pack_firstfit_sql`` recipe)."""
+    ok = (f"len(list_filter(w.kept_sigs, t -> "
+          f"bit_count(xor(t, j.simhash)) <= {max_hamming})) = 0")
+    return f"""
+with recursive
+r as ({ranked_sql}),
+sg as ({signatures_sql}),
+j as (
+  select r.{id_col},
+         row_number() over (order by r.{order_col} desc, r.{id_col})::int
+           as rank,
+         sg.simhash
+  from r join sg using ({id_col})
+),
+walk(rank, {id_col}, simhash, kept, kept_sigs) as (
+  select rank, {id_col}, simhash, true as kept, [simhash] as kept_sigs
+  from j where rank = 1
+  union all
+  select j.rank, j.{id_col}, j.simhash,
+         ({ok}) as kept,
+         case when ({ok}) then list_append(w.kept_sigs, j.simhash)
+              else w.kept_sigs end as kept_sigs
+  from walk w join j on j.rank = w.rank + 1
+)
+select {id_col}, rank, simhash, kept from walk order by rank
 """

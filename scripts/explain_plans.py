@@ -192,6 +192,12 @@ NOTES = {
         "All six signals live in ONE Project of scan-side regex/HOF "
         "expressions — a map-only pass; the only exchange is the "
         "gate's presentation orderBy."),
+    "serp_dedup": (
+        "The 25-row ranked page BROADCASTS into the corpus-sized "
+        "signature join (BroadcastHashJoin — the scan never "
+        "shuffles); the inherently-sequential greedy walk is one "
+        "FlatMapGroupsInPandas over exactly k rows (constant group), "
+        "bounded by the result-page size by construction."),
 }
 
 
@@ -220,7 +226,8 @@ def main() -> None:
                  "temperature_sample", "tfidf_keywords", "robots_filter",
                  "lr_weights", "pack_bins", "mime_sniff",
                  "frontier_queue", "index_gate", "extract_routed",
-                 "postings_index", "phrase_hits", "code_detect"):
+                 "postings_index", "phrase_hits", "code_detect",
+                 "serp_dedup"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):

@@ -391,3 +391,51 @@ def test_snippets_earliest_tie_and_ordering(spark):
 def test_snippets_empty_query_raises(spark):
     with pytest.raises(ValueError):
         search.snippets(_docs(spark), "")
+
+
+# ------------------------------------------------------- serp dedup
+
+
+def test_serp_dedup_greedy_chain(spark):
+    # A~B (1 bit), B~C (1 bit), A vs C = 2 bits -> with max_hamming=1:
+    # A kept, B dropped (near A), C kept (B wasn't kept, A is 2 away)
+    ranked = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, bm25 double")
+    sigs = spark.createDataFrame(
+        [(1, 0b0000), (2, 0b0001), (3, 0b0011)],
+        "doc_id long, simhash long")
+    out = {r.doc_id: r for r in search.serp_dedup(
+        ranked, sigs, max_hamming=1).collect()}
+    assert out[1].kept and not out[2].kept and out[3].kept
+    assert [out[i].rank for i in (1, 2, 3)] == [1, 2, 3]
+
+
+def test_serp_dedup_rank_order_and_identical(spark):
+    ranked = spark.createDataFrame(
+        [(10, 5.0), (11, 4.0), (12, 3.0)], "doc_id long, bm25 double")
+    sigs = spark.createDataFrame(
+        [(10, 42), (11, 42), (12, 42)], "doc_id long, simhash long")
+    rows = search.serp_dedup(ranked, sigs, max_hamming=0).collect()
+    assert [r.kept for r in rows] == [True, False, False]
+
+
+# ------------------------------------------------------ crawl budget
+
+
+def test_crawl_budget_caps_and_floor(spark):
+    from lexor_spark import frontier
+    hosts = spark.createDataFrame(
+        [("a.example", 100.0, 50),    # big share
+         ("b.example", 100.0, 1),     # capped at 1 known url
+         ("c.example", 1.0, 50),      # tiny share -> floored to 1
+         ("d.example", 0.0, 50)],     # zero score -> zero
+        "host string, score double, n_urls int")
+    out = {r.host: r for r in frontier.crawl_budget(
+        hosts, budget_pages=100).collect()}
+    assert out["b.example"].alloc == 1          # capped by capacity
+    assert out["b.example"].spare >= 1          # cap freed budget
+    assert out["c.example"].alloc == 1          # min-alloc floor
+    assert out["d.example"].alloc == 0          # no score, no pages
+    assert out["a.example"].alloc >= 45
+    total = sum(r.alloc for r in out.values())
+    assert total <= 100
