@@ -2100,6 +2100,33 @@ def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.snippets(docs, "spark join window", width=8, k=12)
 
 
+def _q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking against a deterministic graded
+    relevance derived from the same corpus (grade = how many of the
+    query's three terms the document contains, 0-3) — the
+    ranking-quality loop a retrieval stack tunes k1/b against."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "join", "window"]
+    toks = F.split(textfns.normalize_text(F.col("text")), " ")
+    rel = None
+    for t in terms:
+        c = F.array_contains(toks, t).cast("int")
+        rel = c if rel is None else rel + c
+    labels = docs.select("doc_id", rel.alias("rel"))
+    ranked = search.bm25_topk(docs, " ".join(terms), k=10)
+    return evals.eval_ranking(ranked, labels, k=10)
+
+
+def _ranking_eval_sql() -> str:
+    norm = textfns.SQL.NORMALIZE.format(c="text")
+    rel = " + ".join(
+        f"list_contains(regexp_split_to_array({norm}, ' '), '{t}')::int"
+        for t in ("spark", "join", "window"))
+    labels = f"select doc_id, ({rel}) as rel from documents"
+    ranked = search.bm25_topk_sql("documents", "spark join window", k=10)
+    return evals.eval_ranking_sql(ranked, labels, k=10)
+
+
 def _q_serp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve-time near-dup suppression over the BM25 top-25: greedy
     rank-order walk dropping results within 6 simhash bits of an
@@ -2957,7 +2984,7 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  124 queries are
+    the first 50 entries), rows-only entries after.  125 queries are
     value-oracled, so the rest must sit past the window (sitemap_index,
     a late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).
@@ -3118,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_topk": _q_snippets,
         "crawl_budget": _q_crawl_budget,
         "serp_dedup": _q_serp_dedup,
+        "ranking_eval": _q_ranking_eval,
         "surt_keys": _q_surt_keys,
         "c4_filter": _q_c4_filter,
         "frontier_queue": _q_frontier_queue,
@@ -3377,6 +3405,7 @@ def oracle_sql() -> dict[str, str]:
         "serp_dedup": search.serp_dedup_sql(
             search.bm25_topk_sql("documents", "spark join window", k=25),
             dedup.simhash_sql("documents"), max_hamming=6),
+        "ranking_eval": _ranking_eval_sql(),
         "code_detect": _code_detect_sql(),
         "temperature_sample": ("select * from ("
                                + sampling.temperature_sample_sql(

@@ -216,6 +216,7 @@ def main() -> None:
             docs, "spark join window", width=8, k=12),
         "serp_dedup": lambda: _entry._q_serp_dedup(spark, SF_DIR),
         "crawl_budget": lambda: _entry._q_crawl_budget(spark, SF_DIR),
+        "ranking_eval": lambda: _entry._q_ranking_eval(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["eval_extraction", "eval_extraction_sql"]
+__all__ = ["eval_extraction", "eval_extraction_sql",
+           "eval_ranking", "eval_ranking_sql"]
 
 
 def _token_counts(df: DataFrame, id_col: str, text_col: str,
@@ -110,4 +111,79 @@ select doc_id, n_gold, n_extracted, n_overlap,
              then 2 * n_overlap / (n_gold + n_extracted)::double
              else 0.0 end, 6) as f1
 from j order by doc_id
+"""
+
+def eval_ranking(ranked: DataFrame, labels: DataFrame, k: int = 10,
+                 id_col: str = "doc_id", order_col: str = "bm25",
+                 label_col: str = "rel") -> DataFrame:
+    """nDCG@k of a ranked result list against graded relevance labels
+    (Järvelin & Kekäläinen 2002) — the ranking-side complement of
+    :func:`eval_extraction`: DCG@k = Σ_{i≤k} (2^rel_i − 1)/log2(i+1)
+    over the list in rank order (missing label → 0), IDCG@k = the same
+    sum over the label table's k best grades, nDCG = DCG/IDCG (0 when
+    IDCG is 0).  One output row ``(k, dcg, idcg, ndcg)``, everything
+    rounded to 6 for the cross-engine oracle.
+
+    Plan shape at scale: the ranked list is top-k (bounded by
+    construction) and BROADCASTS into the label join; the ideal side
+    is a TakeOrderedAndProject over the label table (k rows move, the
+    deterministic (rel desc, id) order makes ties canonical) followed
+    by a 1-row aggregate; the final combine is a 1-row × 1-row cross
+    join.  Nothing corpus-sized ever shuffles."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc(order_col), id_col)
+    rk = (F.broadcast(ranked.select(
+            F.col(id_col), F.row_number().over(w).alias("rank")))
+          .join(labels.select(id_col, label_col), id_col, "left")
+          .filter(F.col("rank") <= k))
+    gain = ((F.pow(F.lit(2.0),
+                   F.coalesce(F.col(label_col), F.lit(0)).cast("double"))
+             - 1.0) / F.log2(F.col("rank") + 1.0))
+    dcg = rk.agg(F.round(F.sum(gain), 6).alias("dcg"))
+    # top-k labels FIRST (TakeOrderedAndProject — k rows move), then
+    # the ranking window runs over k rows, never the corpus
+    iw = Window.orderBy(F.desc(label_col), id_col)
+    ideal = (labels.select(label_col, id_col)
+             .orderBy(F.desc(label_col), id_col).limit(k)
+             .select(F.col(label_col),
+                     F.row_number().over(iw).alias("irank")))
+    igain = ((F.pow(F.lit(2.0), F.col(label_col).cast("double")) - 1.0)
+             / F.log2(F.col("irank") + 1.0))
+    idcg = ideal.agg(F.round(F.sum(igain), 6).alias("idcg"))
+    return (dcg.crossJoin(F.broadcast(idcg))
+            .select(F.lit(k).alias("k"), "dcg", "idcg",
+                    F.when(F.col("idcg") > 0,
+                           F.round(F.col("dcg") / F.col("idcg"), 6))
+                     .otherwise(F.lit(0.0)).alias("ndcg")))
+
+
+def eval_ranking_sql(ranked_sql: str, labels_sql: str, k: int = 10,
+                     id_col: str = "doc_id", order_col: str = "bm25",
+                     label_col: str = "rel") -> str:
+    return f"""
+with r as ({ranked_sql}),
+l as ({labels_sql}),
+rk as (
+  select {id_col},
+         row_number() over (order by {order_col} desc, {id_col}) as rank
+  from r
+),
+g as (
+  select rk.rank, coalesce(l.{label_col}, 0)::double as rel
+  from rk left join l using ({id_col})
+  where rk.rank <= {k}
+),
+d as (select round(sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)), 6)
+        as dcg from g),
+ideal as (
+  select {label_col},
+         row_number() over (order by {label_col} desc, {id_col}) as irank
+  from l
+),
+i as (select round(sum((pow(2.0, {label_col}::double) - 1.0)
+                       / log2(irank + 1.0)), 6) as idcg
+      from ideal where irank <= {k})
+select {k} as k, dcg, idcg,
+       (case when idcg > 0 then round(dcg / idcg, 6) else 0.0 end) as ndcg
+from d cross join i
 """

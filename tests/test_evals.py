@@ -39,3 +39,32 @@ def test_eval_extraction_multiset_counts(spark):
     ext = spark.createDataFrame([(0, "w w w w")], "doc_id long, text string")
     r = eval_extraction(gold, ext).collect()[0]
     assert r.n_overlap == 1 and r.precision == 0.25 and r.recall == 0.25
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    from lexor_spark import evals
+    labels = spark.createDataFrame(
+        [(1, 3), (2, 2), (3, 1), (4, 0)], "doc_id long, rel int")
+    perfect = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0), (4, 6.0)],
+        "doc_id long, bm25 double")
+    r = evals.eval_ranking(perfect, labels, k=4).collect()[0]
+    assert r.ndcg == 1.0 and r.dcg == r.idcg
+    inverted = spark.createDataFrame(
+        [(1, 6.0), (2, 7.0), (3, 8.0), (4, 9.0)],
+        "doc_id long, bm25 double")
+    r2 = evals.eval_ranking(inverted, labels, k=4).collect()[0]
+    assert 0 < r2.ndcg < 1.0
+    # DCG arithmetic pinned: ideal = 7/1 + 3/log2(3) + 1/2 + 0
+    import math
+    want = round(7 + 3 / math.log2(3) + 0.5, 6)
+    assert abs(r.idcg - want) < 1e-6
+
+
+def test_ndcg_missing_labels_and_zero_idcg(spark):
+    from lexor_spark import evals
+    ranked = spark.createDataFrame(
+        [(1, 2.0), (99, 1.0)], "doc_id long, bm25 double")
+    labels = spark.createDataFrame([(1, 0)], "doc_id long, rel int")
+    r = evals.eval_ranking(ranked, labels, k=5).collect()[0]
+    assert r.dcg == 0.0 and r.idcg == 0.0 and r.ndcg == 0.0
