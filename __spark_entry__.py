@@ -2100,6 +2100,16 @@ def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.snippets(docs, "spark join window", width=8, k=12)
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: distinct (pos, fp)
+    window-minimum picks over k-gram hashes — the position-aware
+    sketch guaranteeing any shared ≥ w+k-1-token run shares a
+    fingerprint."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (dedup.winnow_fingerprints(docs, k=3, w=4)
+            .orderBy("doc_id", "pos", "fp"))
+
+
 def _q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@10 of the BM25 ranking against a deterministic graded
     relevance derived from the same corpus (grade = how many of the
@@ -2984,7 +2994,7 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  125 queries are
+    the first 50 entries), rows-only entries after.  126 queries are
     value-oracled, so the rest must sit past the window (sitemap_index,
     a late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).
@@ -3146,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": _q_crawl_budget,
         "serp_dedup": _q_serp_dedup,
         "ranking_eval": _q_ranking_eval,
+        "winnow_fp": _q_winnow,
         "surt_keys": _q_surt_keys,
         "c4_filter": _q_c4_filter,
         "frontier_queue": _q_frontier_queue,
@@ -3406,6 +3417,10 @@ def oracle_sql() -> dict[str, str]:
             search.bm25_topk_sql("documents", "spark join window", k=25),
             dedup.simhash_sql("documents"), max_hamming=6),
         "ranking_eval": _ranking_eval_sql(),
+        "winnow_fp": ("select * from ("
+                      + dedup.winnow_fingerprints_sql("documents",
+                                                      k=3, w=4)
+                      + ") order by doc_id, pos, fp"),
         "code_detect": _code_detect_sql(),
         "temperature_sample": ("select * from ("
                                + sampling.temperature_sample_sql(

@@ -217,6 +217,7 @@ def main() -> None:
         "serp_dedup": lambda: _entry._q_serp_dedup(spark, SF_DIR),
         "crawl_budget": lambda: _entry._q_crawl_budget(spark, SF_DIR),
         "ranking_eval": lambda: _entry._q_ranking_eval(spark, SF_DIR),
+        "winnow_fp": lambda: dedup.winnow_fingerprints(docs, k=3, w=4),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -33,6 +33,7 @@ __all__ = [
     "containment_pairs_sql", "simhash_df", "decontam_overlap", "span_dedup",
     "host_boilerplate", "dup_clusters", "cluster_keepers",
     "cluster_keepers_sql", "minhash_est_pairs",
+    "winnow_fingerprints", "winnow_fingerprints_sql",
     "minhash_est_pairs_sql",
     "SHINGLE_N", "MINHASH_K", "LSH_BANDS", "SPAN_WORDS",
 ]
@@ -929,4 +930,99 @@ select m.cluster_id, k.keep_id, m.keep_quality, m.cluster_size,
        m.cluster_size - 1 as n_dropped
 from m join k on m.cluster_id = k.cluster_id
 order by m.cluster_id
+"""
+
+def winnow_fingerprints(docs: DataFrame, k: int = SHINGLE_N, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every word k-gram, slide a window
+    of ``w`` consecutive hashes, record the window minimum, and emit
+    the DISTINCT ``(doc_id, pos, fp)`` picks.  Winnowing guarantees any
+    shared run of ≥ w+k-1 tokens between two documents shares at least
+    one fingerprint — the position-aware sketch for plagiarism-style
+    span matching that minhash (whole-document similarity) can't give.
+    Tie-break inside a window: LEFTMOST minimum (the paper's robust
+    variant picks rightmost; leftmost is equivalent for the guarantee
+    and identical across both engines' list_position semantics).
+
+    Plan shape at 10^12 docs: grams, hashes, window minima and argmin
+    positions are ALL scan-side array expressions (let-bound so each
+    stage computes once per row); the explode emits one row per window
+    but the distinct aggregation collapses the heavy repetition (each
+    fingerprint is typically picked by ~w consecutive windows)
+    map-side before anything shuffles.  Hash = first 8 md5 hex digits
+    as int — bit-identical in DuckDB (the ``simhash_df`` recipe).
+    Docs shorter than k+w-1 tokens emit nothing (no gram run fills one
+    window), exactly like the serial algorithm."""
+    from lexor_spark.textfns import _let
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    grams = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = _let(grams, lambda g: F.transform(
+        g, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long")))
+
+    def _windows(h: Column) -> Column:
+        # guard: Spark's sequence(1, 0) REVERSES instead of emptying
+        idx = F.when(F.size(h) >= w,
+                     F.sequence(F.lit(1), F.size(h) - (w - 1))
+                     ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: _let(
+            F.slice(h, i, w),
+            lambda win: _let(F.array_min(win), lambda mn: F.struct(
+                (i - 1 + F.array_position(win, mn) - 1)
+                .cast("int").alias("pos"),
+                mn.alias("fp")))))
+
+    picks = base.select(F.col(id_col),
+                        F.explode(_let(hashes, _windows)).alias("p"))
+    return (picks.select(id_col, F.col("p.pos").alias("pos"),
+                         F.col("p.fp").alias("fp"))
+            .distinct())
+
+
+def winnow_fingerprints_sql(table: str, k: int = SHINGLE_N, w: int = 4,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    norm = SQL.NORMALIZE.format(c=text_col)
+    win = f"hs[i : i + {w - 1}]"
+    return f"""
+with t as (
+  select {id_col}, regexp_split_to_array({norm}, ' ') as toks from {table}
+),
+g as (
+  select {id_col},
+         case when len(toks) >= {k} then
+           list_transform(generate_series(1, len(toks) - {k - 1}),
+             i -> array_to_string(toks[i : i + {k - 1}], ' '))
+         else [] end as grams
+  from t
+),
+h as (
+  select {id_col},
+         list_transform(grams,
+           s -> cast(('0x' || substr(md5(s), 1, 8)) as bigint)) as hs
+  from g
+),
+sel as (
+  select {id_col},
+         unnest(case when len(hs) >= {w} then
+                  generate_series(1, len(hs) - {w - 1})
+                else [] end) as i,
+         hs
+  from h
+),
+f as (
+  select {id_col},
+         (i - 1 + list_position({win}, list_min({win})) - 1)::int as pos,
+         list_min({win}) as fp
+  from sel
+)
+select distinct {id_col}, pos, fp from f
 """

@@ -332,3 +332,46 @@ def test_cluster_keepers_quality_wins(spark):
     assert dup.cluster_size == 2 and dup.n_dropped == 1
     assert dup.keep_id == 2  # higher quality beats lower id
     assert got[3].cluster_size == 1 and got[3].keep_id == 3
+
+
+def test_winnowing_matches_serial_reference(spark):
+    """Spark winnowing vs an independent hashlib/py reimplementation,
+    incl. the shared-run guarantee and short-doc edge cases."""
+    import hashlib
+
+    from lexor_spark import dedup
+
+    rows = [
+        (0, "a b c d e f g a b c d e f g"),     # internal repeat
+        (1, "x y"),                              # < k tokens: nothing
+        (2, ""),                                 # empty: nothing
+        (3, "p q r s t u"),                      # exactly one window
+        (4, "the fox jumps over the lazy dog today"),
+        (5, "zz the fox jumps over the lazy dog later"),  # shared run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.doc_id, r.pos, r.fp) for r in
+                 dedup.winnow_fingerprints(df, k=3, w=4).collect())
+
+    def serial(text, k=3, w=4):
+        toks = text.lower().split()
+        grams = ([" ".join(toks[i:i + k])
+                  for i in range(len(toks) - k + 1)]
+                 if len(toks) >= k else [])
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+              for g in grams]
+        picks = set()
+        for i in range(len(hs) - w + 1):
+            win = hs[i:i + w]
+            mn = min(win)
+            picks.add((i + win.index(mn), mn))
+        return picks
+
+    want = sorted((d, p, f) for d, t in rows for (p, f) in serial(t))
+    assert got == want
+    # the winnowing guarantee: docs 4 and 5 share a >= w+k-1 token run,
+    # so they must share at least one fingerprint VALUE
+    fps4 = {f for d, p, f in got if d == 4}
+    fps5 = {f for d, p, f in got if d == 5}
+    assert fps4 & fps5
+    assert not [x for x in got if x[0] in (1, 2)]
