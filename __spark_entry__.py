@@ -2100,6 +2100,39 @@ def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.snippets(docs, "spark join window", width=8, k=12)
 
 
+def _q_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance composed end-to-end: every 9th doc
+    re-crawls with changed text (its postings are rebuilt), every 11th
+    is deleted (changed, no delta rows); the merge anti-joins the
+    changed set out of the base index and unions the fresh postings —
+    cost proportional to the delta, never the index."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    deleted = F.pmod(d, F.lit(11)) == 0
+    recrawled = (F.pmod(d, F.lit(9)) == 0) & ~deleted
+    base = search.build_postings(docs)
+    delta = search.build_postings(
+        docs.filter(recrawled).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" refreshed content marker"))
+            .alias("text")))
+    changed = docs.filter(recrawled | deleted).select("doc_id")
+    return (search.merge_postings(base, delta, changed)
+            .orderBy("term", "doc_id"))
+
+
+def _postings_merge_sql() -> str:
+    base = search.build_postings_sql("documents")
+    delta = search.build_postings_sql(
+        "(select doc_id, text || ' refreshed content marker' as text "
+        "from documents where doc_id % 9 = 0 and doc_id % 11 <> 0)")
+    changed = ("select doc_id from documents "
+               "where doc_id % 9 = 0 or doc_id % 11 = 0")
+    return ("select * from ("
+            + search.merge_postings_sql(base, delta, changed)
+            + ") order by term, doc_id")
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) document fingerprints: distinct (pos, fp)
     window-minimum picks over k-gram hashes — the position-aware
@@ -2994,7 +3027,7 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  126 queries are
+    the first 50 entries), rows-only entries after.  127 queries are
     value-oracled, so the rest must sit past the window (sitemap_index,
     a late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).
@@ -3157,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serp_dedup": _q_serp_dedup,
         "ranking_eval": _q_ranking_eval,
         "winnow_fp": _q_winnow,
+        "postings_merge": _q_postings_merge,
         "surt_keys": _q_surt_keys,
         "c4_filter": _q_c4_filter,
         "frontier_queue": _q_frontier_queue,
@@ -3421,6 +3455,7 @@ def oracle_sql() -> dict[str, str]:
                       + dedup.winnow_fingerprints_sql("documents",
                                                       k=3, w=4)
                       + ") order by doc_id, pos, fp"),
+        "postings_merge": _postings_merge_sql(),
         "code_detect": _code_detect_sql(),
         "temperature_sample": ("select * from ("
                                + sampling.temperature_sample_sql(

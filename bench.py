@@ -218,6 +218,8 @@ def main() -> None:
         "crawl_budget": lambda: _entry._q_crawl_budget(spark, SF_DIR),
         "ranking_eval": lambda: _entry._q_ranking_eval(spark, SF_DIR),
         "winnow_fp": lambda: dedup.winnow_fingerprints(docs, k=3, w=4),
+        "postings_merge": lambda: _entry._q_postings_merge(spark,
+                                                           SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

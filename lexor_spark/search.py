@@ -28,7 +28,8 @@ from lexor_spark.textfns import SQL, _let, normalize_text
 __all__ = ["bm25_topk", "bm25_topk_sql", "tfidf_keywords",
            "snippets", "snippets_sql", "serp_dedup", "serp_dedup_sql",
            "tfidf_keywords_sql", "ngram_counts", "ngram_counts_sql",
-           "build_postings", "build_postings_sql", "phrase_search",
+           "build_postings", "build_postings_sql", "merge_postings",
+           "merge_postings_sql", "phrase_search",
            "phrase_search_sql"]
 
 
@@ -568,4 +569,36 @@ walk(rank, {id_col}, simhash, kept, kept_sigs) as (
   from walk w join j on j.rank = w.rank + 1
 )
 select {id_col}, rank, simhash, kept from walk order by rank
+"""
+
+def merge_postings(base: DataFrame, delta: DataFrame,
+                   changed: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Incremental inverted-index maintenance: fold a re-crawl's fresh
+    postings into an existing index WITHOUT rebuilding it — the
+    `cdx_diff` → re-extract → re-index tail of the crawl loop.
+    ``changed`` is the one-column set of re-crawled/deleted doc ids
+    (deletions appear in ``changed`` but have no ``delta`` rows);
+    merged = base minus every posting of a changed doc, plus delta.
+
+    Plan shape at 10^12 docs: the changed set is one crawl's documents
+    — tiny next to the index — so the anti-join BROADCASTS it and the
+    base index streams through map-side; the union is zero-shuffle.
+    Nothing ever re-tokenizes the unchanged corpus, which is the whole
+    point: index maintenance cost is proportional to the delta, not
+    the index."""
+    keep = base.join(F.broadcast(changed.select(id_col).distinct()),
+                     id_col, "left_anti")
+    return keep.unionByName(delta)
+
+
+def merge_postings_sql(base_sql: str, delta_sql: str, changed_sql: str,
+                       id_col: str = "doc_id") -> str:
+    return f"""
+with b as ({base_sql}),
+d as ({delta_sql}),
+c as ({changed_sql})
+select * from b where {id_col} not in (select {id_col} from c)
+union all
+select * from d
 """

@@ -439,3 +439,22 @@ def test_crawl_budget_caps_and_floor(spark):
     assert out["a.example"].alloc >= 45
     total = sum(r.alloc for r in out.values())
     assert total <= 100
+
+
+# -------------------------------------------------- postings merge
+
+
+def test_merge_postings_semantics(spark):
+    base = spark.createDataFrame(
+        [("a", 1, 2, "0-3"), ("a", 2, 1, "5"), ("b", 2, 1, "1"),
+         ("c", 3, 1, "0")],
+        "term string, doc_id long, tf long, positions string")
+    # doc 2 re-crawled (now contains only 'z'), doc 3 deleted
+    delta = spark.createDataFrame(
+        [("z", 2, 1, "0")],
+        "term string, doc_id long, tf long, positions string")
+    changed = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    out = sorted((r.term, r.doc_id) for r in
+                 search.merge_postings(base, delta, changed).collect())
+    assert out == [("a", 1), ("z", 2)]          # doc 1 untouched,
+    # doc 2's old a/b postings gone, doc 3 fully deleted
