@@ -2816,8 +2816,11 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: encode the corpus with the merges just learned from
-    it (the encode loop is sequential per word — no SQL mirror)."""
+    """Encode the corpus with the merges just learned from it.  The
+    per-word encode loop is sequential Python (mapInPandas), but the
+    DuckDB oracle re-learns the merges AND re-encodes every distinct
+    word through the same unrolled fold chain (bpe_encode_sql), so
+    training and encoding are value-verified in one statement."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = [(r.lhs, r.rhs)
               for r in bpe.bpe_train(docs, n_merges=12).collect()]
@@ -3027,7 +3030,7 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  127 queries are
+    the first 50 entries), rows-only entries after.  128 queries are
     value-oracled, so the rest must sit past the window (sitemap_index,
     a late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).
@@ -3355,6 +3358,10 @@ def oracle_sql() -> dict[str, str]:
                                                        _SAMPLE_FRACS)
                               + ") order by doc_id"),
         "bpe_merges": bpe.bpe_train_sql("documents", n_merges=12),
+        # encode side: the same unrolled chain re-learns the merges and
+        # reads the final symbol arrays — training + encoding verified
+        # in one self-contained statement (was rows-only before r4 tail)
+        "bpe_tokens": bpe.bpe_encode_sql("documents", n_merges=12),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql("documents", threshold=0.2)
                                 + " order by a, b",
         "decontam_overlap": SQL_DECONTAM,

@@ -50,7 +50,8 @@ from pyspark.sql import functions as F
 
 from lexor_spark.textfns import SQL, normalize_text
 
-__all__ = ["bpe_train", "bpe_train_sql", "bpe_encode", "apply_merges"]
+__all__ = ["bpe_train", "bpe_train_sql", "bpe_encode", "bpe_encode_sql",
+           "apply_merges"]
 
 _SEP = "\x1f"
 
@@ -115,9 +116,13 @@ def bpe_train(docs: DataFrame, n_merges: int = 12,
                                  " n bigint").orderBy("rank")
 
 
-def bpe_train_sql(table: str, n_merges: int = 12,
-                  text_col: str = "text") -> str:
-    """Unrolled-CTE DuckDB mirror of :func:`bpe_train`."""
+def _train_cte_parts(table: str, n_merges: int,
+                     text_col: str) -> list[str]:
+    """The shared unrolled training chain: w0 (distinct words + char
+    symbols) through w{n} (symbols after every merge), b0..b{n-1} (the
+    per-round argmax merges).  ``bpe_train_sql`` reads the merges;
+    ``bpe_encode_sql`` reads the final symbol arrays — one chain, both
+    oracles."""
     norm = SQL.NORMALIZE.format(c=text_col)
     parts = [
         f"w0 as (\n"
@@ -146,10 +151,51 @@ def bpe_train_sql(table: str, n_merges: int = 12,
             f"                then acc || b.rhs"
             f" else acc || chr(31) || x end), chr(31)) as syms\n"
             f"  from w{t}, b{t} b\n)")
+    return parts
+
+
+def bpe_train_sql(table: str, n_merges: int = 12,
+                  text_col: str = "text") -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`bpe_train`."""
+    parts = _train_cte_parts(table, n_merges, text_col)
     ranked = " union all ".join(
         f"select {t + 1} as rank, lhs, rhs, n from b{t}"
         for t in range(n_merges))
     return "with " + ",\n".join(parts) + f"\n{ranked} order by rank"
+
+
+def bpe_encode_sql(table: str, n_merges: int = 12,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`bpe_encode` over merges the
+    chain itself re-learns from the same corpus — training AND encoding
+    verified in one self-contained statement.  The per-word token count
+    is the final round's symbol-array length (the fold respects symbol
+    boundaries — a plain ``replace`` chain would false-match when one
+    merged symbol merely ends with the next merge's lhs); per-document
+    counts join the distinct-word table back through the doc's word
+    multiset, with empty docs kept at zero via the left join."""
+    norm = SQL.NORMALIZE.format(c=text_col)
+    parts = _train_cte_parts(table, n_merges, text_col)
+    parts.append(
+        f"wt as (select w, len(syms)::bigint as n_toks "
+        f"from w{n_merges})")
+    parts.append(
+        f"doc_words as (\n"
+        f"  select {id_col}, unnest(string_split({norm}, ' ')) as w "
+        f"from {table}\n)")
+    parts.append(
+        f"agg as (\n"
+        f"  select d.{id_col}, count(*)::bigint as n_words,\n"
+        f"         sum(wt.n_toks)::bigint as n_bpe_tokens\n"
+        f"  from (select * from doc_words where length(w) > 0 "
+        f"and not contains(w, chr(31))) d\n"
+        f"  join wt using (w) group by 1\n)")
+    return ("with " + ",\n".join(parts) +
+            f"\nselect t.{id_col}, coalesce(a.n_words, 0) as n_words, "
+            f"coalesce(a.n_bpe_tokens, 0) as n_bpe_tokens "
+            f"from {table} t left join agg a using ({id_col}) "
+            f"order by t.{id_col}")
 
 
 def apply_merges(word: str, merges: list[tuple[str, str]],
