@@ -388,7 +388,8 @@ order by n_hits desc, {id_col} limit {k}
 """
 
 def snippets(docs: DataFrame, query: str, width: int = 8, k: int = 10,
-             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+             text_col: str = "text", id_col: str = "doc_id",
+             max_hits: int = 1024) -> DataFrame:
     """Query-biased snippet extraction — the result-presentation step
     of a search stack (Tombros & Sanderson 1998): the ``width``-token
     window with the most query-term hits per document, reported as
@@ -400,8 +401,13 @@ def snippets(docs: DataFrame, query: str, width: int = 8, k: int = 10,
     a tiny constant, the hit-position array comes from one let-bound
     token split (no explode, no shuffle, like ``bm25_topk``), and the
     best window is an O(hits²) per-row array expression bounded by the
-    per-document query-hit count, not document length.  The only
-    movement is the top-k TakeOrderedAndProject: k rows to the driver."""
+    per-document query-hit count, not document length.  ``max_hits``
+    caps that count (keyword-STUFFED pages are the adversarial input:
+    10^5 repeats of one term would otherwise cost 10^10 comparisons in
+    one row) — only positions past the cap are ignored, so any page
+    the cap touches is spam by construction and its snippet is still a
+    dense window from its head.  The only movement is the top-k
+    TakeOrderedAndProject: k rows to the driver."""
     terms = _norm_terms(query)
     if not terms:
         raise ValueError("snippets: empty query")
@@ -416,7 +422,9 @@ def snippets(docs: DataFrame, query: str, width: int = 8, k: int = 10,
 
     def _build(t: Column) -> Column:
         idx = F.sequence(F.lit(0), F.size(t) - 1)
-        ps = F.filter(idx, lambda i: _is_term(F.element_at(t, i + 1)))
+        ps = F.slice(F.filter(idx,
+                              lambda i: _is_term(F.element_at(t, i + 1))),
+                     1, max_hits)
 
         def _with_ps(ps_: Column) -> Column:
             def _cnt(p: Column) -> Column:
@@ -448,7 +456,8 @@ def snippets(docs: DataFrame, query: str, width: int = 8, k: int = 10,
 
 
 def snippets_sql(table: str, query: str, width: int = 8, k: int = 10,
-                 text_col: str = "text", id_col: str = "doc_id") -> str:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 max_hits: int = 1024) -> str:
     terms = _norm_terms(query)
     norm = SQL.NORMALIZE.format(c=text_col)
     tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
@@ -465,7 +474,7 @@ t as (
   from d
 ),
 p as (
-  select {id_col}, list_sort(list(pos)) as ps
+  select {id_col}, list_sort(list(pos))[1 : {max_hits}] as ps
   from t where term in ({tlist}) group by 1
 ),
 win as (
@@ -572,8 +581,8 @@ select {id_col}, rank, simhash, kept from walk order by rank
 """
 
 def merge_postings(base: DataFrame, delta: DataFrame,
-                   changed: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   changed: DataFrame, id_col: str = "doc_id",
+                   broadcast_changed: bool = True) -> DataFrame:
     """Incremental inverted-index maintenance: fold a re-crawl's fresh
     postings into an existing index WITHOUT rebuilding it — the
     `cdx_diff` → re-extract → re-index tail of the crawl loop.
@@ -581,14 +590,19 @@ def merge_postings(base: DataFrame, delta: DataFrame,
     (deletions appear in ``changed`` but have no ``delta`` rows);
     merged = base minus every posting of a changed doc, plus delta.
 
-    Plan shape at 10^12 docs: the changed set is one crawl's documents
-    — tiny next to the index — so the anti-join BROADCASTS it and the
-    base index streams through map-side; the union is zero-shuffle.
-    Nothing ever re-tokenizes the unchanged corpus, which is the whole
-    point: index maintenance cost is proportional to the delta, not
-    the index."""
-    keep = base.join(F.broadcast(changed.select(id_col).distinct()),
-                     id_col, "left_anti")
+    Plan shape at 10^12 docs: an incremental crawl's changed set is
+    tiny next to the index, so the anti-join BROADCASTS it by default
+    and the base index streams through map-side; the union is
+    zero-shuffle.  For a bulk re-crawl whose changed set outgrows the
+    broadcast budget, pass ``broadcast_changed=False`` — the anti-join
+    becomes an id-keyed shuffle join (AQE still broadcasts it when the
+    set turns out small).  Nothing ever re-tokenizes the unchanged
+    corpus, which is the whole point: index maintenance cost is
+    proportional to the delta, not the index."""
+    ch = changed.select(id_col).distinct()
+    if broadcast_changed:
+        ch = F.broadcast(ch)
+    keep = base.join(ch, id_col, "left_anti")
     return keep.unionByName(delta)
 
 
