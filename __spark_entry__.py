@@ -2100,6 +2100,55 @@ def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.snippets(docs, "spark join window", width=8, k=12)
 
 
+def _q_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental crawl loop end-to-end as ONE plan: the
+    crawl-over-crawl CDX diff selects what NEEDS fetching
+    (added/changed), the RFC-9309 REP gate filters what MAY be
+    fetched, and the politeness scheduler assigns worker/slot/dispatch
+    — three independently value-oracled components composed into the
+    next crawl's dispatch list, itself value-oracled end to end."""
+    old = cdx.cdx_snapshot_df(spark, sf_dir, "old")
+    new = cdx.cdx_snapshot_df(spark, sf_dir, "new")
+    need = (cdx.cdx_diff(old, new)
+            .filter(F.col("change").isin("added", "changed"))
+            .select("urlkey", "url", "change"))
+    rules = robots.robots_fixture_df(spark, sf_dir)
+    rep = robots.robots_filter(need.select("url"), rules)
+    allowed = need.join(
+        rep.filter(F.col("allowed")).select("url"), "url")
+    sched = frontier.fetch_schedule(
+        allowed.select("urlkey", "url"), robots.crawl_delays(rules))
+    return (sched.join(need.select("urlkey", "change"), "urlkey")
+            .select("host", "urlkey", "url", "change", "worker",
+                    "slot", "dispatch_at_s")
+            .orderBy("urlkey"))
+
+
+def _crawl_loop_sql() -> str:
+    diff = cdx.cdx_diff_sql(cdx.cdx_snapshot_sql("old"),
+                            cdx.cdx_snapshot_sql("new"))
+    rep = robots.robots_filter_sql("select url from need",
+                                   robots.ROBOTS_FIXTURE_SQL)
+    sched = frontier.fetch_schedule_sql(
+        "select urlkey, url from allowed",
+        robots.crawl_delays_sql(robots.ROBOTS_FIXTURE_SQL))
+    return f"""
+with need as (
+  select urlkey, url, change from ({diff})
+  where change in ('added', 'changed')
+),
+rep as ({rep}),
+allowed as (
+  select n.* from need n join rep r using (url) where r.allowed
+),
+sched as ({sched})
+select s.host, s.urlkey, s.url, n.change, s.worker, s.slot,
+       s.dispatch_at_s
+from sched s join need n using (urlkey)
+order by s.urlkey
+"""
+
+
 def _q_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance composed end-to-end: every 9th doc
     re-crawls with changed text (its postings are rebuilt), every 11th
@@ -3030,7 +3079,7 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  128 queries are
+    the first 50 entries), rows-only entries after.  129 queries are
     value-oracled, so the rest must sit past the window (sitemap_index,
     a late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).
@@ -3194,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_eval": _q_ranking_eval,
         "winnow_fp": _q_winnow,
         "postings_merge": _q_postings_merge,
+        "crawl_loop": _q_crawl_loop,
         "surt_keys": _q_surt_keys,
         "c4_filter": _q_c4_filter,
         "frontier_queue": _q_frontier_queue,
@@ -3463,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
                                                       k=3, w=4)
                       + ") order by doc_id, pos, fp"),
         "postings_merge": _postings_merge_sql(),
+        "crawl_loop": _crawl_loop_sql(),
         "code_detect": _code_detect_sql(),
         "temperature_sample": ("select * from ("
                                + sampling.temperature_sample_sql(

@@ -220,6 +220,7 @@ def main() -> None:
         "winnow_fp": lambda: dedup.winnow_fingerprints(docs, k=3, w=4),
         "postings_merge": lambda: _entry._q_postings_merge(spark,
                                                            SF_DIR),
+        "crawl_loop": lambda: _entry._q_crawl_loop(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -195,3 +195,31 @@ def test_frontier_queue_merge_and_rank(spark):
     assert y.source == "recrawl" and y.priority == 4
     assert rows[("h2.ex", "https://h2.ex/x")].host_rank == 1
     assert y.host_rank == 2
+
+
+def test_crawl_loop_composition(spark):
+    """The composed gate query: only added/changed CDX rows survive,
+    REP-disallowed urls are gone, and scheduling invariants hold."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    out = entry._q_crawl_loop(spark, "/root/testdata/sf0.001").collect()
+    assert out, "crawl loop produced no dispatch tasks"
+    assert {r.change for r in out} <= {"added", "changed"}
+    # REP gate: the h%4==1 host class disallows everything except /pub,
+    # and fixture paths never start with /pub — those hosts must be gone
+    import re
+    for r in out:
+        h = int(re.match(r"site(\d+)\.example", r.host).group(1))
+        assert h % 4 != 1, f"disallowed host slipped through: {r.host}"
+    # politeness: within a host, slots are 0..n-1 and dispatch times
+    # are non-decreasing with slot
+    by_host: dict = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    for rows in by_host.values():
+        rows.sort(key=lambda r: r.slot)
+        assert [r.slot for r in rows] == list(range(len(rows)))
+        times = [r.dispatch_at_s for r in rows]
+        assert times == sorted(times)
+        assert len({r.worker for r in rows}) == 1
