@@ -221,6 +221,8 @@ def main() -> None:
         "postings_merge": lambda: _entry._q_postings_merge(spark,
                                                            SF_DIR),
         "crawl_loop": lambda: _entry._q_crawl_loop(spark, SF_DIR),
+        "crawl_loop_full": lambda: _entry._q_crawl_loop_full(spark,
+                                                             SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

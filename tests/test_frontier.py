@@ -223,3 +223,30 @@ def test_crawl_loop_composition(spark):
         times = [r.dispatch_at_s for r in rows]
         assert times == sorted(times)
         assert len({r.worker for r in rows}) == 1
+
+
+def test_crawl_loop_full_pipeline(spark):
+    """Full loop: dispatch rows all resolve to a fetched+extracted page,
+    extraction is hostile-proof (ok everywhere), the quality gate is
+    deterministic, and indexed-term counts appear exactly for kept
+    pages."""
+    import __spark_entry__ as entry
+
+    sched = {r.url for r in
+             entry._q_crawl_loop(spark, "/root/testdata/sf0.001")
+             .select("url").collect()}
+    out = entry._q_crawl_loop_full(
+        spark, "/root/testdata/sf0.001").collect()
+    assert out, "full crawl loop produced no rows"
+    # every output row was scheduled, and every scheduled url fetched
+    # (the fixture pages table covers the cdx fixture's url space)
+    assert {r.url for r in out} == sched
+    for r in out:
+        assert r.ok, f"kernel failed on {r.url}"
+        assert r.n_chars > 0
+        if r.gopher_keep:
+            assert r.n_index_terms > 0, f"kept page not indexed: {r.url}"
+        else:
+            assert r.n_index_terms == 0
+    kept = sum(1 for r in out if r.gopher_keep)
+    assert 0 < kept, "quality gate rejected everything"
