@@ -1924,6 +1924,16 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.hits(graph.fixture_edges(spark, sf_dir))
 
 
+def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall approximate neighborhood function + harmonic
+    centrality (Boldi & Vigna 2013 — the public Common Crawl
+    host-ranking algorithm) over the deterministic fixture graph.
+    Sparse HLL register rows, register-wise max merges, zero libm in
+    the estimator: the DuckDB oracle replays every iteration
+    bit-identically."""
+    return graph.hyperball(graph.fixture_edges(spark, sf_dir))
+
+
 def _q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation per link target over KERNEL-extracted
     <a> elements — value-oracled because the synthetic pages carry
@@ -3135,7 +3145,7 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  129 queries are
+    the first 50 entries), rows-only entries after.  130 queries are
     value-oracled, so the rest must sit past the window (sitemap_index,
     a late-r4 mechanical sibling of the in-window sitemap_entries, sits
     just past the boundary — verified by scripts/check_oracles.py).
@@ -3223,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_hits": _q_phrase_hits,
         "code_detect": _q_code_detect,
         "hits": _q_hits,
+        "hyperball": _q_hyperball,
         "redirect_resolve": _q_redirect_resolve,
         "soft404_detect": _q_soft404,
         "crawl_traps": _q_crawl_traps,
@@ -3502,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
                           + ") order by url"),
         "pagerank": graph.pagerank_sql(graph.FIXTURE_EDGES_SQL),
         "hits": graph.hits_sql(graph.FIXTURE_EDGES_SQL),
+        "hyperball": graph.hyperball_sql(graph.FIXTURE_EDGES_SQL),
         "redirect_resolve": graph.resolve_redirects_sql(
             graph.FIXTURE_REDIRECTS_SQL),
         "soft404_detect": crawlqa.soft404_score_sql(_SOFT404_DOCS_SQL),

@@ -223,6 +223,7 @@ def main() -> None:
         "crawl_loop": lambda: _entry._q_crawl_loop(spark, SF_DIR),
         "crawl_loop_full": lambda: _entry._q_crawl_loop_full(spark,
                                                              SF_DIR),
+        "hyperball": lambda: _entry._q_hyperball(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -39,7 +39,7 @@ __all__ = ["extract_links", "extract_directives", "pagerank",
            "anchor_texts", "fixture_edges", "FIXTURE_EDGES_SQL",
            "resolve_redirects", "resolve_redirects_sql",
            "fixture_redirects", "FIXTURE_REDIRECTS_SQL",
-           "alias_collapse"]
+           "alias_collapse", "hyperball", "hyperball_sql"]
 
 
 LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string, "
@@ -681,3 +681,153 @@ def alias_collapse(directives: DataFrame, redirects: DataFrame,
                        F.col("final_id").alias("canonical_to"),
                        "hops", "looped")
             .orderBy("url"))
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: approximate neighborhood function + harmonic centrality
+# (value-oracled; the Common Crawl host-ranking algorithm)
+# ---------------------------------------------------------------------------
+
+HB_ITERS = 3
+HB_M = 16          # HLL registers per node (fixture sizing; prod uses 64+)
+_HB_ALPHA = 0.673  # standard HLL bias constant for m=16 (Flajolet et al.)
+
+
+def _hb_pos(node: Column, m: int) -> Column:
+    """Register index: first 32 md5 bits of the node id, mod m."""
+    return F.pmod(F.conv(F.substring(F.md5(node.cast("string")), 1, 8),
+                         16, 10).cast("long"), F.lit(m))
+
+
+def _hb_rho(node: Column) -> Column:
+    """HLL register value rho(w): leading zeros of the next 32 md5 bits
+    plus one — via length(bin(w)) so both engines count bits exactly
+    (no float log2 at power-of-two boundaries)."""
+    w = (F.conv(F.substring(F.md5(node.cast("string")), 9, 8), 16, 10)
+         .cast("long"))
+    return (F.when(w == 0, F.lit(33))
+            .otherwise(F.lit(33) - F.length(F.bin(w))).cast("int"))
+
+
+def _hb_estimate(regs: DataFrame, nodes: DataFrame, m: int) -> DataFrame:
+    """(v, e): the raw HLL cardinality estimate per node from the
+    sparse register rows (absent register == 0).  Deliberately NO
+    small-range linear-counting correction: the raw estimator is a sum
+    of exact powers of two (order-independent, bit-exact in IEEE
+    doubles) followed by one exactly-rounded division — zero libm
+    calls — so the DuckDB oracle replays it BIT-identically.
+    Production tuning would add linear counting for tiny balls at the
+    cost of cross-engine ln parity; the bias is irrelevant here
+    because both engines (and both cluster sizes) compute the same
+    function."""
+    g = (regs.groupBy("v")
+         .agg(F.count("*").alias("nz"),
+              F.sum(F.pow(F.lit(0.5), F.col("val"))).alias("s_nz")))
+    zr = F.lit(m) - F.coalesce(F.col("nz"), F.lit(0))
+    s = F.coalesce(F.col("s_nz"), F.lit(0.0)) + zr.cast("double")
+    est = F.lit(_HB_ALPHA * m * m) / s
+    return (nodes.join(g, "v", "left").select("v", est.alias("e")))
+
+
+def hyperball(edges: DataFrame, iters: int = HB_ITERS,
+              m: int = HB_M) -> DataFrame:
+    """Approximate neighborhood function and harmonic centrality via
+    HyperBall (Boldi & Vigna 2013, "In-core computation of geometric
+    centralities with HyperBall") — the algorithm behind the public
+    Common Crawl host rankings.  Each node carries an HyperLogLog
+    counter of the nodes that can REACH it; round t unions every
+    in-neighbour's counter (register-wise max), so after t rounds the
+    counter estimates |B_in(v, t)|.  Harmonic centrality accumulates
+    sum_t (|B(v,t)| - |B(v,t-1)|) / t with the ball-growth increments
+    clamped at 0 (balls are non-decreasing; estimator switches are
+    noise).
+
+    Plan shape at 10^12 edges: counters are SPARSE ROWS (v, pos, val)
+    — m small ints per node, never a per-node array a hot node could
+    blow up — so the union-merge is ONE map-side-combinable max
+    aggregation per round keyed on (v, pos), and the per-round shuffle
+    carries register rows, not vectors or adjacency.  The edge join is
+    the same src-keyed equi-join PageRank uses (AQE-splittable);
+    localCheckpoint flattens the growing lineage exactly as
+    :func:`pagerank` does.  Deterministic cross-engine: md5-derived
+    registers, bit-length rho (no float log2), exact power-of-two
+    sums, raw estimator with zero libm calls — the DuckDB oracle
+    replays the whole iteration BIT-identically (see
+    :func:`_hb_estimate` on why linear counting is omitted).
+
+    Returns (node_id, reach_est, harmonic) — reach after ``iters``
+    rounds and the harmonic-centrality estimate."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (e.select(F.col("src").alias("v"))
+             .union(e.select(F.col("dst").alias("v")))
+             .distinct().localCheckpoint())
+    regs = nodes.select(
+        "v", _hb_pos(F.col("v"), m).alias("pos"),
+        _hb_rho(F.col("v")).alias("val")).localCheckpoint()
+    ests = [_hb_estimate(regs, nodes, m)
+            .withColumnRenamed("e", "e0").localCheckpoint()]
+    for t in range(1, iters + 1):
+        moved = (regs.join(e, regs.v == e.src)
+                 .select(F.col("dst").alias("v"), "pos", "val"))
+        regs = (regs.union(moved)
+                .groupBy("v", "pos").agg(F.max("val").alias("val"))
+                .localCheckpoint())
+        ests.append(_hb_estimate(regs, nodes, m)
+                    .withColumnRenamed("e", f"e{t}").localCheckpoint())
+    out = nodes
+    for est in ests:
+        out = out.join(est, "v")
+    harmonic = F.round(sum(
+        (F.greatest(F.col(f"e{t}") - F.col(f"e{t-1}"), F.lit(0.0))
+         / F.lit(float(t)))
+        for t in range(1, iters + 1)), 4)
+    return (out.select(F.col("v").alias("node_id"),
+                       F.round(F.col(f"e{iters}"), 4).alias("reach_est"),
+                       harmonic.alias("harmonic"))
+            .orderBy("node_id"))
+
+
+def hyperball_sql(edges_sql: str, iters: int = HB_ITERS,
+                  m: int = HB_M) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`hyperball`: same md5
+    registers, same bit-length rho, same sparse-row max merge, same
+    estimator arithmetic round for round."""
+    def est(t: int) -> str:
+        return (
+            f"g{t} as (select v, count(*) as nz, "
+            f"sum(power(0.5, val)) as s_nz from c{t} group by v),\n"
+            f"e{t} as (select nodes.v,\n"
+            f"  {_HB_ALPHA * m * m} / (coalesce(s_nz, 0.0)\n"
+            f"    + ({m} - coalesce(nz, 0))) as e\n"
+            f"  from nodes left join g{t} on g{t}.v = nodes.v)")
+    parts = [
+        f"e as ({edges_sql})",
+        "nodes as (select src as v from e union select dst from e)",
+        f"c0 as (select v,\n"
+        f"  ('0x' || substr(md5(v::varchar), 1, 8))::bigint % {m} as pos,\n"
+        f"  case when ('0x' || substr(md5(v::varchar), 9, 8))::bigint = 0\n"
+        f"       then 33 else 33 - length(bin(\n"
+        f"         ('0x' || substr(md5(v::varchar), 9, 8))::bigint))\n"
+        f"       end as val\n"
+        f"  from nodes)",
+        est(0),
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"c{t} as (select v, pos, max(val) as val from (\n"
+            f"  select v, pos, val from c{t - 1}\n"
+            f"  union all\n"
+            f"  select e.dst as v, c.pos, c.val from c{t - 1} c\n"
+            f"  join e on c.v = e.src) u group by v, pos)")
+        parts.append(est(t))
+    inc = " + ".join(
+        f"greatest(e{t}.e - e{t - 1}.e, 0.0) / {float(t)}"
+        for t in range(1, iters + 1))
+    joins = " ".join(f"join e{t} on e{t}.v = nodes.v"
+                     for t in range(iters + 1))
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect nodes.v as node_id, round(e{iters}.e, 4) as reach_est,\n"
+        f"  round({inc}, 4) as harmonic\n"
+        f"from nodes {joins}\norder by node_id")

@@ -279,3 +279,52 @@ def test_alias_collapse_canonical_plus_redirect(spark):
         "https://s.example/canonical"
     assert got["https://s.example/p?ref=x"].hops == 2
     assert got["https://s.example/p"].hops == 1
+
+
+def test_hyperball_exact_reach_on_path(spark):
+    """On a tiny path graph the HLL estimate is checked against the
+    TRUE incoming-ball sizes qualitatively: reach grows along the
+    chain and the sink has the largest harmonic centrality."""
+    from lexor_spark.graph import hyperball
+
+    # path 0 -> 1 -> 2 -> 3: balls B_in(v,3) = {0..v}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {r.node_id: r for r in hyperball(edges, iters=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # reach estimates must be monotone along the path (more reachers)
+    reaches = [got[v].reach_est for v in (0, 1, 2, 3)]
+    assert reaches == sorted(reaches)
+    assert got[3].harmonic == max(r.harmonic for r in got.values())
+    # source node: nobody reaches it, harmonic 0
+    assert got[0].harmonic == 0.0
+
+
+def test_hyperball_matches_duckdb_bit_exact(spark):
+    """The whole iteration replays bit-identically in DuckDB (no libm
+    in the estimator, exact power-of-two sums)."""
+    import duckdb
+
+    from lexor_spark.graph import (FIXTURE_EDGES_SQL, fixture_edges,
+                                   hyperball, hyperball_sql)
+
+    got = hyperball(fixture_edges(spark, "/root/testdata/sf0.001")) \
+        .collect()
+    con = duckdb.connect()
+    con.sql("create view documents as select * from "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = con.sql(hyperball_sql(FIXTURE_EDGES_SQL)).fetchall()
+    assert len(got) == len(want) > 0
+    for r, w in zip(got, want):
+        assert (r.node_id, r.reach_est, r.harmonic) == w
+
+
+def test_hyperball_register_merge_monotone(spark):
+    """Register values never decrease round over round (union = max),
+    so reach estimates are non-decreasing in t."""
+    from lexor_spark.graph import fixture_edges, hyperball
+
+    e = fixture_edges(spark, "/root/testdata/sf0.001")
+    r2 = {r.node_id: r.reach_est for r in hyperball(e, iters=2).collect()}
+    r3 = {r.node_id: r.reach_est for r in hyperball(e, iters=3).collect()}
+    assert all(r3[v] >= r2[v] for v in r2)
