@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lexor_spark import (bpe, cdx, chunking, classify, content, crawlqa,  # noqa: E402
-                         dedup, dsir, evals, feeds, frontier, graph,
+from lexor_spark import (bpe, cdx, chunking, classify, content, corpusstats,  # noqa: E402
+                         crawlqa, dedup, dsir, evals, feeds, frontier, graph,
                          httpfns, lm, mimesniff,
                          multimodal, packing, robots, sampling, search,
                          sim, textfns, urlfns)
@@ -319,6 +319,14 @@ def _q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit('<link rel="alternate" hreflang="de" href="/de">'
                      '<link rel="alternate" hreflang="fr" href="/fr">'))
          .otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(7)) == 0,
+               F.concat(F.lit('<link rel="next" href="/pg/'),
+                        (did + 1).cast("string"), F.lit('">')))
+         .otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(7)) == 1,
+               F.concat(F.lit('<link rel="prev" href="/pg/'),
+                        (did - 1).cast("string"), F.lit('">')))
+         .otherwise(F.lit("")),
         F.lit("</head><body><p>"), F.col("text"),
         F.lit("</p></body></html>"))
     url = F.concat(
@@ -347,7 +355,13 @@ e as (select url,
    end) as canonical_abs,
   (case when doc_id % 5 = 0 then 2 else 0 end) as n_hreflang,
   (case when doc_id % 6 = 0 then 'de'
-        when doc_id % 6 = 1 then 'en-us' end) as html_lang
+        when doc_id % 6 = 1 then 'en-us' end) as html_lang,
+  (case when doc_id % 7 = 0 then
+     'https://site' || (doc_id % 97) || '.example/pg/' || (doc_id + 1)
+   end) as rel_next_abs,
+  (case when doc_id % 7 = 1 then
+     'https://site' || (doc_id % 97) || '.example/pg/' || (doc_id - 1)
+   end) as rel_prev_abs
 from d)
 select * from e order by url
 """
@@ -3143,6 +3157,194 @@ def _q_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_no")
 
 
+# ---------------------------------------------------------------------------
+# round-4 final-session additions: corpus diagnostics, dedup tuning,
+# pagination/hreflang assembly, multimodal asset harvest
+# ---------------------------------------------------------------------------
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + FK grade per document (vowel-group
+    syllable estimate) — scan-side HOFs only, mirrored field-for-field
+    in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = textfns.readability(F.col("text"))
+    return (docs.select("doc_id", r.alias("r"))
+            .select("doc_id", "r.*").orderBy("doc_id"))
+
+
+def _readability_sql() -> str:
+    m = textfns.SQL.readability("text")
+    cols = ", ".join(f"{e} as {k}" for k, e in m.items())
+    return f"select doc_id, {cols} from documents order by doc_id"
+
+
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope over the top-200 terms (corpus-health
+    diagnostic; TakeOrdered head, nothing vocabulary-sized sorted)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpusstats.zipf_fit(docs)
+
+
+def _q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps vocabulary-growth checkpoints + β exponent; the document
+    axis is bucketed scan-side (broadcast min/max ids), windows only
+    ever run over n_buckets rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpusstats.heaps_law(docs).orderBy("bucket")
+
+
+def _q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-minhash S-curves for every (bands, rows) split of the
+    signature: the theory table LSH_BANDS is chosen from.  Powers are
+    multiplication folds (no libm pow on the curve), bit-replayed by
+    the oracle."""
+    return dedup.lsh_tuning(spark)
+
+
+def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall/precision against exhaustive inverted-index
+    Jaccard on the same corpus at the gate threshold — the empirical
+    twin of lsh_tuning's theory curve."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.lsh_recall(docs, threshold=0.2)
+
+
+_ART_URL = 'https://art.example/a/'
+
+
+def _q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page-article stitching END TO END: deterministic
+    pagination heads (<link rel=next> chains over 4-page articles) are
+    injected into real corpus pages, the KERNEL extracts rel_next_abs
+    (extract_directives), pointer doubling assembles each chain
+    (article_chains), and page texts concatenate in page order
+    (article_stitch).  The DuckDB mirror reconstructs the stitched
+    articles from the same doc_id rules — the alias_collapse trick: a
+    value oracle that fails if the kernel drops a single rel=next or
+    the doubling mis-orders one page."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    aid = F.floor(did / 4).cast("long")
+    j = F.pmod(did, F.lit(4))
+    url = F.concat(F.lit(_ART_URL), aid.cast("string"), F.lit("/"),
+                   j.cast("string"))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(j < 3,
+               F.concat(F.lit('<link rel="next" href="/a/'),
+                        aid.cast("string"), F.lit("/"),
+                        (j + 1).cast("string"), F.lit('">')))
+         .otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"))
+    pages = docs.select(url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    chains = graph.article_chains(graph.extract_directives(pages))
+    texts = docs.select(url.alias("url"), "text")
+    return graph.article_stitch(chains, texts).orderBy("chain")
+
+
+def _article_stitch_sql() -> str:
+    return f"""
+with d as (
+  select doc_id // 4 as aid, doc_id % 4 as j, text from documents
+)
+select '{_ART_URL}' || aid || '/0' as chain,
+       count(*) as n_pages,
+       string_agg(text, chr(10) || chr(10) order by j) as stitched
+from d group by aid order by chain
+"""
+
+
+_HL_URL = "https://hl.example/a/"
+_HL_LANGS = ("en", "de", "fr")
+
+
+def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang language-alternate clusters END TO END: 3-page
+    alternate rings (page j declares its (j+1)%3 sibling) are injected
+    as real <link rel=alternate hreflang> heads, the KERNEL extracts
+    the edges (extract_alternates), and fixed-round min-label
+    propagation with pointer jumping groups them (hreflang_clusters).
+    Oracle: recursive-CTE connected components over the same edges
+    reconstructed from doc_id rules."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    gid = F.floor(did / 3).cast("long")
+    j = F.pmod(did, F.lit(3))
+    t = F.pmod(did + 1, F.lit(3))
+    lang = (F.when(t == 0, _HL_LANGS[0])
+            .when(t == 1, _HL_LANGS[1]).otherwise(_HL_LANGS[2]))
+    url = F.concat(F.lit(_HL_URL), gid.cast("string"), F.lit("/"),
+                   j.cast("string"))
+    html = F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="'), lang,
+        F.lit('" href="/a/'), gid.cast("string"), F.lit("/"),
+        t.cast("string"),
+        F.lit('"></head><body><p>x</p></body></html>'))
+    pages = docs.select(url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    alts = graph.extract_alternates(pages)
+    return graph.hreflang_clusters(alts).orderBy("cluster")
+
+
+def _hreflang_clusters_sql() -> str:
+    alts = f"""
+  select '{_HL_URL}' || (doc_id // 3) || '/' || (doc_id % 3) as url,
+         case (doc_id + 1) % 3 when 0 then '{_HL_LANGS[0]}'
+              when 1 then '{_HL_LANGS[1]}'
+              else '{_HL_LANGS[2]}' end as hreflang,
+         '{_HL_URL}' || (doc_id // 3) || '/' || ((doc_id + 1) % 3)
+           as abs_url
+  from documents"""
+    return (graph.hreflang_clusters_sql(alts)
+            + " order by cluster")
+
+
+_IMG_URL = "https://img.example/p/"
+
+
+def _q_srcset_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset harvest END TO END: deterministic <img> tags
+    (src + 2-candidate srcset + alt; every 3rd page a second plain
+    img) are injected into pages, the KERNEL extracts the attributes
+    (extract_images), and scan-side srcset parsing expands the
+    fetchable candidate list (srcset_candidates).  The DuckDB mirror
+    rebuilds the img table from the doc_id rules and replays the same
+    splits."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url = F.concat(F.lit(_IMG_URL), ds)
+    html = F.concat(
+        F.lit('<html><body><img src="/i/'), ds,
+        F.lit('.jpg" srcset="/i/'), ds, F.lit('-320.jpg 320w, /i/'), ds,
+        F.lit('-640.jpg 640w" alt="fig '), ds, F.lit('">'),
+        F.when(F.pmod(did, F.lit(3)) == 0,
+               F.concat(F.lit('<img src="/i/'), ds, F.lit('-plain.png">')))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    pages = docs.select(url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    imgs = content.extract_images(pages)
+    return (content.srcset_candidates(imgs)
+            .orderBy("url", "img_idx", "asset_url"))
+
+
+def _srcset_assets_sql() -> str:
+    imgs = f"""
+  select '{_IMG_URL}' || doc_id as url, 0 as img_idx,
+         '/i/' || doc_id || '.jpg' as src,
+         '/i/' || doc_id || '-320.jpg 320w, /i/' || doc_id
+           || '-640.jpg 640w' as srcset
+  from documents
+  union all
+  select '{_IMG_URL}' || doc_id, 1, '/i/' || doc_id || '-plain.png', null
+  from documents where doc_id % 3 = 0"""
+    return (content.srcset_candidates_sql(imgs)
+            + " order by url, img_idx, asset_url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
     the first 50 entries), rows-only entries after.  130 queries are
@@ -3211,13 +3413,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": _q_pagerank_links,
         "robots_filter_ua": _q_robots_filter_ua,
         "robots_filter": _q_robots_filter,
-        "url_bloom": _q_url_bloom,
-        "jsonld_extract": _q_jsonld,
-        "microdata_extract": _q_microdata,
-        "recrawl_schedule": _q_recrawl,
-        "outline_extract": _q_outline,
-        "link_context": _q_link_context,
-        "minhash_est": _q_minhash_est,
+        # -- final-session never-verified additions: these eight carry
+        #    THE code that changed in the session tail (textfns
+        #    readability, the new corpusstats module, dedup
+        #    lsh_tuning/lsh_recall, the directives-schema change +
+        #    article/hreflang assembly in graph.py, content.py image
+        #    harvest).  Their slots come from url_bloom, jsonld_extract,
+        #    microdata_extract, recrawl_schedule, outline_extract,
+        #    link_context, minhash_est and feed_entries — all
+        #    never-driver-verified too, but their modules' session
+        #    deltas are ZERO (bloom/feeds/frontier untouched) or
+        #    covered in-window by the new entries (content.py via
+        #    srcset_assets, dedup.py via lsh_recall/minhash family
+        #    staying via dedup_exact/containment_pairs) --
+        "readability": _q_readability,
+        "zipf_fit": _q_zipf_fit,
+        "heaps_law": _q_heaps_law,
+        "lsh_tuning": _q_lsh_tuning,
+        "lsh_recall": _q_lsh_recall,
+        "article_stitch": _q_article_stitch,
+        "hreflang_clusters": _q_hreflang_clusters,
+        "srcset_assets": _q_srcset_assets,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_search": _q_bm25_search,
         "pack_bins": _q_pack_bins,
@@ -3232,13 +3448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_index": _q_postings,
         "phrase_hits": _q_phrase_hits,
         "code_detect": _q_code_detect,
-        "hits": _q_hits,
         "hyperball": _q_hyperball,
         "redirect_resolve": _q_redirect_resolve,
         "soft404_detect": _q_soft404,
         "crawl_traps": _q_crawl_traps,
         "alias_collapse": _q_alias_collapse,
-        "feed_entries": _q_feed_entries,
         "http_headers": _q_http_headers,
         "mime_sniff": _q_mime_sniff,
         "cache_plan": _q_cache_plan,
@@ -3291,6 +3505,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # url_stats + url_bloom, the cosine family via cosine_topk +
         # ann_bucketed)
         "robots_sitemaps": _q_robots_sitemaps,
+        # displaced by the final-session eight (readability …
+        # srcset_assets): never-driver-verified but module-delta-free;
+        # wait just past the boundary, still swept every round by
+        # scripts/check_oracles.py
+        "url_bloom": _q_url_bloom,
+        "jsonld_extract": _q_jsonld,
+        "microdata_extract": _q_microdata,
+        "recrawl_schedule": _q_recrawl,
+        "outline_extract": _q_outline,
+        "link_context": _q_link_context,
+        "minhash_est": _q_minhash_est,
+        "feed_entries": _q_feed_entries,
+        # hits' slot pulled ngram_counts back inside the boundary; the
+        # fixture-graph HITS recipe is hyperball's in-window sibling
+        "hits": _q_hits,
         # displaced by the session-tail postings_index/phrase_hits/
         # code_detect (never-verified new code outranks re-verifying
         # these three, whose modules stay in-window via siblings)
@@ -3455,6 +3684,15 @@ def oracle_sql() -> dict[str, str]:
         "page_meta": _page_meta_sql(),
         "density_extract": _density_extract_sql(),
         "quality_verdict": _quality_verdict_sql(),
+        "readability": _readability_sql(),
+        "zipf_fit": corpusstats.zipf_fit_sql("documents"),
+        "heaps_law": corpusstats.heaps_law_sql("documents")
+                      + " order by bucket",
+        "lsh_tuning": dedup.lsh_tuning_sql(),
+        "lsh_recall": dedup.lsh_recall_sql("documents", threshold=0.2),
+        "article_stitch": _article_stitch_sql(),
+        "hreflang_clusters": _hreflang_clusters_sql(),
+        "srcset_assets": _srcset_assets_sql(),
         "url_bloom": _url_bloom_sql(),
         "jsonld_extract": _jsonld_sql(),
         "microdata_extract": _microdata_sql(),

@@ -30,11 +30,13 @@ from typing import Iterator, Optional
 
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = ["extract_tables", "extract_meta", "extract_jsonld",
-           "extract_microdata", "extract_outline",
+           "extract_microdata", "extract_outline", "extract_images",
+           "srcset_candidates", "srcset_candidates_sql",
            "TABLES_SCHEMA", "META_SCHEMA", "JSONLD_SCHEMA",
-           "MICRODATA_SCHEMA", "OUTLINE_SCHEMA"]
+           "MICRODATA_SCHEMA", "OUTLINE_SCHEMA", "IMAGES_SCHEMA"]
 
 TABLES_SCHEMA = ("url string, table_idx int, row_idx int, col_idx int, "
                  "is_header boolean, colspan int, rowspan int, cell string")
@@ -601,3 +603,126 @@ def extract_outline(pages: DataFrame, salt_buckets: int = 256,
     from lexor_spark.job import _salted_pages
     salted = _salted_pages(pages, salt_buckets, partitions)
     return salted.mapInArrow(_outline_batches, OUTLINE_SCHEMA)
+
+
+IMAGES_SCHEMA = ("url string, img_idx int, src string, srcset string, "
+                 "alt string, width string, height string")
+
+_IMAGES_ARROW = pa.schema([
+    ("url", pa.string()), ("img_idx", pa.int32()),
+    ("src", pa.string()), ("srcset", pa.string()),
+    ("alt", pa.string()), ("width", pa.string()),
+    ("height", pa.string()),
+])
+
+
+def _images_batches(batches: Iterator[pa.RecordBatch]
+                    ) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.encoding import decode_html
+    from lexor_spark.kernel.htmlparser import parse_html
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _IMAGES_ARROW.names}
+            for url, html in zip(urls, htmls):
+                doc = None
+                try:
+                    doc, _ = parse_html(decode_html(html or b"")[0], url)
+                    for i, el in enumerate(doc.get_nodes_by_name("img")):
+                        a = el.attrs or {}
+                        cols["url"].append(url)
+                        cols["img_idx"].append(i)
+                        cols["src"].append(a.get("src"))
+                        cols["srcset"].append(a.get("srcset"))
+                        cols["alt"].append(a.get("alt"))
+                        cols["width"].append(a.get("width"))
+                        cols["height"].append(a.get("height"))
+                except Exception:
+                    pass
+                finally:
+                    if doc is not None:
+                        dispose(doc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_IMAGES_ARROW.field(n).type)
+                 for n in _IMAGES_ARROW.names], schema=_IMAGES_ARROW)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def extract_images(pages: DataFrame, salt_buckets: int = 256,
+                   partitions: Optional[int] = None) -> DataFrame:
+    """One row per ``<img>`` element in document order: src / srcset /
+    alt / declared width+height — the asset-harvest channel a
+    MULTIMODAL corpus pipeline runs before fetching image payloads
+    (image-text pair mining à la LAION keys on exactly (page url,
+    img src, alt)).  Same fused one-pass ``mapInArrow`` plan as every
+    kernel pass."""
+    from lexor_spark.job import _salted_pages
+    salted = _salted_pages(pages, salt_buckets, partitions)
+    return salted.mapInArrow(_images_batches, IMAGES_SCHEMA)
+
+
+def srcset_candidates(images: DataFrame) -> DataFrame:
+    """Expand :func:`extract_images` rows into one row per fetchable
+    IMAGE CANDIDATE (the HTML spec's image-candidate strings): the
+    plain ``src`` plus every ``srcset`` entry, with its parsed width
+    descriptor (``640w`` → 640) — the fetch list a multimodal corpus
+    builder feeds its image downloader, widest-variant-first.
+
+    Pure scan-side string work (split/trim/regexp on the already-
+    extracted attributes): no shuffle, no kernel re-parse.  Output:
+    ``(url, img_idx, asset_url, descriptor, width)``; the ``src`` row
+    carries a NULL descriptor."""
+    base = images.select(
+        "url", "img_idx", F.col("src").alias("asset_url"),
+        F.lit(None).cast("string").alias("descriptor")
+    ).where(F.col("asset_url").isNotNull())
+    cand = (images
+            .where(F.col("srcset").isNotNull())
+            .select("url", "img_idx",
+                    F.explode(F.split("srcset", ",")).alias("c"))
+            .select("url", "img_idx", F.trim("c").alias("c"))
+            .where(F.col("c") != "")
+            .select("url", "img_idx",
+                    F.regexp_extract("c", r"^(\S+)", 1).alias("asset_url"),
+                    F.nullif(F.regexp_extract("c", r"^\S+\s+(\S+)", 1),
+                             F.lit("")).alias("descriptor")))
+    out = base.unionByName(cand)
+    width = F.when(F.col("descriptor").rlike(r"^[0-9]+w$"),
+                   F.regexp_extract("descriptor", r"^([0-9]+)w$", 1)
+                    .cast("int"))
+    return out.select("url", "img_idx", "asset_url", "descriptor",
+                      width.alias("width"))
+
+
+def srcset_candidates_sql(images_sql: str) -> str:
+    """DuckDB mirror of :func:`srcset_candidates` over a SELECT
+    producing (url, img_idx, src, srcset)."""
+    return f"""
+with img as ({images_sql}),
+base as (
+  select url, img_idx, src as asset_url, null::varchar as descriptor
+  from img where src is not null
+),
+cand as (
+  select url, img_idx,
+         regexp_extract(trim(c), '^(\\S+)', 1) as asset_url,
+         nullif(regexp_extract(trim(c), '^\\S+\\s+(\\S+)', 1), '')
+           as descriptor
+  from img, unnest(string_split(srcset, ',')) as t(c)
+  where srcset is not null and trim(c) != ''
+),
+u as (select * from base union all select * from cand)
+select url, img_idx, asset_url, descriptor,
+       case when regexp_matches(descriptor, '^[0-9]+w$')
+            then cast(regexp_extract(descriptor, '^([0-9]+)w$', 1) as int)
+       end as width
+from u
+"""

@@ -35,6 +35,7 @@ __all__ = [
     "cluster_keepers_sql", "minhash_est_pairs",
     "winnow_fingerprints", "winnow_fingerprints_sql",
     "minhash_est_pairs_sql",
+    "lsh_tuning", "lsh_tuning_sql", "lsh_recall", "lsh_recall_sql",
     "SHINGLE_N", "MINHASH_K", "LSH_BANDS", "SPAN_WORDS",
 ]
 
@@ -931,6 +932,109 @@ select m.cluster_id, k.keep_id, m.keep_quality, m.cluster_size,
 from m join k on m.cluster_id = k.cluster_id
 order by m.cluster_id
 """
+
+def lsh_tuning(spark, k: int = MINHASH_K,
+               grid_steps: int = 20) -> DataFrame:
+    """The banded-LSH S-curve: for every (bands, rows) factorization of
+    the ``k``-hash signature and every similarity level ``s`` on a
+    ``1/grid_steps`` grid, the detection probability
+    ``P(candidate | jaccard = s) = 1 - (1 - s^rows)^bands`` plus the
+    config's threshold approximation ``t* ≈ (1/bands)^(1/rows)`` (the
+    standard analysis, Leskovec/Rajaraman/Ullman MMDS ch. 3).  This is
+    how the ``LSH_BANDS`` constant above is CHOSEN rather than guessed —
+    pair it with :func:`lsh_recall` for the measured counterpart.
+
+    Pure generated math: no input table, no shuffle.  Both powers are
+    computed as left-to-right multiplication folds (not libm ``pow``) so
+    the DuckDB oracle replays them bit-identically; only ``t*`` needs a
+    fractional exponent and is rounded to 4 decimals."""
+    configs = [(b, k // b) for b in range(1, k + 1) if k % b == 0]
+    cfg = spark.createDataFrame(configs, "bands int, rows_per_band int")
+    s = (F.col("i") / F.lit(float(grid_steps))).alias("s")
+    grid = cfg.crossJoin(
+        F.broadcast(spark.range(1, grid_steps).select(
+            F.col("id").cast("int").alias("i"))))
+
+    def _powi(base: Column, n: Column) -> Column:
+        # base^n for integer n ≥ 1 as a multiplication fold: the same
+        # IEEE sequence in Spark and DuckDB (libm pow is not)
+        return F.aggregate(F.sequence(F.lit(1), n), F.lit(1.0),
+                           lambda acc, _: acc * base)
+
+    p_band = _powi(F.col("s"), F.col("rows_per_band"))
+    miss = _powi(F.lit(1.0) - p_band, F.col("bands"))
+    t_star = F.round(F.pow(F.lit(1.0) / F.col("bands"),
+                           F.lit(1.0) / F.col("rows_per_band")), 4)
+    return (grid.select("bands", "rows_per_band", s, "i")
+            .select("bands", "rows_per_band", "s",
+                    F.round(F.lit(1.0) - miss, 6).alias("p_detect"),
+                    t_star.alias("t_star"))
+            .orderBy("bands", "s"))
+
+
+def lsh_tuning_sql(k: int = MINHASH_K, grid_steps: int = 20) -> str:
+    configs = ", ".join(f"({b}, {k // b})"
+                        for b in range(1, k + 1) if k % b == 0)
+    powi = ("list_reduce(list_transform(generate_series(1, {n}), "
+            "x -> {base}), (acc, v) -> acc * v)")
+    p_band = powi.format(n="rows_per_band", base="s")
+    miss = powi.format(n="bands", base=f"(1.0 - {p_band})")
+    return f"""
+with cfg(bands, rows_per_band) as (values {configs}),
+grid as (
+  select bands, rows_per_band,
+         i / {float(grid_steps)} as s
+  from cfg, unnest(generate_series(1, {grid_steps - 1})) as t(i)
+)
+select bands, rows_per_band, s,
+       round(1.0 - {miss}, 6) as p_detect,
+       round(pow(1.0 / bands, 1.0 / rows_per_band), 4) as t_star
+from grid order by bands, s
+"""
+
+
+def lsh_recall(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               threshold: float = 0.5) -> DataFrame:
+    """Measured recall of the production LSH path against exhaustive
+    shingle-inverted-index Jaccard on the same corpus: one row
+    ``(n_true, n_lsh, n_hit, recall, precision)``.  ``lsh_pairs``
+    verifies exact Jaccard on its candidates, so precision is 1.0 by
+    construction whenever n_lsh > 0 — the row PROVES it rather than
+    assuming it.  Run at a sampled SF, this is the empirical twin of
+    :func:`lsh_tuning`'s theory curve: together they justify the
+    (bands, rows) operating point before a 100-TB dedup pass."""
+    truth = jaccard_pairs(docs, text_col, id_col, threshold)
+    pred = lsh_pairs(docs, text_col, id_col, threshold)
+    hit = truth.select("a", "b").intersect(pred.select("a", "b"))
+    stats = (truth.agg(F.count("*").alias("n_true"))
+             .crossJoin(pred.agg(F.count("*").alias("n_lsh")))
+             .crossJoin(hit.agg(F.count("*").alias("n_hit"))))
+    return stats.select(
+        "n_true", "n_lsh", "n_hit",
+        F.round(F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 4)
+         .alias("recall"),
+        F.round(F.col("n_hit") / F.greatest(F.col("n_lsh"), F.lit(1)), 4)
+         .alias("precision"))
+
+
+def lsh_recall_sql(table: str, text_col: str = "text",
+                   id_col: str = "doc_id", threshold: float = 0.5) -> str:
+    truth = jaccard_pairs_sql(table, text_col, id_col, threshold)
+    pred = lsh_pairs_sql(table, text_col, id_col, threshold)
+    return f"""
+with truth as ({truth}),
+pred as ({pred}),
+hit as (select a, b from truth intersect select a, b from pred)
+select (select count(*) from truth) as n_true,
+       (select count(*) from pred) as n_lsh,
+       (select count(*) from hit) as n_hit,
+       round((select count(*) from hit)::double
+             / greatest((select count(*) from truth), 1), 4) as recall,
+       round((select count(*) from hit)::double
+             / greatest((select count(*) from pred), 1), 4) as precision
+"""
+
 
 def winnow_fingerprints(docs: DataFrame, k: int = SHINGLE_N, w: int = 4,
                         text_col: str = "text",

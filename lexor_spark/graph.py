@@ -39,7 +39,9 @@ __all__ = ["extract_links", "extract_directives", "pagerank",
            "anchor_texts", "fixture_edges", "FIXTURE_EDGES_SQL",
            "resolve_redirects", "resolve_redirects_sql",
            "fixture_redirects", "FIXTURE_REDIRECTS_SQL",
-           "alias_collapse", "hyperball", "hyperball_sql"]
+           "alias_collapse", "hyperball", "hyperball_sql",
+           "extract_alternates", "article_chains", "article_stitch",
+           "hreflang_clusters", "hreflang_clusters_sql"]
 
 
 LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string, "
@@ -187,13 +189,15 @@ def _links_batches(batches: Iterator[pa.RecordBatch]
 DIRECTIVES_SCHEMA = ("url string, meta_robots string, noindex boolean, "
                      "nofollow boolean, canonical string, "
                      "canonical_abs string, n_hreflang int, "
-                     "html_lang string")
+                     "html_lang string, rel_next_abs string, "
+                     "rel_prev_abs string")
 
 _DIRECTIVES_ARROW = pa.schema([
     ("url", pa.string()), ("meta_robots", pa.string()),
     ("noindex", pa.bool_()), ("nofollow", pa.bool_()),
     ("canonical", pa.string()), ("canonical_abs", pa.string()),
     ("n_hreflang", pa.int32()), ("html_lang", pa.string()),
+    ("rel_next_abs", pa.string()), ("rel_prev_abs", pa.string()),
 ])
 
 
@@ -216,6 +220,8 @@ def _directives_batches(batches: Iterator[pa.RecordBatch]
                 canonical = None
                 n_hreflang = 0
                 html_lang = None
+                rel_next = None
+                rel_prev = None
                 doc = None
                 try:
                     doc, _ = parse_html(decode_html(html or b"")[0], url)
@@ -237,6 +243,10 @@ def _directives_batches(batches: Iterator[pa.RecordBatch]
                             canonical = href
                         elif rel == "alternate" and a.get("hreflang"):
                             n_hreflang += 1
+                        elif rel == "next" and href and rel_next is None:
+                            rel_next = href
+                        elif rel == "prev" and href and rel_prev is None:
+                            rel_prev = href
                 except Exception:
                     pass
                 finally:
@@ -253,6 +263,10 @@ def _directives_batches(batches: Iterator[pa.RecordBatch]
                     _resolve(url, canonical) if canonical else None)
                 cols["n_hreflang"].append(n_hreflang)
                 cols["html_lang"].append(html_lang)
+                cols["rel_next_abs"].append(
+                    _resolve(url, rel_next) if rel_next else None)
+                cols["rel_prev_abs"].append(
+                    _resolve(url, rel_prev) if rel_prev else None)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[n], type=_DIRECTIVES_ARROW.field(n).type)
                  for n in _DIRECTIVES_ARROW.names], schema=_DIRECTIVES_ARROW)
@@ -681,6 +695,185 @@ def alias_collapse(directives: DataFrame, redirects: DataFrame,
                        F.col("final_id").alias("canonical_to"),
                        "hops", "looped")
             .orderBy("url"))
+
+
+ALTERNATES_SCHEMA = "url string, hreflang string, href string, abs_url string"
+
+_ALTERNATES_ARROW = pa.schema([
+    ("url", pa.string()), ("hreflang", pa.string()),
+    ("href", pa.string()), ("abs_url", pa.string()),
+])
+
+
+def _alternates_batches(batches: Iterator[pa.RecordBatch]
+                        ) -> Iterator[pa.RecordBatch]:
+    import gc
+
+    from lexor_spark.kernel.dom import dispose
+    from lexor_spark.kernel.encoding import decode_html
+    from lexor_spark.kernel.htmlparser import parse_html
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {n: [] for n in _ALTERNATES_ARROW.names}
+            for url, html in zip(urls, htmls):
+                doc = None
+                try:
+                    doc, _ = parse_html(decode_html(html or b"")[0], url)
+                    for el in doc.get_nodes_by_name("link"):
+                        a = el.attrs or {}
+                        rel = (a.get("rel") or "").strip().lower()
+                        href = a.get("href")
+                        lang = (a.get("hreflang") or "").strip().lower()
+                        if rel == "alternate" and href and lang:
+                            cols["url"].append(url)
+                            cols["hreflang"].append(lang)
+                            cols["href"].append(href)
+                            cols["abs_url"].append(_resolve(url, href))
+                except Exception:
+                    pass
+                finally:
+                    if doc is not None:
+                        dispose(doc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=_ALTERNATES_ARROW.field(n).type)
+                 for n in _ALTERNATES_ARROW.names], schema=_ALTERNATES_ARROW)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def extract_alternates(pages: DataFrame, salt_buckets: int = 256,
+                       partitions: Optional[int] = None) -> DataFrame:
+    """``<link rel=alternate hreflang=…>`` edges, one row per
+    declaration: (url, hreflang, href, abs_url) — the language-cluster
+    channel (Google's hreflang spec).  Same fused ``mapInArrow`` plan
+    as :func:`extract_links`."""
+    from lexor_spark.job import _salted_pages
+    salted = _salted_pages(pages, salt_buckets, partitions)
+    return salted.mapInArrow(_alternates_batches, ALTERNATES_SCHEMA)
+
+
+def article_chains(directives: DataFrame,
+                   rounds: int = REDIRECT_ROUNDS) -> DataFrame:
+    """Pagination-chain assembly from kernel-extracted ``rel=next``
+    declarations (the multi-page-article channel: /story?page=2 …): per
+    chain member, the chain HEAD url (= chain id) and the 0-based page
+    number.
+
+    The ``rel_next_abs`` edges u→v are reversed into predecessor
+    pointers v→u and resolved by :func:`resolve_redirects` pointer
+    doubling — each member finds its head in O(log chain-length)
+    shuffle rounds, never a per-hop driver loop.  Heads themselves
+    (pages with a next but no predecessor) are unioned in at page 0;
+    ``looped`` marks next-cycles (real-site pathology: crawlers keep
+    the members unstitched)."""
+    nxt = (directives
+           .filter(F.col("rel_next_abs").isNotNull()
+                   & (F.col("rel_next_abs") != F.col("url")))
+           .select(F.col("url").alias("u"),
+                   F.col("rel_next_abs").alias("v")))
+    pred = nxt.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    res = resolve_redirects(pred, rounds)
+    members = res.select(F.col("url_id").alias("url"),
+                         F.col("final_id").alias("chain"),
+                         F.col("hops").cast("int").alias("page_no"),
+                         "looped")
+    heads = (members.filter(~F.col("looped"))
+             .select(F.col("chain").alias("url")).distinct()
+             .select("url", F.col("url").alias("chain"),
+                     F.lit(0).alias("page_no"), F.lit(False).alias("looped")))
+    return members.unionByName(heads)
+
+
+def article_stitch(chains: DataFrame, texts: DataFrame,
+                   sep: str = "\n\n") -> DataFrame:
+    """Stitch multi-page articles into single training documents: join
+    the chain membership (:func:`article_chains`) to per-page text and
+    concatenate in page order — one row per chain ``(chain, n_pages,
+    stitched)``.  Looped chains are excluded (kept as single pages by
+    the caller).  One shuffle on the chain id; the in-group ordering is
+    an ``array_sort`` over collected (page_no, text) structs, never a
+    corpus-wide window."""
+    joined = (chains.filter(~F.col("looped"))
+              .join(texts, "url")
+              .select("chain", "page_no", "text"))
+    parts = F.array_sort(F.collect_list(F.struct("page_no", "text")))
+    return (joined.groupBy("chain")
+            .agg(F.count("*").alias("n_pages"),
+                 F.concat_ws(sep, F.transform(parts, lambda s: s.text))
+                  .alias("stitched")))
+
+
+def hreflang_clusters(alternates: DataFrame, rounds: int = 6) -> DataFrame:
+    """Language-alternate page clusters from hreflang declarations:
+    connected components over the symmetrized (url, abs_url) edge set,
+    labeled by min url — the grouping step before per-cluster language
+    dedup (train on ONE language version of a page set, not all 40).
+
+    Min-label propagation with pointer jumping (the `dup_clusters`
+    loop shape) for a FIXED ``rounds`` (components join in
+    O(log diameter); hreflang sets are near-cliques, so 6 rounds cover
+    diameters far beyond anything declared in the wild) — fixed rounds
+    keep it value-oracle-able.  Output one row per cluster:
+    ``(cluster, n_pages, langs)`` with ``langs`` the sorted distinct
+    hreflang codes, pipe-joined (driver-sortable scalar, not an
+    array)."""
+    edges = (alternates
+             .select(F.col("url").alias("u"), F.col("abs_url").alias("v"))
+             .filter(F.col("u") != F.col("v")))
+    edges = (edges.union(edges.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+             .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("u").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")).localCheckpoint(eager=True))
+    for _ in range(rounds):
+        nbr = (edges.join(labels.withColumnRenamed("id", "v"), "v")
+               .groupBy("u").agg(F.min("lbl").alias("nlbl")))
+        jump = labels.select(F.col("id").alias("_jid"),
+                             F.col("lbl").alias("jlbl"))
+        labels = (labels
+                  .join(nbr.withColumnRenamed("u", "id"), "id", "left")
+                  .join(jump, F.col("lbl") == F.col("_jid"), "left")
+                  .select("id", F.least("lbl", "nlbl", "jlbl").alias("lbl"))
+                  .localCheckpoint(eager=True))
+    langs = (alternates.select(F.col("url").alias("id"), "hreflang")
+             .union(alternates.select(F.col("abs_url").alias("id"),
+                                      "hreflang"))
+             .distinct())
+    member_langs = labels.join(langs, "id", "left")
+    return (member_langs.groupBy(F.col("lbl").alias("cluster"))
+            .agg(F.countDistinct("id").alias("n_pages"),
+                 F.concat_ws("|", F.array_sort(
+                     F.collect_set("hreflang"))).alias("langs")))
+
+
+def hreflang_clusters_sql(alternates_sql: str) -> str:
+    """Recursive-CTE DuckDB mirror of :func:`hreflang_clusters` over a
+    SELECT producing (url, hreflang, abs_url) — small-scale oracle
+    machinery (transitive closure), same min-label semantics."""
+    from lexor_spark.dedup import components_sql_parts
+    comp = ",\n".join(components_sql_parts("pairs"))
+    return f"""
+with recursive alts as ({alternates_sql}),
+pairs as (
+  select url as a, abs_url as b from alts where url != abs_url
+),
+{comp},
+langs as (
+  select url as id, hreflang from alts
+  union
+  select abs_url as id, hreflang from alts
+)
+select l.lbl as cluster, count(distinct l.id) as n_pages,
+       coalesce(string_agg(distinct g.hreflang, '|'
+                           order by g.hreflang), '') as langs
+from lbl l left join langs g on l.id = g.id
+group by l.lbl
+"""
 
 
 # ---------------------------------------------------------------------------

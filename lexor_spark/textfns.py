@@ -22,7 +22,7 @@ __all__ = [
     "lang_id", "lang_id_ngram", "quality_score",
     "dup_line_fraction", "dup_line_char_fraction", "top_bigram_fraction",
     "gopher_signals", "GOPHER_KEEP_RULE", "c4_signals",
-    "mojibake_count", "mojibake_flag", "code_signals",
+    "mojibake_count", "mojibake_flag", "code_signals", "readability",
     "script_profile", "SCRIPT_RANGES",
     "redact_pii", "pii_count",
     "SQL",
@@ -229,6 +229,42 @@ def char_entropy(col: Column, cap: int = 512) -> Column:
     # let-bound: without it the char split re-runs once per DISTINCT
     # char (the `ch` reference inside term()'s filter)
     return _let(chars, _ent)
+
+
+def readability(col: Column) -> Column:
+    """Flesch reading-ease + Flesch–Kincaid grade level (Kincaid et al.
+    1975 — the public formulas used by corpus-curation pipelines as an
+    education/complexity proxy, e.g. alongside FineWeb-Edu-style quality
+    gates).  Syllables use the standard vowel-group estimate: per
+    alphabetic word, the number of ``[aeiouy]+`` runs, floored at 1.
+
+    Returns a struct ``(n_words, n_sentences, syllables, flesch,
+    fk_grade)``.  Per-row higher-order functions only — no explode, no
+    shuffle; readability over 10^12 documents stays scan-side."""
+    words = F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]+"), 0)
+    n_sent = F.greatest(F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1))
+
+    def _build(w: Column) -> Column:
+        n_words = F.size(w)
+        syll = F.aggregate(
+            w, F.lit(0),
+            lambda acc, x: acc + F.greatest(
+                F.regexp_count(x, F.lit(r"[aeiouy]+")), F.lit(1)))
+        wps = n_words / n_sent
+        spw = syll / F.greatest(n_words, F.lit(1))
+        flesch = F.round(F.lit(206.835) - F.lit(1.015) * wps
+                         - F.lit(84.6) * spw, 4)
+        fk = F.round(F.lit(0.39) * wps + F.lit(11.8) * spw
+                     - F.lit(15.59), 4)
+        return F.struct(n_words.alias("n_words"),
+                        n_sent.alias("n_sentences"),
+                        syll.alias("syllables"),
+                        flesch.alias("flesch"),
+                        fk.alias("fk_grade"))
+
+    # let-bound: n_words/syllables both read the word array — bind the
+    # regexp_extract_all once instead of re-extracting per reference
+    return _let(words, _build)
 
 
 # -- repetition filters (Gopher-style, Rae et al. 2021 Appendix A) ---------
@@ -637,6 +673,25 @@ class SQL:
         t = f"list_transform(list_distinct({ch}), d -> {p} * log2({p}))"
         return (f"round((case when len({ch}) > 0 then -list_sum({t}) "
                 f"else 0.0 end) + 0.0, 4)")
+
+    @staticmethod
+    def readability(c: str) -> dict[str, str]:
+        """DuckDB mirrors of :func:`readability`, same field names."""
+        words = f"regexp_extract_all(lower({c}), '[a-z]+')"
+        n_words = f"len({words})"
+        n_sent = f"greatest(len(regexp_extract_all({c}, '[.!?]+')), 1)"
+        syll = (f"coalesce(list_sum(list_transform({words}, x -> "
+                f"greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))"
+                f"::bigint, 0)")
+        wps = f"({n_words} / {n_sent})"
+        spw = f"({syll} / greatest({n_words}, 1))"
+        return {
+            "n_words": n_words,
+            "n_sentences": n_sent,
+            "syllables": syll,
+            "flesch": f"round(206.835 - 1.015 * {wps} - 84.6 * {spw}, 4)",
+            "fk_grade": f"round(0.39 * {wps} + 11.8 * {spw} - 15.59, 4)",
+        }
 
     @staticmethod
     def lines(c: str) -> str:
