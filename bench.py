@@ -224,6 +224,22 @@ def main() -> None:
         "crawl_loop_full": lambda: _entry._q_crawl_loop_full(spark,
                                                              SF_DIR),
         "hyperball": lambda: _entry._q_hyperball(spark, SF_DIR),
+        # corpus diagnostics + asset/i18n tail
+        "readability": lambda: _entry._q_readability(spark, SF_DIR),
+        "zipf_fit": lambda: _entry._q_zipf_fit(spark, SF_DIR),
+        "heaps_law": lambda: _entry._q_heaps_law(spark, SF_DIR),
+        "lsh_tuning": lambda: _entry._q_lsh_tuning(spark, SF_DIR),
+        "article_stitch": lambda: _entry._q_article_stitch(spark, SF_DIR),
+        "hreflang_clusters": lambda: _entry._q_hreflang_clusters(spark,
+                                                                 SF_DIR),
+        "srcset_assets": lambda: _entry._q_srcset_assets(spark, SF_DIR),
+        "outline_extract": lambda: _entry._q_outline(spark, SF_DIR),
+        "microdata_extract": lambda: _entry._q_microdata(spark, SF_DIR),
+        "feed_entries": lambda: _entry._q_feed_entries(spark, SF_DIR),
+        "recrawl_schedule": lambda: _entry._q_recrawl(spark, SF_DIR),
+        "link_context": lambda: _entry._q_link_context(spark, SF_DIR),
+        "minhash_est": lambda: _entry._q_minhash_est(spark, SF_DIR),
+        "hits_centrality": lambda: _entry._q_hits(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

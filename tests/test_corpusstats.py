@@ -1,0 +1,210 @@
+"""Corpus diagnostics (Zipf/Heaps), readability, and LSH tuning/recall."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lexor_spark import corpusstats, dedup, textfns
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- Zipf ------------------------------------------------------------------
+
+def test_zipf_slope_exact_on_constructed_ranks(spark):
+    # freq(the)=8, freq(cat)=4, freq(sat)=2: ln-freq vs ln-rank is NOT a
+    # perfect line, but the OLS slope is computable by hand
+    docs = _docs(spark, [
+        (0, "the the the the cat cat sat"),
+        (1, "the the the the cat cat sat"),
+    ])
+    row = corpusstats.zipf_fit(docs, top_n=3).collect()[0]
+    assert row.n_terms == 3
+    assert row.total_freq == 14
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(f) for f in (8, 4, 2)]
+    mx = sum(xs) / 3
+    my = sum(ys) / 3
+    slope = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+             / sum((x - mx) ** 2 for x in xs))
+    assert row.slope == pytest.approx(round(slope, 4), abs=1e-4)
+    assert row.intercept == pytest.approx(round(my - slope * mx, 4),
+                                          abs=1e-4)
+    # natural-ish frequency decay => negative slope
+    assert row.slope < 0
+
+
+def test_zipf_matches_duckdb(spark):
+    got = corpusstats.zipf_fit(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        top_n=50).collect()[0]
+    con = duckdb.connect()
+    con.sql("create view documents as select * from "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = con.sql(
+        corpusstats.zipf_fit_sql("documents", top_n=50)).fetchone()
+    assert (got.n_terms, got.total_freq) == (want[0], want[1])
+    assert got.slope == pytest.approx(want[2], abs=1e-4)
+    assert got.intercept == pytest.approx(want[3], abs=1e-4)
+
+
+# -- Heaps -----------------------------------------------------------------
+
+def test_heaps_cumulative_monotone_and_bounded(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(corpusstats.heaps_law(docs, n_buckets=8).collect(),
+                  key=lambda r: r.bucket)
+    assert len(rows) == 8
+    toks = [r.tokens_cum for r in rows]
+    vocab = [r.vocab_cum for r in rows]
+    assert toks == sorted(toks) and vocab == sorted(vocab)
+    # vocabulary can never exceed tokens seen
+    assert all(v <= t for v, t in zip(vocab, toks))
+    # beta constant on every row; the sf0.001 synthetic corpus is
+    # template-generated with a fixed 31-word vocabulary, so the
+    # template-crawl alarm fires exactly: beta == 0
+    betas = {r.heaps_beta for r in rows}
+    assert len(betas) == 1
+    assert betas.pop() == 0.0
+
+
+def test_heaps_growing_vocab_positive_beta(spark):
+    # docs introduce genuinely new terms as the corpus grows =>
+    # 0 < beta <= 1 (sublinear vocabulary growth)
+    docs = _docs(spark, [
+        (i, " ".join(f"w{j}" for j in range(3 * i, 3 * i + 6)))
+        for i in range(60)])
+    rows = sorted(corpusstats.heaps_law(docs, n_buckets=6).collect())
+    beta = rows[0].heaps_beta
+    assert 0.0 < beta <= 1.001
+    vocab = [r.vocab_cum for r in rows]
+    assert vocab[-1] > vocab[0]
+
+
+def test_heaps_matches_duckdb(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(corpusstats.heaps_law(docs, n_buckets=10).collect())
+    con = duckdb.connect()
+    con.sql("create view documents as select * from "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = con.sql(corpusstats.heaps_law_sql("documents", n_buckets=10)
+                   + " order by bucket").fetchall()
+    assert len(got) == len(want) == 10
+    for r, w in zip(got, want):
+        assert (r.bucket, r.tokens_cum, r.vocab_cum) == w[:3]
+        assert r.heaps_beta == pytest.approx(w[3], abs=1e-4)
+
+
+def test_heaps_repeated_template_collapses_vocab(spark):
+    # 40 identical docs: vocabulary saturates in bucket 0 while tokens
+    # keep growing => beta near 0 (the template-crawl alarm)
+    docs = _docs(spark, [(i, "alpha beta gamma delta") for i in range(40)])
+    rows = sorted(corpusstats.heaps_law(docs, n_buckets=5).collect())
+    assert rows[-1].vocab_cum == 4
+    assert rows[0].vocab_cum == 4
+    assert rows[-1].heaps_beta == pytest.approx(0.0, abs=1e-6)
+
+
+# -- readability -----------------------------------------------------------
+
+def test_readability_hand_computed(spark):
+    # "The cat sat on the mat." : 6 words, 1 sentence, 6 one-syllable
+    # words => flesch = 206.835 - 1.015*6 - 84.6*1 = 116.145
+    df = _docs(spark, [(0, "The cat sat on the mat.")])
+    r = df.select(textfns.readability(F.col("text")).alias("rd")) \
+        .select("rd.*").collect()[0]
+    assert (r.n_words, r.n_sentences, r.syllables) == (6, 1, 6)
+    assert r.flesch == pytest.approx(116.145, abs=1e-3)
+    assert r.fk_grade == pytest.approx(
+        0.39 * 6 + 11.8 * 1 - 15.59, abs=1e-3)
+
+
+def test_readability_complex_text_scores_lower(spark):
+    df = _docs(spark, [
+        (0, "The dog ran. The cat sat. It was fun."),
+        (1, "Nevertheless, institutional heterogeneity substantially "
+            "complicates intergovernmental macroeconomic coordination "
+            "notwithstanding considerable multilateral deliberation."),
+    ])
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", textfns.readability(F.col("text")).alias("rd"))
+        .select("doc_id", "rd.*").collect()}
+    assert rows[0].flesch > rows[1].flesch
+    assert rows[0].fk_grade < rows[1].fk_grade
+
+
+def test_readability_matches_duckdb(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        docs.select("doc_id",
+                    textfns.readability(F.col("text")).alias("rd"))
+        .select("doc_id", "rd.*").collect())
+    con = duckdb.connect()
+    con.sql("create view documents as select * from "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    exprs = textfns.SQL.readability("text")
+    want = con.sql(
+        "select doc_id, " +
+        ", ".join(f"{v} as {k}" for k, v in exprs.items()) +
+        " from documents order by doc_id").fetchall()
+    assert len(got) == len(want) > 0
+    for r, w in zip(got, want):
+        assert (r.doc_id, r.n_words, r.n_sentences, r.syllables) == w[:4]
+        assert r.flesch == pytest.approx(w[4], abs=1e-3)
+        assert r.fk_grade == pytest.approx(w[5], abs=1e-3)
+
+
+# -- LSH tuning / recall ---------------------------------------------------
+
+def test_lsh_tuning_scurve_properties(spark):
+    from lexor_spark.dedup import MINHASH_K
+    rows = dedup.lsh_tuning(spark, grid_steps=10).collect()
+    # every divisor factorization of k appears
+    cfgs = {(r.bands, r.rows_per_band) for r in rows}
+    assert all(b * rp == MINHASH_K for b, rp in cfgs)
+    by_cfg: dict = {}
+    for r in rows:
+        by_cfg.setdefault((r.bands, r.rows_per_band), []).append(r)
+    for cfg, grid in by_cfg.items():
+        grid.sort(key=lambda r: r.s)
+        ps = [r.p_detect for r in grid]
+        # monotone non-decreasing S-curve in similarity
+        assert all(a <= b + 1e-12 for a, b in zip(ps, ps[1:]))
+        assert all(0.0 <= p <= 1.0 for p in ps)
+    # more bands at fixed k => more permissive at low similarity
+    k = MINHASH_K
+    low_many = [r.p_detect for r in rows
+                if r.bands == k and abs(r.s - 0.2) < 1e-9][0]
+    low_one = [r.p_detect for r in rows
+               if r.bands == 1 and abs(r.s - 0.2) < 1e-9][0]
+    assert low_many > low_one
+
+
+def test_lsh_tuning_matches_duckdb(spark):
+    got = sorted(dedup.lsh_tuning(spark, grid_steps=10).collect(),
+                 key=lambda r: (r.bands, r.rows_per_band, r.s))
+    want = sorted(duckdb.sql(dedup.lsh_tuning_sql(grid_steps=10))
+                  .fetchall(), key=lambda w: (w[0], w[1], w[2]))
+    assert len(got) == len(want) > 0
+    for r, w in zip(got, want):
+        assert (r.bands, r.rows_per_band) == w[:2]
+        assert r.s == pytest.approx(w[2], abs=1e-12)
+        assert r.p_detect == pytest.approx(w[3], abs=1e-12)
+        assert r.t_star == pytest.approx(w[4], abs=1e-4)
+
+
+def test_lsh_recall_bounds(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = dedup.lsh_recall(docs, threshold=0.2).collect()[0]
+    assert r.n_true >= r.n_hit >= 0
+    assert r.n_lsh >= r.n_hit
+    assert 0.0 <= r.recall <= 1.0
+    # lsh_pairs verifies exact jaccard on candidates => perfect precision
+    if r.n_lsh > 0:
+        assert r.precision == 1.0

@@ -1,0 +1,178 @@
+"""Pagination stitching, hreflang clusters, and <img>/srcset harvest."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lexor_spark.content import extract_images, srcset_candidates
+from lexor_spark.graph import (article_chains, article_stitch,
+                               extract_alternates, extract_directives,
+                               hreflang_clusters)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, bytearray(h.encode())) for u, h in rows],
+        "url string, html binary")
+
+
+# -- rel=next chains and article stitching ---------------------------------
+
+def _chain_pages(spark):
+    def page(n, nxt):
+        link = (f'<link rel="next" href="{nxt}">' if nxt else "")
+        return (f"https://s.example/story/p{n}",
+                f"<html><head>{link}</head><body><p>part {n}</p>"
+                "</body></html>")
+    return _pages(spark, [page(1, "/story/p2"), page(2, "/story/p3"),
+                          page(3, None),
+                          ("https://s.example/solo",
+                           "<html><body><p>solo</p></body></html>")])
+
+
+def test_rel_next_prev_through_directives(spark):
+    df = _pages(spark, [(
+        "https://s.example/a/p2",
+        '<html><head><link rel="next" href="p3">'
+        '<link rel="prev" href="p1"></head><body>x</body></html>')])
+    r = extract_directives(df).collect()[0]
+    assert r.rel_next_abs == "https://s.example/a/p3"
+    assert r.rel_prev_abs == "https://s.example/a/p1"
+
+
+def test_article_chains_head_and_page_numbers(spark):
+    d = extract_directives(_chain_pages(spark))
+    got = {r.url: r for r in article_chains(d).collect()}
+    head = "https://s.example/story/p1"
+    # p3 declares no next => only appears as a chain member via p2's
+    # edge; the head unions itself in at page 0
+    assert got[head].page_no == 0 and got[head].chain == head
+    assert got["https://s.example/story/p2"].page_no == 1
+    assert got["https://s.example/story/p3"].page_no == 2
+    assert all(r.chain == head for r in got.values())
+    assert "https://s.example/solo" not in got
+
+
+def test_article_stitch_orders_pages(spark):
+    pages = _chain_pages(spark)
+    d = extract_directives(pages)
+    texts = spark.createDataFrame(
+        [(f"https://s.example/story/p{n}", f"part {n}") for n in (3, 1, 2)],
+        "url string, text string")
+    rows = article_stitch(article_chains(d), texts).collect()
+    assert len(rows) == 1
+    assert rows[0].n_pages == 3
+    assert rows[0].stitched == "part 1\n\npart 2\n\npart 3"
+
+
+def test_article_chains_cycle_flagged(spark):
+    d = extract_directives(_pages(spark, [
+        ("https://s.example/a",
+         '<html><head><link rel="next" href="/b"></head><body>a</body></html>'),
+        ("https://s.example/b",
+         '<html><head><link rel="next" href="/a"></head><body>b</body></html>'),
+    ]))
+    rows = article_chains(d).collect()
+    assert rows and all(r.looped for r in rows)
+    # looped members are excluded from stitching
+    texts = spark.createDataFrame(
+        [("https://s.example/a", "a"), ("https://s.example/b", "b")],
+        "url string, text string")
+    assert article_stitch(article_chains(d), texts).count() == 0
+
+
+# -- hreflang clusters -----------------------------------------------------
+
+def test_hreflang_cluster_membership_and_langs(spark):
+    def alt(lang, href):
+        return f'<link rel="alternate" hreflang="{lang}" href="{href}">'
+    pages = _pages(spark, [
+        ("https://s.example/en/page",
+         "<html><head>" + alt("en", "/en/page") + alt("de", "/de/page")
+         + alt("fr", "/fr/page") + "</head><body>x</body></html>"),
+        ("https://s.example/de/page",
+         "<html><head>" + alt("en", "/en/page") + alt("de", "/de/page")
+         + "</head><body>x</body></html>"),
+        ("https://s.example/other",
+         "<html><head>" + alt("en", "/other")
+         + alt("es", "/es/other") + "</head><body>y</body></html>"),
+    ])
+    alts = extract_alternates(pages)
+    got = {r.cluster: r for r in hreflang_clusters(alts).collect()}
+    # two clusters, labeled by min member url
+    c1 = "https://s.example/de/page"
+    c2 = "https://s.example/es/other"
+    assert set(got) == {c1, c2}
+    assert got[c1].n_pages == 3  # en + de + fr variants
+    assert got[c1].langs == "de|en|fr"
+    assert got[c2].n_pages == 2
+    assert got[c2].langs == "en|es"
+
+
+def test_extract_alternates_requires_lang_and_href(spark):
+    pages = _pages(spark, [(
+        "https://s.example/p",
+        '<html><head><link rel="alternate" href="/feed.xml">'
+        '<link rel="alternate" hreflang="EN " href="/en">'
+        '<link rel="stylesheet" href="/x.css"></head><body>z</body></html>')])
+    rows = extract_alternates(pages).collect()
+    assert len(rows) == 1
+    assert rows[0].hreflang == "en"  # trimmed, lowercased
+    assert rows[0].abs_url == "https://s.example/en"
+
+
+# -- images / srcset -------------------------------------------------------
+
+def test_extract_images_document_order_and_attrs(spark):
+    pages = _pages(spark, [(
+        "https://s.example/g",
+        '<html><body><img src="/a.jpg" alt="first" width="640" height="480">'
+        '<p>x</p><img srcset="/b-320.jpg 320w, /b-640.jpg 640w" alt="second">'
+        "<img></body></html>")])
+    rows = sorted(extract_images(pages).collect(), key=lambda r: r.img_idx)
+    assert [r.img_idx for r in rows] == [0, 1, 2]
+    assert rows[0].src == "/a.jpg"
+    assert (rows[0].width, rows[0].height) == ("640", "480")
+    assert rows[1].src is None and "b-640" in rows[1].srcset
+    assert rows[2].src is None and rows[2].srcset is None
+
+
+def test_srcset_candidates_expansion(spark):
+    pages = _pages(spark, [(
+        "https://s.example/g",
+        '<html><body><img src="/hero.jpg" '
+        'srcset="/hero-320.jpg 320w, /hero-2x.jpg 2x , /plain.jpg">'
+        "</body></html>")])
+    cand = srcset_candidates(extract_images(pages)).collect()
+    by_url = {r.asset_url: r for r in cand}
+    assert set(by_url) == {"/hero.jpg", "/hero-320.jpg", "/hero-2x.jpg",
+                           "/plain.jpg"}
+    assert by_url["/hero.jpg"].descriptor is None      # the src row
+    assert by_url["/hero-320.jpg"].width == 320        # parsed 320w
+    assert by_url["/hero-2x.jpg"].descriptor == "2x"   # density kept raw
+    assert by_url["/hero-2x.jpg"].width is None
+    assert by_url["/plain.jpg"].descriptor is None
+
+
+def test_srcset_candidates_matches_duckdb(spark):
+    pages = _pages(spark, [
+        ("https://s.example/1",
+         '<html><body><img src="/x.png" srcset="/x-1.png 100w,/x-2.png '
+         '200w"><img srcset="/y.webp 2x"></body></html>'),
+        ("https://s.example/2",
+         '<html><body><img src="/z.gif"></body></html>'),
+    ])
+    img = extract_images(pages)
+    got = sorted(srcset_candidates(img).collect(),
+                 key=lambda r: (r.url, r.img_idx, r.asset_url))
+    con = duckdb.connect()
+    con.register("img_tbl", img.toPandas())
+    from lexor_spark.content import srcset_candidates_sql
+    want = sorted(con.sql(srcset_candidates_sql(
+        "select url, img_idx, src, srcset from img_tbl")).fetchall(),
+        key=lambda w: (w[0], w[1], w[2]))
+    assert len(got) == len(want) > 0
+    for r, w in zip(got, want):
+        assert (r.url, r.img_idx, r.asset_url, r.descriptor, r.width) == w
