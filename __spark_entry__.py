@@ -2956,6 +2956,46 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(docs, merges).orderBy("doc_id")
 
 
+def _q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed tokenize→pack tail of a pretraining data job: learn
+    the BPE merges from the corpus, encode every document with them
+    (real tokenizer counts, not the whitespace proxy), and place the
+    resulting token stream into fixed-budget training sequences via the
+    two-level prefix sum (`packing.pack_counts`).  Three value-oracled
+    components in ONE plan; the DuckDB oracle chains the unrolled
+    train+encode fold with the naive single-window placement, so the
+    composition — including the two-phase prefix-sum optimization over
+    REAL token counts — is value-verified end to end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [(r.lhs, r.rhs)
+              for r in bpe.bpe_train(docs, n_merges=12).collect()]
+    counts = bpe.bpe_encode(docs, merges)
+    return (packing.pack_counts(counts, budget=512, chunk=1024,
+                                count_col="n_bpe_tokens")
+            .withColumnRenamed("n_tokens", "n_bpe_tokens")
+            .orderBy("doc_id"))
+
+
+def _tokenize_pack_sql() -> str:
+    enc = bpe.bpe_encode_sql("documents", n_merges=12)
+    return f"""
+with enc as ({enc}),
+p as (
+  select doc_id, n_bpe_tokens,
+         coalesce(sum(n_bpe_tokens) over (order by doc_id
+                                          rows between unbounded preceding
+                                          and 1 preceding), 0)::bigint
+           as start_global
+  from enc where n_bpe_tokens > 0
+)
+select doc_id, n_bpe_tokens, start_global,
+       (start_global // 512)::bigint as bin_start,
+       ((start_global + n_bpe_tokens - 1) // 512)::bigint as bin_end,
+       (start_global % 512)::bigint as offset_in_bin
+from p order by doc_id
+"""
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (sampling.hash_split(docs, _SPLIT_WEIGHTS)
@@ -3436,7 +3476,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srcset_assets": _q_srcset_assets,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_search": _q_bm25_search,
-        "pack_bins": _q_pack_bins,
+        # tokenize_pack took pack_bins' slot: it exercises the full bpe
+        # train+encode chain AND the new pack_counts placement core that
+        # pack_bins itself now routes through (packing.py refactor), so
+        # the packing subtree's changed code is in-window via this entry
+        # plus pack_firstfit; pack_bins (r03-driver-green) moved just
+        # past the boundary, still value-verified every round by
+        # scripts/check_oracles.py
+        "tokenize_pack": _q_tokenize_pack,
         "cdx_diff": _q_cdx_diff,
         "fetch_schedule": _q_fetch_schedule,
         # -- session-tail never-verified additions: postings/phrase
@@ -3582,6 +3629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_exact_dedup,
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
+        "pack_bins": _q_pack_bins,
         "sitemap_index": _q_sitemap_index,
         "sitemap_entries": _q_sitemap_entries,
         "pagerank": _q_pagerank,
@@ -3889,6 +3937,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_bins": ("select * from ("
                       + packing.pack_bins_sql("documents", budget=2048)
                       + ") order by doc_id"),
+        "tokenize_pack": _tokenize_pack_sql(),
         "pack_firstfit": ("select * from ("
                           + packing.pack_firstfit_sql("documents",
                                                       budget=2048, chunk=64)

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from lexor_spark.textfns import SQL, token_count
 
-__all__ = ["pack_bins", "pack_bins_sql", "pack_firstfit",
+__all__ = ["pack_bins", "pack_bins_sql", "pack_counts", "pack_firstfit",
            "pack_firstfit_sql"]
 
 
@@ -49,18 +49,33 @@ def pack_bins(docs: DataFrame, budget: int, chunk: int = 1_000_000,
     tokens land in (concat-and-chunk splits documents mid-stream);
     ``offset_in_bin`` is the position of the first token inside
     ``bin_start``."""
+    counts = docs.select(F.col(id_col),
+                         token_count(F.col(text_col)).cast("long")
+                         .alias("n_tokens"))
+    return pack_counts(counts, budget, chunk, id_col=id_col,
+                       count_col="n_tokens")
+
+
+def pack_counts(counts: DataFrame, budget: int, chunk: int = 1_000_000,
+                id_col: str = "doc_id",
+                count_col: str = "n_tokens") -> DataFrame:
+    """The same concat-and-chunk placement over PRECOMPUTED per-document
+    token counts — the composition point for tokenizer-aware packing
+    (``bpe_encode`` → ``pack_counts`` is the real extract→tokenize→pack
+    tail of a pretraining data job; ``pack_bins``'s whitespace
+    ``token_count`` is only a proxy).  Identical two-level prefix-sum
+    plan and output schema as :func:`pack_bins`."""
     if budget <= 0:
-        raise ValueError(f"pack_bins: budget must be positive, "
+        raise ValueError(f"pack_counts: budget must be positive, "
                          f"got {budget}")
     if chunk <= 0:
         # a negative chunk would silently REVERSE the level-2 offset
         # order (trunc(id/chunk) is non-increasing), corrupting every
         # placement; zero divides by zero
-        raise ValueError(f"pack_bins: chunk must be positive, "
+        raise ValueError(f"pack_counts: chunk must be positive, "
                          f"got {chunk}")
-    d = (docs.select(F.col(id_col),
-                     token_count(F.col(text_col)).cast("long")
-                     .alias("n_tokens"))
+    d = (counts.select(F.col(id_col),
+                       F.col(count_col).cast("long").alias("n_tokens"))
          .filter(F.col("n_tokens") > 0)
          .withColumn("_chunk", (F.col(id_col) / chunk).cast("long")))
     csum = d.groupBy("_chunk").agg(F.sum("n_tokens").alias("_ctotal"))

@@ -144,3 +144,62 @@ def test_firstfit_validation(spark):
             packing.pack_firstfit(_docs(spark, [1]), budget=bad)
         with pytest.raises(ValueError):
             packing.pack_firstfit(_docs(spark, [1]), budget=4, chunk=bad)
+
+
+def test_pack_counts_matches_pack_bins(spark):
+    """pack_bins is now a token_count projection over pack_counts; the
+    two must agree exactly on the same corpus."""
+    from lexor_spark.textfns import token_count
+    docs = _docs(spark, [5, 0, 12, 7, 3, 40, 1])
+    via_bins = sorted(map(tuple, packing.pack_bins(
+        docs, budget=16, chunk=3).collect()))
+    counts = docs.select("doc_id",
+                         token_count(F.col("text")).alias("n_tokens"))
+    via_counts = sorted(map(tuple, packing.pack_counts(
+        counts, budget=16, chunk=3).collect()))
+    assert via_bins == via_counts
+
+
+def test_pack_counts_custom_count_column(spark):
+    """Precomputed (tokenizer-real) counts drive the placement — the
+    bpe_encode -> pack_counts composition point."""
+    counts = spark.createDataFrame(
+        [(0, 7), (1, 9), (2, 0), (3, 4)],
+        "doc_id long, n_bpe_tokens long")
+    rows = {r.doc_id: r for r in packing.pack_counts(
+        counts, budget=8, chunk=100,
+        count_col="n_bpe_tokens").collect()}
+    assert set(rows) == {0, 1, 3}          # zero-token doc dropped
+    assert rows[0].start_global == 0
+    assert (rows[0].bin_start, rows[0].bin_end) == (0, 0)
+    assert rows[1].start_global == 7
+    assert (rows[1].bin_start, rows[1].bin_end) == (0, 1)  # splits
+    assert rows[3].start_global == 16
+    assert rows[3].offset_in_bin == 0
+
+
+def test_pack_counts_validation(spark):
+    counts = spark.createDataFrame([(0, 3)], "doc_id long, n_tokens long")
+    for bad in (0, -2):
+        with pytest.raises(ValueError):
+            packing.pack_counts(counts, budget=bad)
+        with pytest.raises(ValueError):
+            packing.pack_counts(counts, budget=4, chunk=bad)
+
+
+def test_tokenize_pack_stream_invariants(spark):
+    """The composed BPE->pack gate entry: bins tile the real token
+    stream exactly (next start = prev start + prev tokens, offsets
+    inside budget, bin ids consistent with the arithmetic)."""
+    import __spark_entry__ as e
+    rows = sorted(e._q_tokenize_pack(spark, "/root/testdata/sf0.001")
+                  .collect(), key=lambda r: r.start_global)
+    assert rows
+    budget = 512
+    pos = 0
+    for r in rows:
+        assert r.start_global == pos
+        assert 0 <= r.offset_in_bin < budget
+        assert r.bin_start == r.start_global // budget
+        assert r.bin_end == (r.start_global + r.n_bpe_tokens - 1) // budget
+        pos += r.n_bpe_tokens
