@@ -1214,6 +1214,48 @@ from documents
 """
 
 
+_HOST_EDGES_SQL = """
+select distinct 'site' || (doc_id % 97) || '.example' as src,
+       'site' || ((doc_id * 7) % 97) || '.example' as dst
+from documents
+where (doc_id % 97) != ((doc_id * 7) % 97)
+union
+select distinct 'site' || (doc_id % 97) || '.example',
+       'site' || (doc_id % 13) || '.example'
+from documents
+where (doc_id % 97) != (doc_id % 13)
+"""
+
+
+def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-level PageRank over kernel-extracted cross-host links (the
+    aggregation Common Crawl publishes its webgraph at): pages carry a
+    deterministic 'partners' footer linking to two arithmetic partner
+    hosts plus an intra-host /about link; `host_edges` must extract the
+    anchors through the real kernel parse, drop the intra-host edge,
+    and dedup host pairs — the DuckDB oracle reconstructs the edge set
+    from the injection rules and replays the same power iteration, so
+    one mis-parsed anchor or a leaked self-edge anywhere fails the
+    hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<p class="partners"><a href="https://site'),
+        F.pmod(did * 7, F.lit(97)).cast("string"),
+        F.lit('.example/">partner</a> <a href="https://site'),
+        F.pmod(did, F.lit(13)).cast("string"),
+        F.lit('.example/deals">deals</a> '
+              '<a href="/about">about</a></p></body></html>'))
+    url = F.concat(
+        F.lit("https://site"), F.pmod(did, F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"),
+        did.cast("string"))
+    pages = docs.select(url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return graph.host_rank(pages).orderBy("host")
+
+
 def _q_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the REAL kernel-extracted link graph (mapInArrow
     parse → canonical_url → xxhash64 node ids → power iteration),
@@ -3475,7 +3517,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": _q_hreflang_clusters,
         "srcset_assets": _q_srcset_assets,
         "tfidf_keywords": _q_tfidf_keywords,
-        "bm25_search": _q_bm25_search,
+        # host_rank took bm25_search's slot (bm25 r03-driver-green; the
+        # search.py subtree stays in-window via tfidf_keywords,
+        # postings_index and phrase_hits; bm25_search moved just past
+        # the boundary, still value-verified every round by
+        # scripts/check_oracles.py).  host_rank carries the new
+        # graph.py host_edges/host_rank code through the real kernel
+        # parse.
+        "host_rank": _q_host_rank,
         # tokenize_pack took pack_bins' slot: it exercises the full bpe
         # train+encode chain AND the new pack_counts placement core that
         # pack_bins itself now routes through (packing.py refactor), so
@@ -3630,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "pack_bins": _q_pack_bins,
+        "bm25_search": _q_bm25_search,
         "sitemap_index": _q_sitemap_index,
         "sitemap_entries": _q_sitemap_entries,
         "pagerank": _q_pagerank,
@@ -3848,6 +3898,9 @@ def oracle_sql() -> dict[str, str]:
                                  + _PAGES_EDGES_SQL
                                  + ") where src <> dst")
             + ") order by url"),
+        "host_rank": ("select node_id as host, rank from ("
+                      + graph.pagerank_sql(_HOST_EDGES_SQL)
+                      + ") order by host"),
         "ann_ivfpq": sim.ann_ivfpq_sql(query_id=0, topk=10),
         "ann_recall": sim.ann_recall_sql(query_id=0, k=10),
         "dsir_weights": (dsir.dsir_weights_sql(

@@ -240,6 +240,8 @@ def main() -> None:
         "link_context": lambda: _entry._q_link_context(spark, SF_DIR),
         "minhash_est": lambda: _entry._q_minhash_est(spark, SF_DIR),
         "hits_centrality": lambda: _entry._q_hits(spark, SF_DIR),
+        "host_rank": lambda: _entry._q_host_rank(spark, SF_DIR),
+        "tokenize_pack": lambda: _entry._q_tokenize_pack(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

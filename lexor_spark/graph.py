@@ -41,7 +41,8 @@ __all__ = ["extract_links", "extract_directives", "pagerank",
            "fixture_redirects", "FIXTURE_REDIRECTS_SQL",
            "alias_collapse", "hyperball", "hyperball_sql",
            "extract_alternates", "article_chains", "article_stitch",
-           "hreflang_clusters", "hreflang_clusters_sql"]
+           "hreflang_clusters", "hreflang_clusters_sql",
+           "host_edges", "host_rank"]
 
 
 LINKS_SCHEMA = ("url string, href string, abs_url string, anchor string, "
@@ -537,6 +538,43 @@ def pagerank_links(pages: DataFrame, iters: int = PR_ITERS,
     return (ranks.join(nodes, "node_id")
             .select("url", "rank")
             .orderBy("url"))
+
+
+def host_edges(pages: DataFrame) -> DataFrame:
+    """Distinct host→host edges from the kernel-extracted link graph —
+    the aggregation Common Crawl publishes its host-level webgraph at
+    (vastly smaller than the page graph: |hosts|² bounds it, and real
+    link structure is intra-host-dominated).  Intra-host links drop
+    out (src = dst), unparseable targets (no host) drop; the distinct
+    collapses a host pair's many page-level links map-side before the
+    exchange, so the shuffle carries host pairs, never page links."""
+    from lexor_spark.urlfns import host_of
+
+    links = extract_links(pages)
+    return (links.select(host_of(F.col("url")).alias("src_host"),
+                         host_of(F.col("abs_url")).alias("dst_host"))
+            .filter((F.col("dst_host") != "")
+                    & (F.col("src_host") != F.col("dst_host")))
+            .distinct())
+
+
+def host_rank(pages: DataFrame, iters: int = PR_ITERS,
+              damping: float = PR_DAMPING) -> DataFrame:
+    """Host-level PageRank over kernel-extracted edges (the public
+    Common-Crawl host-ranking shape, cf. their harmonic-centrality
+    sibling :func:`hyperball`): :func:`host_edges` → xxhash64 host ids
+    (8-byte per-round shuffle keys, same trick as
+    :func:`pagerank_links`) → :func:`pagerank` power iteration →
+    join back to host strings.  Returns (host, rank)."""
+    e = host_edges(pages)
+    hosts = (e.select(F.col("src_host").alias("host"))
+             .union(e.select("dst_host")).distinct())
+    nodes = hosts.select(F.xxhash64("host").alias("node_id"), "host")
+    edges = e.select(F.xxhash64("src_host").alias("src"),
+                     F.xxhash64("dst_host").alias("dst"))
+    ranks = pagerank(edges, iters, damping)
+    return (ranks.join(nodes, "node_id")
+            .select("host", "rank").orderBy("host"))
 
 
 def fixture_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -328,3 +328,40 @@ def test_hyperball_register_merge_monotone(spark):
     r2 = {r.node_id: r.reach_est for r in hyperball(e, iters=2).collect()}
     r3 = {r.node_id: r.reach_est for r in hyperball(e, iters=3).collect()}
     assert all(r3[v] >= r2[v] for v in r2)
+
+
+def test_host_edges_dedup_and_selfdrop(spark):
+    from lexor_spark.graph import host_edges
+
+    html_a = ('<html><body><a href="https://b.example/x">1</a>'
+              '<a href="https://b.example/y">2</a>'
+              '<a href="/local">3</a>'
+              '<a href="https://a.example/other">4</a></body></html>')
+    rows = spark.createDataFrame(
+        [("https://a.example/p1", bytearray(html_a.encode())),
+         ("https://a.example/p2", bytearray(html_a.encode()))],
+        "url string, html binary")
+    got = {(r.src_host, r.dst_host) for r in host_edges(rows).collect()}
+    # many page links, intra-host + self dropped, pairs deduped
+    assert got == {("a.example", "b.example")}
+
+
+def test_host_rank_hub_wins(spark):
+    from lexor_spark.graph import host_rank
+
+    def page(url, targets):
+        body = "".join(f'<a href="https://{t}/">x</a>' for t in targets)
+        return (url, bytearray(f"<html><body>{body}</body></html>".encode()))
+
+    # spokes s1..s3 all link to hub; hub links to s1
+    pages = spark.createDataFrame(
+        [page("https://s1.example/p", ["hub.example"]),
+         page("https://s2.example/p", ["hub.example"]),
+         page("https://s3.example/p", ["hub.example"]),
+         page("https://hub.example/p", ["s1.example"])],
+        "url string, html binary")
+    got = {r.host: r.rank for r in host_rank(pages, iters=5).collect()}
+    assert set(got) == {"hub.example", "s1.example", "s2.example",
+                        "s3.example"}
+    assert got["hub.example"] > got["s1.example"] > got["s2.example"]
+    assert got["s2.example"] == got["s3.example"]
