@@ -983,15 +983,12 @@ _DENS_C2A = ("We can also say that the review was one of the best that "
 _DENS_C2B = " later this year."
 
 
-def _q_density_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """jusText-style density extraction end-to-end: every page carries a
-    link-dense nav (bad), a short heading (short -> promoted near-good
-    -> good), two long stop-word-rich paragraphs (context-free good), a
-    bare-number paragraph between them (short -> good by revision), and
-    a copyright footer (bad).  The DuckDB oracle reconstructs the exact
-    good-block join per doc_id — the Spark side must segment, classify,
-    promote the heading, revise the short block, and reject both
-    boilerplate blocks on every page to match."""
+def _density_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-block density fixture: link-dense nav (bad), short
+    heading (promoted), two long stop-word-rich paragraphs (good), a
+    bare-number paragraph between them (revised good), a copyright
+    footer (bad) — shared by the density gate and the cross-extractor
+    QA entry."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     ds = did.cast("string")
@@ -1007,9 +1004,18 @@ def _q_density_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(
         F.lit("https://site"), F.pmod(did, F.lit(97)).cast("string"),
         F.lit(".example/"), F.col("source"), F.lit("/p"), ds)
-    pages = docs.select(url.alias("url"),
-                        F.encode(html, "UTF-8").alias("html"))
-    return extract_density_pages(pages).orderBy("url")
+    return docs.select(url.alias("url"),
+                       F.encode(html, "UTF-8").alias("html"))
+
+
+def _q_density_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style density extraction end-to-end over the mixed-block
+    fixture.  The DuckDB oracle reconstructs the exact good-block join
+    per doc_id — the Spark side must segment, classify, promote the
+    heading, revise the short block, and reject both boilerplate
+    blocks on every page to match."""
+    return extract_density_pages(
+        _density_pages_df(spark, sf_dir)).orderBy("url")
 
 
 def _density_extract_sql() -> str:
@@ -1913,6 +1919,59 @@ from documents
     rep = (f"select {_URL_SQL} as url, (doc_id % 11 <> 0) as allowed "
            f"from documents")
     return robots.index_gate_sql(_page_directives_sql(), responses, rep)
+
+
+def _q_extractor_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-extractor QA over the synthetic pages: the rule-driven
+    kernel converter vs the jusText-style density classifier, per-page
+    token-level P/R/F1 + agreement verdict (job.extractor_diff).
+    Rows-only — both texts cross the kernel boundary; the shared
+    P/R/F1 arithmetic is value-oracled as extract_eval and the verdict
+    ladder pytest-pinned on crafted agree/diverge/one-sided pages.
+
+    The fixture exercises every verdict class by doc_id%4:
+    0. article-wrapped stop-word-rich prose — both extractors converge
+       on the same tokens (agree/lean);
+    1. container-less body whose only <div> is a copyright line — the
+       kernel's text-mass fallback picks that div while the density
+       classifier keeps the prose: the genuine disagreement this QA
+       pass exists to flag (diverge);
+    2. stop-word-free corpus text inside <main> — the kernel trusts
+       the structure, the density side rightly rejects statistically
+       (kernel_only);
+    3. nav-link farm — nothing survives either extractor
+       (both_empty)."""
+    from lexor_spark.job import extractor_diff
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    prose = F.concat(
+        F.lit("<h2>Section "), ds, F.lit("</h2><p>" + _DENS_C1A), ds,
+        F.lit(_DENS_C1B + "</p><p>" + _DENS_C2A), ds,
+        F.lit(_DENS_C2B + "</p>"))
+    nav = F.lit('<nav><a href="/">Home</a> <a href="/a">About</a> '
+                '<a href="/c">Contact</a></nav>')
+    v = F.pmod(did, F.lit(4))
+    body = (F.when(v == 0, F.concat(nav, F.lit("<article>"), prose,
+                                    F.lit("</article>")))
+            .when(v == 1, F.concat(nav, prose,
+                                   F.lit("<div>&copy; 2026 site "), ds,
+                                   F.lit(" all rights reserved</div>")))
+            .when(v == 2, F.concat(nav, F.lit("<main><p>"),
+                                   F.col("text"), F.lit("</p></main>")))
+            .otherwise(F.concat(
+                nav, F.lit('<nav><a href="/x">x</a> <a href="/y">y</a> '
+                           '<a href="/z">z</a></nav>'))))
+    html = F.concat(F.lit("<html><head><title>t</title></head><body>"),
+                    body, F.lit("</body></html>"))
+    url = F.concat(
+        F.lit("https://site"), F.pmod(did, F.lit(97)).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/p"), ds)
+    pages = docs.select(url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return (extractor_diff(
+        pages, partitions=spark.sparkContext.defaultParallelism)
+        .orderBy("url"))
 
 
 def _q_extract_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3737,6 +3796,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # postings delta (rows-only past the kernel boundary; every
         # pre-kernel component is individually value-oracled)
         "crawl_loop_full": _q_crawl_loop_full,
+        # cross-extractor QA: rule-driven kernel vs jusText density
+        # over the same pages, token-level agreement + verdict
+        # (rows-only: both texts come from the kernel boundary; the
+        # P/R/F1 arithmetic is the value-oracled extract_eval, and the
+        # verdict ladder is pytest-pinned on crafted disagreements)
+        "extractor_diff": _q_extractor_diff,
         # multimodal: real BMP/WAV codecs + deterministic-fallback
         # plumbing (rows-only — pixel/waveform math is not ANSI SQL)
         "media_features": _q_media_features,

@@ -242,6 +242,7 @@ def main() -> None:
         "hits_centrality": lambda: _entry._q_hits(spark, SF_DIR),
         "host_rank": lambda: _entry._q_host_rank(spark, SF_DIR),
         "tokenize_pack": lambda: _entry._q_tokenize_pack(spark, SF_DIR),
+        "extractor_diff": lambda: _entry._q_extractor_diff(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -680,6 +680,62 @@ def extract_density_pages(pages: DataFrame, salt_buckets: int = 256,
     return salted.mapInArrow(_density_batches, DENSITY_SCHEMA)
 
 
+def extractor_diff(pages: DataFrame, lo_f1: float = 0.5,
+                   hi_f1: float = 0.8,
+                   salt_buckets: int = 256,
+                   partitions: Optional[int] = None) -> DataFrame:
+    """Cross-extractor QA: run BOTH main-content extractors — the
+    rule-driven converter (:func:`extract_pages`) and the jusText-style
+    density classifier (:func:`extract_density_pages`) — over the same
+    pages and score their token-level agreement per page
+    (:func:`lexor_spark.evals.eval_extraction` multiset P/R/F1, kernel
+    side as 'gold').  Pages where tag structure and text statistics
+    disagree are exactly where extraction errors hide; routing the
+    `diverge` slice to review (or to the conservative intersection) is
+    the standard two-extractor QA pass (jusText/trafilatura evaluation
+    practice).
+
+    Verdict per page: `agree` (f1 ≥ hi_f1), `lean` (between), `diverge`
+    (f1 < lo_f1 with both non-empty), `kernel_only` / `density_only`
+    (one extractor returned nothing), `both_empty`.  Every input page
+    appears exactly once — the eval join drops token-less pages, so the
+    page list is left-joined back.
+
+    Scale shape: two map-only salted kernel passes over the same scan,
+    one (url, token)-keyed partial-agg join (hot tokens spread by the
+    url key), then a urls-sized left join; nothing corpus-sized ever
+    sits in one task."""
+    from lexor_spark.evals import eval_extraction
+
+    kern = extract_pages(pages, salt_buckets, partitions) \
+        .select("url", "text")
+    dens = extract_density_pages(pages, salt_buckets, partitions) \
+        .select("url", "text")
+    ev = (eval_extraction(kern, dens, id_col="url", text_col="text")
+          .withColumnRenamed("doc_id", "url")
+          .withColumnRenamed("n_gold", "n_kernel")
+          .withColumnRenamed("n_extracted", "n_density"))
+    base = pages.select("url")
+    j = (base.join(ev, "url", "left")
+         .select("url",
+                 F.coalesce("n_kernel", F.lit(0)).alias("n_kernel"),
+                 F.coalesce("n_density", F.lit(0)).alias("n_density"),
+                 F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                 F.coalesce("precision", F.lit(0.0)).alias("precision"),
+                 F.coalesce("recall", F.lit(0.0)).alias("recall"),
+                 F.coalesce("f1", F.lit(0.0)).alias("f1")))
+    nk, nd, f1 = F.col("n_kernel"), F.col("n_density"), F.col("f1")
+    verdict = (F.when((nk == 0) & (nd == 0), "both_empty")
+               .when(nd == 0, "kernel_only")
+               .when(nk == 0, "density_only")
+               .when(f1 >= hi_f1, "agree")
+               .when(f1 < lo_f1, "diverge")
+               .otherwise("lean"))
+    return j.select("url", "n_kernel", "n_density", "n_overlap",
+                    "precision", "recall", "f1",
+                    verdict.alias("verdict"))
+
+
 def committed_groups(output_dir: str) -> set[int]:
     """Groups already committed by a previous (possibly killed) run."""
     done: set[int] = set()

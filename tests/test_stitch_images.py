@@ -176,3 +176,63 @@ def test_srcset_candidates_matches_duckdb(spark):
     assert len(got) == len(want) > 0
     for r, w in zip(got, want):
         assert (r.url, r.img_idx, r.asset_url, r.descriptor, r.width) == w
+
+
+# -- cross-extractor QA ----------------------------------------------------
+
+def _qa_page(url, body):
+    html = f"<html><head><title>t</title></head><body>{body}</body></html>"
+    return (url, bytearray(html.encode()))
+
+
+def test_extractor_diff_verdict_ladder(spark):
+    from lexor_spark.job import extractor_diff
+
+    prose = ("<p>It is one of the best days that we have seen and it is "
+             "clear that all of us will be able to read more of the work "
+             "when it is out because there was a lot of it to see.</p>"
+             "<p>We can also say that the review was one of the best "
+             "that any of us had read in a long time and that there "
+             "will be more to come from the same team when they are "
+             "done with the next part of the work on it.</p>")
+    pages = spark.createDataFrame([
+        # both extract the same prose
+        _qa_page("https://q.example/agree", f"<article>{prose}</article>"),
+        # kernel's text-mass fallback picks the only div (copyright);
+        # density keeps the prose -> diverge
+        _qa_page("https://q.example/diverge",
+                 prose + "<div>&copy; 2026 q all rights reserved</div>"),
+        # structure says main, statistics say junk -> kernel_only
+        _qa_page("https://q.example/kernel_only",
+                 "<main><p>zq81 xv92 pw73 kd64 mm55 rr46 tt37 yy28 "
+                 "uu19 qq10 aa21 bb32 cc43 dd54 ee65 ff76 gg87 hh98 "
+                 "ii09 jj11 kk22 ll33 nn44 oo66 pp77</p></main>"),
+        # nothing survives either extractor
+        _qa_page("https://q.example/empty",
+                 '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
+    ], "url string, html binary")
+    got = {r.url.rsplit("/", 1)[1]: r for r in
+           extractor_diff(pages, partitions=4).collect()}
+    assert got["agree"].verdict == "agree"
+    assert got["agree"].f1 >= 0.8
+    assert got["diverge"].verdict == "diverge"
+    assert got["diverge"].n_kernel > 0 and got["diverge"].n_density > 0
+    assert got["kernel_only"].verdict == "kernel_only"
+    assert got["kernel_only"].n_density == 0
+    assert got["empty"].verdict == "both_empty"
+    assert got["empty"].n_kernel == got["empty"].n_density == 0
+
+
+def test_extractor_diff_every_page_reported(spark):
+    """Pages where both extractors return nothing still appear (the
+    eval join drops token-less docs; the page-list left join must
+    bring them back)."""
+    from lexor_spark.job import extractor_diff
+
+    pages = spark.createDataFrame(
+        [_qa_page("https://q.example/a", "<p>tiny</p>"),
+         _qa_page("https://q.example/b", "")],
+        "url string, html binary")
+    rows = extractor_diff(pages, partitions=2).collect()
+    assert {r.url for r in rows} == {"https://q.example/a",
+                                     "https://q.example/b"}
