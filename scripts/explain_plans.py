@@ -198,6 +198,43 @@ NOTES = {
         "shuffles); the inherently-sequential greedy walk is one "
         "FlatMapGroupsInPandas over exactly k rows (constant group), "
         "bounded by the result-page size by construction."),
+    "host_rank": (
+        "Host pairs are projected and DISTINCTed map-side before the "
+        "exchange (partial HashAggregate under the kernel MapInArrow), "
+        "so the per-round PageRank shuffles move 8-byte xxhash64 host "
+        "ids over a graph bounded by |hosts|^2, never page-level "
+        "links."),
+    "tokenize_pack": (
+        "The encode side is one MapInPandas over the normalized scan "
+        "(merge list ships in the closure); the placement is the "
+        "pack_bins two-level prefix sum over the REAL token counts — "
+        "range-chunk partials, one N/chunk-row window, bounded "
+        "in-chunk cumsum."),
+    "zipf_fit": (
+        "Term counts collapse map-side (partial HashAggregate before "
+        "the one exchange); the head is TakeOrderedAndProject(top_n) — "
+        "the vocabulary is never globally sorted; the OLS runs over "
+        "top_n rows in a single tiny aggregate."),
+    "heaps_law": (
+        "The bucket is a scan-side function of doc_id given the "
+        "broadcast 1-row min/max; per-term first-bucket and per-bucket "
+        "token sums are both map-side-combinable aggs; every window "
+        "runs over n_buckets rows."),
+    "readability": (
+        "The whole struct (words, sentences, syllables, both scores) "
+        "is ONE Project of let-bound higher-order-function expressions "
+        "— a map-only pass; the only exchange is the gate's "
+        "presentation orderBy."),
+    "srcset_assets": (
+        "Candidate expansion is scan-side split/explode over the "
+        "already-extracted attributes (no kernel re-parse); the src "
+        "row and the srcset rows reunite in a zero-shuffle Union."),
+    "hreflang_clusters": (
+        "Alternate edges come from the fused kernel pass; each "
+        "propagation round is one edge join + min agg + pointer jump "
+        "on symmetrized edges, localCheckpoint-flat so the plan never "
+        "grows; cluster langs are a per-cluster collect_set bounded by "
+        "the declared-language count."),
 }
 
 
@@ -227,7 +264,9 @@ def main() -> None:
                  "lr_weights", "pack_bins", "mime_sniff",
                  "frontier_queue", "index_gate", "extract_routed",
                  "postings_index", "phrase_hits", "code_detect",
-                 "serp_dedup"):
+                 "serp_dedup", "host_rank", "tokenize_pack",
+                 "zipf_fit", "heaps_law", "readability",
+                 "srcset_assets", "hreflang_clusters"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
