@@ -2750,6 +2750,29 @@ def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LR_LABEL_SQL = "text like '%spark%'"
 
 
+def _q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins + ECE of the supervised quality classifier
+    against its own training labels — the calibration audit a pipeline
+    runs before trusting a probability threshold at corpus scale.  The
+    DuckDB oracle re-trains the classifier through the unrolled GD
+    chain (lr_score_sql), rebuilds the labels, and replays the binning
+    arithmetic — classifier AND audit value-verified in one
+    statement."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    label = F.col("text").contains("spark")
+    weights = classify.lr_train(docs, label)
+    scores = classify.lr_score(docs, weights)
+    labels = docs.select("doc_id", label.alias("label"))
+    return evals.calibration_bins(scores, labels, n_bins=10)
+
+
+def _lr_calibration_sql() -> str:
+    return evals.calibration_bins_sql(
+        classify.lr_score_sql("documents", _LR_LABEL_SQL),
+        f"select doc_id, ({_LR_LABEL_SQL}) as label from documents",
+        n_bins=10)
+
+
 def _q_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised quality-classifier training (FineWeb-Edu shape):
     logistic regression over hashed presence features, 3 fixed GD
@@ -3553,7 +3576,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_firstfit": _q_pack_firstfit,
         "pagerank_links": _q_pagerank_links,
         "robots_filter_ua": _q_robots_filter_ua,
-        "robots_filter": _q_robots_filter,
+        # lr_calibration took robots_filter's slot (robots_filter
+        # r03-driver-green; robots.py's wildcard/UA machinery stays
+        # in-window via robots_filter_ua and the crawl_loop composite;
+        # robots_filter moved just past the boundary, still
+        # value-verified every round by scripts/check_oracles.py).
+        # lr_calibration carries the NEW evals.py calibration code and
+        # re-verifies the whole classify.py chain inside its oracle.
+        "lr_calibration": _q_lr_calibration,
         # -- final-session never-verified additions: these eight carry
         #    THE code that changed in the session tail (textfns
         #    readability, the new corpusstats module, dedup
@@ -3739,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "pack_bins": _q_pack_bins,
         "bm25_search": _q_bm25_search,
+        "robots_filter": _q_robots_filter,
         "sitemap_index": _q_sitemap_index,
         "sitemap_entries": _q_sitemap_entries,
         "pagerank": _q_pagerank,
@@ -4052,6 +4083,7 @@ def oracle_sql() -> dict[str, str]:
         "lr_scores": ("select * from ("
                       + classify.lr_score_sql("documents", _LR_LABEL_SQL)
                       + ") order by doc_id"),
+        "lr_calibration": _lr_calibration_sql(),
         "pack_bins": ("select * from ("
                       + packing.pack_bins_sql("documents", budget=2048)
                       + ") order by doc_id"),

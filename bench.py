@@ -243,6 +243,7 @@ def main() -> None:
         "host_rank": lambda: _entry._q_host_rank(spark, SF_DIR),
         "tokenize_pack": lambda: _entry._q_tokenize_pack(spark, SF_DIR),
         "extractor_diff": lambda: _entry._q_extractor_diff(spark, SF_DIR),
+        "lr_calibration": lambda: _entry._q_lr_calibration(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["eval_extraction", "eval_extraction_sql",
+           "calibration_bins", "calibration_bins_sql",
            "eval_ranking", "eval_ranking_sql"]
 
 
@@ -186,4 +187,74 @@ i as (select round(sum((pow(2.0, {label_col}::double) - 1.0)
 select {k} as k, dcg, idcg,
        (case when idcg > 0 then round(dcg / idcg, 6) else 0.0 end) as ndcg
 from d cross join i
+"""
+
+
+def calibration_bins(scores: DataFrame, labels: DataFrame,
+                     n_bins: int = 10, id_col: str = "doc_id",
+                     prob_col: str = "prob",
+                     label_col: str = "label") -> DataFrame:
+    """Reliability diagram + expected calibration error for a
+    probabilistic quality classifier (the standard ECE analysis,
+    Naeini et al. 2015 / Guo et al. 2017): predicted probabilities are
+    cut into ``n_bins`` equal-width bins; per occupied bin the output
+    row carries (bin, n, mean_pred, frac_pos, gap) plus the
+    corpus-level ``ece`` (Σ n_b/N · |gap_b|, constant on every row).
+
+    A quality gate that thresholds at p ≥ 0.5 is only as good as its
+    calibration — a classifier that says 0.9 and is right 60% of the
+    time silently shifts the corpus mix; this is the audit run before
+    trusting the threshold at 10^12 docs.
+
+    Plan shape: one id-keyed equi-join, bin assignment scan-side
+    (``prob = 1.0`` clamps into the top bin), per-bin aggregates
+    map-side combinable, and the only window runs over ≤ n_bins rows.
+    All floats round to 6 decimals; ``gap``/``ece`` derive from the
+    already-rounded bin means so both engines hit identical values."""
+    from pyspark.sql import Window
+
+    j = scores.join(labels, id_col)
+    b = F.least(F.floor(F.col(prob_col) * n_bins),
+                F.lit(n_bins - 1)).cast("int")
+    per = (j.select(b.alias("bin"), F.col(prob_col).alias("p"),
+                    F.col(label_col).cast("int").alias("y"))
+           .groupBy("bin")
+           .agg(F.count("*").alias("n"),
+                F.round(F.avg("p"), 6).alias("mean_pred"),
+                F.round(F.avg("y"), 6).alias("frac_pos")))
+    gap = F.round(F.col("mean_pred") - F.col("frac_pos"), 6)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)
+    ece = F.round(F.sum(F.abs(F.col("gap")) * F.col("n")).over(w)
+                  / F.sum("n").over(w), 6)
+    return (per.withColumn("gap", gap)
+            .withColumn("ece", ece)
+            .select("bin", "n", "mean_pred", "frac_pos", "gap", "ece")
+            .orderBy("bin"))
+
+
+def calibration_bins_sql(scores_sql: str, labels_sql: str,
+                         n_bins: int = 10, id_col: str = "doc_id",
+                         prob_col: str = "prob",
+                         label_col: str = "label") -> str:
+    """DuckDB mirror of :func:`calibration_bins` over two SELECTs
+    producing (id, prob) and (id, label)."""
+    return f"""
+with s as ({scores_sql}),
+l as ({labels_sql}),
+j as (
+  select least(floor(s.{prob_col} * {n_bins}), {n_bins - 1})::int
+           as bin,
+         s.{prob_col} as p, l.{label_col}::int as y
+  from s join l on s.{id_col} = l.{id_col}
+),
+per as (
+  select bin, count(*)::bigint as n, round(avg(p), 6) as mean_pred,
+         round(avg(y), 6) as frac_pos
+  from j group by bin
+),
+g as (select *, round(mean_pred - frac_pos, 6) as gap from per)
+select bin, n, mean_pred, frac_pos, gap,
+       round(sum(abs(gap) * n) over () / sum(n) over (), 6) as ece
+from g order by bin
 """

@@ -208,3 +208,56 @@ def test_lsh_recall_bounds(spark):
     # lsh_pairs verifies exact jaccard on candidates => perfect precision
     if r.n_lsh > 0:
         assert r.precision == 1.0
+
+
+# -- classifier calibration ------------------------------------------------
+
+def test_calibration_hand_computed(spark):
+    from lexor_spark.evals import calibration_bins
+    scores = spark.createDataFrame(
+        [(0, 0.05), (1, 0.12), (2, 0.18), (3, 0.95), (4, 0.91), (5, 1.0)],
+        "doc_id long, prob double")
+    labels = spark.createDataFrame(
+        [(0, False), (1, False), (2, True), (3, True), (4, True),
+         (5, False)],
+        "doc_id long, label boolean")
+    rows = {r.bin: r for r in
+            calibration_bins(scores, labels, n_bins=10).collect()}
+    assert set(rows) == {0, 1, 9}          # only occupied bins
+    assert rows[0].n == 1 and rows[0].frac_pos == 0.0
+    assert rows[1].n == 2 and rows[1].frac_pos == 0.5
+    assert rows[1].mean_pred == pytest.approx(0.15, abs=1e-6)
+    # prob = 1.0 clamps into the top bin
+    assert rows[9].n == 3
+    assert rows[9].frac_pos == pytest.approx(round(2 / 3, 6), abs=1e-6)
+    # ece = sum(n_b * |gap_b|) / N from the rounded bin stats
+    exp_ece = round((1 * abs(rows[0].gap) + 2 * abs(rows[1].gap)
+                     + 3 * abs(rows[9].gap)) / 6, 6)
+    assert all(r.ece == exp_ece for r in rows.values())
+
+
+def test_calibration_perfect_predictor_zero_ece(spark):
+    from lexor_spark.evals import calibration_bins
+    # constant p=0.5 on a half-positive corpus: gap 0, ece 0
+    scores = spark.createDataFrame(
+        [(i, 0.5) for i in range(10)], "doc_id long, prob double")
+    labels = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(10)],
+        "doc_id long, label boolean")
+    rows = calibration_bins(scores, labels, n_bins=10).collect()
+    assert len(rows) == 1
+    assert rows[0].gap == 0.0 and rows[0].ece == 0.0
+
+
+def test_calibration_matches_duckdb(spark):
+    import __spark_entry__ as e
+    got = e._q_lr_calibration(spark, "/root/testdata/sf0.001").collect()
+    con = duckdb.connect()
+    con.sql("create view documents as select * from "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = con.sql(e._lr_calibration_sql()).fetchall()
+    assert len(got) == len(want) > 0
+    for r, w in zip(got, want):
+        assert (r.bin, r.n) == w[:2]
+        for a, b in zip((r.mean_pred, r.frac_pos, r.gap, r.ece), w[2:]):
+            assert a == pytest.approx(b, abs=1e-6)
