@@ -244,6 +244,7 @@ def main() -> None:
         "tokenize_pack": lambda: _entry._q_tokenize_pack(spark, SF_DIR),
         "extractor_diff": lambda: _entry._q_extractor_diff(spark, SF_DIR),
         "lr_calibration": lambda: _entry._q_lr_calibration(spark, SF_DIR),
+        "corpus_card": lambda: _entry._q_corpus_card(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

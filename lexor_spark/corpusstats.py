@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 from lexor_spark.textfns import SQL as TSQL
 from lexor_spark.textfns import normalize_text
 
-__all__ = ["zipf_fit", "zipf_fit_sql", "heaps_law", "heaps_law_sql"]
+__all__ = ["zipf_fit", "zipf_fit_sql", "heaps_law", "heaps_law_sql",
+           "corpus_card", "corpus_card_sql"]
 
 
 def _terms(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -192,4 +193,75 @@ select bucket, tokens_cum, vocab_cum,
        round(covar_pop(ln(tokens_cum), ln(vocab_cum)) over ()
              / var_pop(ln(tokens_cum)) over (), 4) as heaps_beta
 from grown
+"""
+
+
+def corpus_card(docs: DataFrame, text_col: str = "text",
+                lang_col: str = "lang",
+                id_col: str = "doc_id") -> DataFrame:
+    """The per-language DATASET-CARD statistics table (the numbers every
+    public corpus release publishes — C4/ROOTS/FineWeb dataset cards):
+    per language, document count + share, token totals/means, exact
+    p50/p90 token-count quantiles, mean heuristic quality, and the
+    fraction of docs passing the quality >= 0.5 bar.
+
+    One groupBy(lang) over scan-side token/quality expressions — every
+    aggregate except the quantiles is map-side combinable; the exact
+    ``percentile`` is a per-group sort kept for bit-identical
+    oracle-ability (swap to ``approx_percentile`` at 10^12 docs — same
+    plan shape, sketch-merged instead of sorted).  The corpus total for
+    the share column is a broadcast 1-row aggregate, not a window."""
+    from lexor_spark.textfns import quality_score, token_count
+
+    d = docs.select(
+        F.col(lang_col).alias("lang"),
+        token_count(F.col(text_col)).cast("long").alias("toks"),
+        quality_score(F.col(text_col)).alias("q"))
+    per = (d.groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("toks").alias("total_tokens"),
+                F.round(F.avg("toks"), 4).alias("mean_tokens"),
+                F.round(F.percentile("toks", F.lit(0.5)), 4)
+                 .alias("p50_tokens"),
+                F.round(F.percentile("toks", F.lit(0.9)), 4)
+                 .alias("p90_tokens"),
+                F.round(F.avg("q"), 4).alias("mean_quality"),
+                F.round(F.avg((F.col("q") >= 0.5).cast("int")), 4)
+                 .alias("keep_frac")))
+    total = docs.agg(F.count("*").alias("_total"))
+    return (per.crossJoin(F.broadcast(total))
+            .select("lang", "n_docs",
+                    F.round(F.col("n_docs") / F.col("_total"), 4)
+                     .alias("share"),
+                    "total_tokens", "mean_tokens", "p50_tokens",
+                    "p90_tokens", "mean_quality", "keep_frac")
+            .orderBy("lang"))
+
+
+def corpus_card_sql(table: str, text_col: str = "text",
+                    lang_col: str = "lang",
+                    id_col: str = "doc_id") -> str:
+    from lexor_spark.textfns import SQL as TF
+    toks = TF.TOKEN_COUNT.format(c=text_col)
+    q = TF.quality_score(text_col)
+    return f"""
+with d as (
+  select {lang_col} as lang, ({toks})::bigint as toks, {q} as q
+  from {table}
+),
+per as (
+  select lang, count(*)::bigint as n_docs,
+         sum(toks)::bigint as total_tokens,
+         round(avg(toks), 4) as mean_tokens,
+         round(quantile_cont(toks, 0.5), 4) as p50_tokens,
+         round(quantile_cont(toks, 0.9), 4) as p90_tokens,
+         round(avg(q), 4) as mean_quality,
+         round(avg((q >= 0.5)::int), 4) as keep_frac
+  from d group by lang
+),
+t as (select count(*)::bigint as _total from {table})
+select lang, n_docs, round(n_docs / _total::double, 4) as share,
+       total_tokens, mean_tokens, p50_tokens, p90_tokens,
+       mean_quality, keep_frac
+from per, t order by lang
 """

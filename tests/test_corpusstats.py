@@ -261,3 +261,41 @@ def test_calibration_matches_duckdb(spark):
         assert (r.bin, r.n) == w[:2]
         for a, b in zip((r.mean_pred, r.frac_pos, r.gap, r.ece), w[2:]):
             assert a == pytest.approx(b, abs=1e-6)
+
+
+# -- corpus card -----------------------------------------------------------
+
+def test_corpus_card_hand_computed(spark):
+    from lexor_spark.corpusstats import corpus_card
+    docs = spark.createDataFrame(
+        [(0, "en", "one two three"), (1, "en", "a b c d e f g"),
+         (2, "de", "eins zwei")],
+        "doc_id long, lang string, text string")
+    rows = {r.lang: r for r in corpus_card(docs).collect()}
+    assert rows["en"].n_docs == 2 and rows["de"].n_docs == 1
+    assert rows["en"].share == pytest.approx(round(2 / 3, 4), abs=1e-6)
+    assert rows["en"].total_tokens == 10
+    assert rows["en"].mean_tokens == 5.0
+    assert rows["en"].p50_tokens == 5.0     # interpolated between 3,7
+    assert rows["de"].p50_tokens == 2.0
+    assert 0.0 <= rows["en"].keep_frac <= 1.0
+
+
+def test_corpus_card_matches_duckdb(spark):
+    from lexor_spark.corpusstats import corpus_card, corpus_card_sql
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = corpus_card(docs).collect()
+    con = duckdb.connect()
+    con.sql("create view documents as select * from "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = con.sql(corpus_card_sql("documents")).fetchall()
+    assert len(got) == len(want) > 0
+    tot_share = 0.0
+    for r, w in zip(got, want):
+        assert (r.lang, r.n_docs, r.total_tokens) == (w[0], w[1], w[3])
+        for a, b in zip((r.share, r.mean_tokens, r.p50_tokens,
+                         r.p90_tokens, r.mean_quality, r.keep_frac),
+                        (w[2], w[4], w[5], w[6], w[7], w[8])):
+            assert a == pytest.approx(b, abs=1e-6)
+        tot_share += r.share
+    assert tot_share == pytest.approx(1.0, abs=0.01)
