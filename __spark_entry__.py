@@ -3459,7 +3459,10 @@ def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.select(url.alias("url"),
                         F.encode(html, "UTF-8").alias("html"))
     alts = graph.extract_alternates(pages)
-    return graph.hreflang_clusters(alts).orderBy("cluster")
+    # rounds=3: the fixture's 3-cycles converge in 2 jumps; the oracle
+    # computes the fixed point, so a non-converged round count would
+    # hash-mismatch rather than silently pass
+    return graph.hreflang_clusters(alts, rounds=3).orderBy("cluster")
 
 
 def _hreflang_clusters_sql() -> str:
