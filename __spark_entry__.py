@@ -1942,6 +1942,14 @@ def _q_extractor_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. nav-link farm — nothing survives either extractor
        (both_empty)."""
     from lexor_spark.job import extractor_diff
+    return (extractor_diff(
+        _diff_pages_df(spark, sf_dir),
+        partitions=spark.sparkContext.defaultParallelism)
+        .orderBy("url"))
+
+
+def _diff_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-variant cross-extractor fixture (see _q_extractor_diff)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     ds = did.cast("string")
@@ -1967,10 +1975,19 @@ def _q_extractor_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(
         F.lit("https://site"), F.pmod(did, F.lit(97)).cast("string"),
         F.lit(".example/"), F.col("source"), F.lit("/p"), ds)
-    pages = docs.select(url.alias("url"),
-                        F.encode(html, "UTF-8").alias("html"))
-    return (extractor_diff(
-        pages, partitions=spark.sparkContext.defaultParallelism)
+    return docs.select(url.alias("url"),
+                       F.encode(html, "UTF-8").alias("html"))
+
+
+def _q_extract_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routing sink over the same 4-variant fixture: kernel text
+    normally, density fallback when the rule-set found nothing, the
+    diverge slice flagged needs_review (rows-only; the choice ladder
+    and every variant's routing are pytest-pinned)."""
+    from lexor_spark.job import extract_consensus
+    return (extract_consensus(
+        _diff_pages_df(spark, sf_dir),
+        partitions=spark.sparkContext.defaultParallelism)
         .orderBy("url"))
 
 
@@ -3870,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # P/R/F1 arithmetic is the value-oracled extract_eval, and the
         # verdict ladder is pytest-pinned on crafted disagreements)
         "extractor_diff": _q_extractor_diff,
+        "extract_consensus": _q_extract_consensus,
         # multimodal: real BMP/WAV codecs + deterministic-fallback
         # plumbing (rows-only — pixel/waveform math is not ANSI SQL)
         "media_features": _q_media_features,

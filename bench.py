@@ -245,6 +245,8 @@ def main() -> None:
         "extractor_diff": lambda: _entry._q_extractor_diff(spark, SF_DIR),
         "lr_calibration": lambda: _entry._q_lr_calibration(spark, SF_DIR),
         "corpus_card": lambda: _entry._q_corpus_card(spark, SF_DIR),
+        "extract_consensus": lambda: _entry._q_extract_consensus(spark,
+                                                                 SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

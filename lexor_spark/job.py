@@ -736,6 +736,57 @@ def extractor_diff(pages: DataFrame, lo_f1: float = 0.5,
                     verdict.alias("verdict"))
 
 
+def extract_consensus(pages: DataFrame, lo_f1: float = 0.5,
+                      salt_buckets: int = 256,
+                      partitions: Optional[int] = None) -> DataFrame:
+    """The routing SINK for :func:`extractor_diff`: one final
+    extraction table per page with the production choice applied —
+    kernel text when the kernel found content, density text as the
+    fallback when the kernel came back empty but the statistics kept
+    prose (e.g. content inside a boilerplate-classed container the
+    rule-set drops), and a ``needs_review`` flag on genuine
+    disagreements (both non-empty, token-F1 < ``lo_f1``) so a curation
+    pipeline can quarantine exactly the pages where the two extractors
+    tell different stories instead of silently trusting either.
+
+    Output: (url, text, source 'kernel'|'density'|'none',
+    needs_review, f1).
+
+    Both extractor outputs are ``localCheckpoint``-materialized because
+    each feeds BOTH the agreement eval and the final text choice — one
+    kernel parse per extractor, not two (at production scale persist
+    them to the job's parquet staging area instead; same plan, durable
+    materialization)."""
+    from lexor_spark.evals import eval_extraction
+
+    kern = (extract_pages(pages, salt_buckets, partitions)
+            .select("url", F.col("text").alias("k_text"))
+            .localCheckpoint(eager=True))
+    dens = (extract_density_pages(pages, salt_buckets, partitions)
+            .select("url", F.col("text").alias("d_text"))
+            .localCheckpoint(eager=True))
+    ev = (eval_extraction(kern.select("url", F.col("k_text").alias("text")),
+                          dens.select("url", F.col("d_text").alias("text")),
+                          id_col="url")
+          .withColumnRenamed("doc_id", "url")
+          .select("url", "f1"))
+    k_has = F.length(F.coalesce("k_text", F.lit(""))) > 0
+    d_has = F.length(F.coalesce("d_text", F.lit(""))) > 0
+    j = (pages.select("url")
+         .join(kern, "url", "left").join(dens, "url", "left")
+         .join(ev, "url", "left"))
+    source = (F.when(k_has, "kernel")
+              .when(d_has, "density")
+              .otherwise("none"))
+    text = (F.when(k_has, F.col("k_text"))
+            .when(d_has, F.col("d_text"))
+            .otherwise(F.lit("")))
+    f1 = F.coalesce("f1", F.lit(0.0))
+    review = k_has & d_has & (f1 < lo_f1)
+    return j.select("url", text.alias("text"), source.alias("source"),
+                    review.alias("needs_review"), f1.alias("f1"))
+
+
 def committed_groups(output_dir: str) -> set[int]:
     """Groups already committed by a previous (possibly killed) run."""
     done: set[int] = set()

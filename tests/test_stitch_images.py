@@ -236,3 +236,37 @@ def test_extractor_diff_every_page_reported(spark):
     rows = extractor_diff(pages, partitions=2).collect()
     assert {r.url for r in rows} == {"https://q.example/a",
                                      "https://q.example/b"}
+
+
+def test_extract_consensus_routing(spark):
+    from lexor_spark.job import extract_consensus
+
+    prose = ("<p>It is one of the best days that we have seen and it is "
+             "clear that all of us will be able to read more of the work "
+             "when it is out because there was a lot of it to see.</p>"
+             "<p>We can also say that the review was one of the best "
+             "that any of us had read in a long time and that there "
+             "will be more to come from the same team when they are "
+             "done with the next part of the work on it.</p>")
+    pages = spark.createDataFrame([
+        _qa_page("https://q.example/agree", f"<article>{prose}</article>"),
+        _qa_page("https://q.example/diverge",
+                 prose + "<div>&copy; 2026 q all rights reserved</div>"),
+        # content inside a boilerplate-classed container: the rule-set
+        # drops it, the density side keeps the prose -> density fallback
+        _qa_page("https://q.example/fallback",
+                 f'<div class="sidebar">{prose}</div>'),
+        _qa_page("https://q.example/none",
+                 '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
+    ], "url string, html binary")
+    got = {r.url.rsplit("/", 1)[1]: r for r in
+           extract_consensus(pages, partitions=4).collect()}
+    assert got["agree"].source == "kernel"
+    assert not got["agree"].needs_review
+    assert "best days" in got["agree"].text
+    assert got["diverge"].source == "kernel"
+    assert got["diverge"].needs_review          # the QA quarantine
+    assert got["fallback"].source == "density"
+    assert "best days" in got["fallback"].text
+    assert not got["fallback"].needs_review
+    assert got["none"].source == "none" and got["none"].text == ""
