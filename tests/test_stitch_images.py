@@ -270,3 +270,35 @@ def test_extract_consensus_routing(spark):
     assert "best days" in got["fallback"].text
     assert not got["fallback"].needs_review
     assert got["none"].source == "none" and got["none"].text == ""
+
+
+# -- hostile inputs through the new kernel passes --------------------------
+
+def test_new_kernel_passes_survive_hostile_bytes(spark):
+    """Garbage bytes, empty, NULL html, unclosed tags, deep nesting:
+    every new mapInArrow pass must yield rows (possibly none for the
+    page) and never a task failure."""
+    deep = ("<div>" * 3000) + "x" + ("</div>" * 3000)
+    rows = [
+        ("https://h.example/garbage", bytearray(b"\x00\xff\xfe\x01abc")),
+        ("https://h.example/empty", bytearray(b"")),
+        ("https://h.example/null", None),
+        ("https://h.example/unclosed",
+         bytearray(b'<html><body><img src="/a.jpg" <p>broken')),
+        ("https://h.example/deep", bytearray(deep.encode())),
+        ("https://h.example/ok",
+         bytearray(b'<html><head><link rel="alternate" hreflang="en" '
+                   b'href="/en"><link rel="next" href="/p2"></head>'
+                   b'<body><img src="/i.png" alt="a"></body></html>')),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    imgs = extract_images(pages).collect()
+    alts = extract_alternates(pages).collect()
+    dirs = extract_directives(pages).collect()
+    # the well-formed page's rows came through
+    assert any(r.url.endswith("/ok") and r.src == "/i.png" for r in imgs)
+    assert any(r.url.endswith("/ok") and r.hreflang == "en" for r in alts)
+    ok_dir = [r for r in dirs if r.url.endswith("/ok")][0]
+    assert ok_dir.rel_next_abs == "https://h.example/p2"
+    # directives yields one row per input page no matter what
+    assert len(dirs) == len(rows)
