@@ -3545,7 +3545,7 @@ def _srcset_assets_sql() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed entries FIRST (the driver's correctness file records
-    the first 50 entries), rows-only entries after.  141 queries are
+    the first 50 entries), rows-only entries after.  142 queries are
     value-oracled, so most must sit past the window — every one of them
     is verified by the scripts/check_oracles.py full sweep each round.
 
