@@ -247,6 +247,9 @@ def main() -> None:
         "corpus_card": lambda: _entry._q_corpus_card(spark, SF_DIR),
         "extract_consensus": lambda: _entry._q_extract_consensus(spark,
                                                                  SF_DIR),
+        # exhaustive-jaccard truth side makes this the heaviest dedup
+        # audit — timed so a regression in the pair machinery shows
+        "lsh_recall": lambda: _entry._q_lsh_recall(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -679,21 +679,37 @@ def srcset_candidates(images: DataFrame) -> DataFrame:
     Pure scan-side string work (split/trim/regexp on the already-
     extracted attributes): no shuffle, no kernel re-parse.  Output:
     ``(url, img_idx, asset_url, descriptor, width)``; the ``src`` row
-    carries a NULL descriptor."""
+    carries a NULL descriptor.
+
+    Candidate separation follows the spec's ambiguity rules rather
+    than a bare comma split: a comma separates candidates when it
+    follows a ``12w``/``2x`` descriptor or is followed by whitespace;
+    a comma embedded in a URL (Cloudinary-style ``/w_100,h_200/``)
+    stays part of the URL (the spec forbids URLs *starting/ending*
+    with commas, so those are the only comma positions a separator can
+    occupy).  Both rewrites are plain capture-group ``regexp_replace``
+    (no lookbehind — the DuckDB mirror is RE2); trims strip ALL
+    whitespace (newlines between candidates are common), and empty
+    fragments are dropped so the downloader never sees a '' url."""
     base = images.select(
         "url", "img_idx", F.col("src").alias("asset_url"),
         F.lit(None).cast("string").alias("descriptor")
     ).where(F.col("asset_url").isNotNull())
+    sep = F.regexp_replace(
+        F.regexp_replace("srcset", r"([0-9](?:w|x))\s*,", "$1\x01"),
+        r",\s+", "\x01")
     cand = (images
             .where(F.col("srcset").isNotNull())
             .select("url", "img_idx",
-                    F.explode(F.split("srcset", ",")).alias("c"))
-            .select("url", "img_idx", F.trim("c").alias("c"))
+                    F.explode(F.split(sep, "\x01")).alias("c"))
+            .select("url", "img_idx",
+                    F.regexp_replace("c", r"^\s+|\s+$", "").alias("c"))
             .where(F.col("c") != "")
             .select("url", "img_idx",
                     F.regexp_extract("c", r"^(\S+)", 1).alias("asset_url"),
                     F.nullif(F.regexp_extract("c", r"^\S+\s+(\S+)", 1),
-                             F.lit("")).alias("descriptor")))
+                             F.lit("")).alias("descriptor"))
+            .where(F.col("asset_url") != ""))
     out = base.unionByName(cand)
     width = F.when(F.col("descriptor").rlike(r"^[0-9]+w$"),
                    F.regexp_extract("descriptor", r"^([0-9]+)w$", 1)
@@ -713,11 +729,20 @@ base as (
 ),
 cand as (
   select url, img_idx,
-         regexp_extract(trim(c), '^(\\S+)', 1) as asset_url,
-         nullif(regexp_extract(trim(c), '^\\S+\\s+(\\S+)', 1), '')
+         regexp_extract(ct, '^(\\S+)', 1) as asset_url,
+         nullif(regexp_extract(ct, '^\\S+\\s+(\\S+)', 1), '')
            as descriptor
-  from img, unnest(string_split(srcset, ',')) as t(c)
-  where srcset is not null and trim(c) != ''
+  from (
+    select url, img_idx,
+           regexp_replace(c, '^\\s+|\\s+$', '', 'g') as ct
+    from img, unnest(string_split(
+      regexp_replace(
+        regexp_replace(srcset, '([0-9](w|x))\\s*,', '\\1' || chr(1), 'g'),
+        ',\\s+', chr(1), 'g'),
+      chr(1))) as t(c)
+    where srcset is not null
+  )
+  where ct != '' and regexp_extract(ct, '^(\\S+)', 1) != ''
 ),
 u as (select * from base union all select * from cand)
 select url, img_idx, asset_url, descriptor,

@@ -197,8 +197,7 @@ from grown
 
 
 def corpus_card(docs: DataFrame, text_col: str = "text",
-                lang_col: str = "lang",
-                id_col: str = "doc_id") -> DataFrame:
+                lang_col: str = "lang") -> DataFrame:
     """The per-language DATASET-CARD statistics table (the numbers every
     public corpus release publishes — C4/ROOTS/FineWeb dataset cards):
     per language, document count + share, token totals/means, exact
@@ -210,7 +209,9 @@ def corpus_card(docs: DataFrame, text_col: str = "text",
     ``percentile`` is a per-group sort kept for bit-identical
     oracle-ability (swap to ``approx_percentile`` at 10^12 docs — same
     plan shape, sketch-merged instead of sorted).  The corpus total for
-    the share column is a broadcast 1-row aggregate, not a window."""
+    the share column comes from the already-aggregated per-language
+    rows (one window over <= #languages rows) — the corpus is scanned
+    exactly once."""
     from lexor_spark.textfns import quality_score, token_count
 
     d = docs.select(
@@ -228,10 +229,12 @@ def corpus_card(docs: DataFrame, text_col: str = "text",
                 F.round(F.avg("q"), 4).alias("mean_quality"),
                 F.round(F.avg((F.col("q") >= 0.5).cast("int")), 4)
                  .alias("keep_frac")))
-    total = docs.agg(F.count("*").alias("_total"))
-    return (per.crossJoin(F.broadcast(total))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    return (per
             .select("lang", "n_docs",
-                    F.round(F.col("n_docs") / F.col("_total"), 4)
+                    F.round(F.col("n_docs")
+                            / F.sum("n_docs").over(wall), 4)
                      .alias("share"),
                     "total_tokens", "mean_tokens", "p50_tokens",
                     "p90_tokens", "mean_quality", "keep_frac")
@@ -239,8 +242,7 @@ def corpus_card(docs: DataFrame, text_col: str = "text",
 
 
 def corpus_card_sql(table: str, text_col: str = "text",
-                    lang_col: str = "lang",
-                    id_col: str = "doc_id") -> str:
+                    lang_col: str = "lang") -> str:
     from lexor_spark.textfns import SQL as TF
     toks = TF.TOKEN_COUNT.format(c=text_col)
     q = TF.quality_score(text_col)
@@ -258,10 +260,10 @@ per as (
          round(avg(q), 4) as mean_quality,
          round(avg((q >= 0.5)::int), 4) as keep_frac
   from d group by lang
-),
-t as (select count(*)::bigint as _total from {table})
-select lang, n_docs, round(n_docs / _total::double, 4) as share,
+)
+select lang, n_docs,
+       round(n_docs / sum(n_docs) over ()::double, 4) as share,
        total_tokens, mean_tokens, p50_tokens, p90_tokens,
        mean_quality, keep_frac
-from per, t order by lang
+from per order by lang
 """

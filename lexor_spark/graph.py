@@ -59,7 +59,14 @@ def _resolve(base: str, href: str) -> str:
     """Minimal absolute resolution (scheme-absolute / protocol-relative
     / root-relative / path-relative) — the subset a frontier needs; the
     full RFC 3986 merge is a data-cleaning refinement, not engine
-    work."""
+    work.  NULL-safe: a None base (hostile input row) or None href must
+    degrade, never raise — every kernel batch builder calls this while
+    its per-page column lists are mid-append, so an exception here
+    would leave the lists ragged and kill the whole Arrow batch."""
+    if not href:
+        return None
+    if not base:
+        return href
     if "://" in href[:10]:
         return href
     scheme_end = base.find("://")
@@ -565,8 +572,14 @@ def host_rank(pages: DataFrame, iters: int = PR_ITERS,
     sibling :func:`hyperball`): :func:`host_edges` → xxhash64 host ids
     (8-byte per-round shuffle keys, same trick as
     :func:`pagerank_links`) → :func:`pagerank` power iteration →
-    join back to host strings.  Returns (host, rank)."""
-    e = host_edges(pages)
+    join back to host strings.  Returns (host, rank).
+
+    The edge table feeds the node list, the iteration AND the readout
+    join, so it is materialized once (localCheckpoint) — without it
+    every consumer would re-run the kernel parse of all pages; at
+    production scale persist the edges to parquet staging instead
+    (same plan, durable)."""
+    e = host_edges(pages).localCheckpoint(eager=True)
     hosts = (e.select(F.col("src_host").alias("host"))
              .union(e.select("dst_host")).distinct())
     nodes = hosts.select(F.xxhash64("host").alias("node_id"), "host")
@@ -767,10 +780,13 @@ def _alternates_batches(batches: Iterator[pa.RecordBatch]
                         href = a.get("href")
                         lang = (a.get("hreflang") or "").strip().lower()
                         if rel == "alternate" and href and lang:
+                            # resolve BEFORE any append: a raise here
+                            # must not leave the column lists ragged
+                            resolved = _resolve(url, href)
                             cols["url"].append(url)
                             cols["hreflang"].append(lang)
                             cols["href"].append(href)
-                            cols["abs_url"].append(_resolve(url, href))
+                            cols["abs_url"].append(resolved)
                 except Exception:
                     pass
                 finally:
@@ -808,12 +824,23 @@ def article_chains(directives: DataFrame,
     shuffle rounds, never a per-hop driver loop.  Heads themselves
     (pages with a next but no predecessor) are unioned in at page 0;
     ``looped`` marks next-cycles (real-site pathology: crawlers keep
-    the members unstitched)."""
+    the members unstitched).
+
+    CONFLICTED targets — a page that two different pages both declare
+    as their rel=next (syndicated duplicates, copy-paste templates) —
+    get NO predecessor edge: keeping an arbitrary winner would stitch
+    the downstream pages onto one article and silently truncate the
+    other, so the ambiguous page starts its own chain instead (both
+    upstream articles end before it; nothing mis-attaches)."""
     nxt = (directives
            .filter(F.col("rel_next_abs").isNotNull()
                    & (F.col("rel_next_abs") != F.col("url")))
            .select(F.col("url").alias("u"),
                    F.col("rel_next_abs").alias("v")))
+    unique_tgt = (nxt.groupBy("v")
+                  .agg(F.count("*").alias("_np"))
+                  .filter(F.col("_np") == 1).select("v"))
+    nxt = nxt.join(unique_tgt, "v")
     pred = nxt.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     res = resolve_redirects(pred, rounds)
     members = res.select(F.col("url_id").alias("url"),

@@ -302,3 +302,69 @@ def test_new_kernel_passes_survive_hostile_bytes(spark):
     assert ok_dir.rel_next_abs == "https://h.example/p2"
     # directives yields one row per input page no matter what
     assert len(dirs) == len(rows)
+
+
+def test_srcset_comma_in_url_and_newlines(spark):
+    """Spec ambiguity rules: commas inside URLs (Cloudinary-style
+    transform params) are NOT separators; descriptor-comma and
+    comma+whitespace (incl. newlines) are; no empty candidates."""
+    pages_rows = [
+        ("https://s.example/c1",
+         '<html><body><img '
+         'srcset="https://cdn.example/w_100,h_200/a.jpg 320w, '
+         'https://cdn.example/w_50,h_90/b.jpg 160w"></body></html>'),
+        ("https://s.example/c2",
+         '<html><body><img srcset="/x.jpg 1x,\n/y.jpg 2x,"></body></html>'),
+    ]
+    pages = _pages(spark, pages_rows)
+    img = extract_images(pages)
+    cand = srcset_candidates(img).collect()
+    by_page = {}
+    for r in cand:
+        by_page.setdefault(r.url, []).append(r)
+    c1 = {r.asset_url: r for r in by_page["https://s.example/c1"]}
+    assert set(c1) == {"https://cdn.example/w_100,h_200/a.jpg",
+                       "https://cdn.example/w_50,h_90/b.jpg"}
+    assert c1["https://cdn.example/w_100,h_200/a.jpg"].width == 320
+    c2 = {r.asset_url: r for r in by_page["https://s.example/c2"]}
+    # newline after descriptor-comma handled; trailing comma no '' row
+    assert set(c2) == {"/x.jpg", "/y.jpg"}
+    assert c2["/y.jpg"].descriptor == "2x"
+    assert all(r.asset_url for r in cand)
+    # DuckDB mirror reproduces the same rows
+    import duckdb as _dd
+    from lexor_spark.content import srcset_candidates_sql
+    con = _dd.connect()
+    con.register("img_tbl", img.toPandas())
+    want = sorted(con.sql(srcset_candidates_sql(
+        "select url, img_idx, src, srcset from img_tbl")).fetchall())
+    got = sorted((r.url, r.img_idx, r.asset_url, r.descriptor, r.width)
+                 for r in cand)
+    assert got == want
+
+
+def test_article_chains_conflicted_target_detached(spark):
+    """Two pages both declaring the same rel=next target (syndicated
+    duplicates): the target must start its OWN chain — neither
+    upstream article may claim it, and downstream pages follow the
+    target, not an arbitrary winner."""
+    def page(u, nxt):
+        link = f'<link rel="next" href="{nxt}">' if nxt else ""
+        return (f"https://s.example{u}",
+                f"<html><head>{link}</head><body>x</body></html>")
+    d = extract_directives(_pages(spark, [
+        page("/h", "/a"), page("/a", "/v"),      # chain H -> A -> (V)
+        page("/c", "/v"),                        # C also claims V
+        page("/v", "/w"), page("/w", None),      # V continues to W
+    ]))
+    got = {r.url: r for r in article_chains(d).collect()}
+    v = "https://s.example/v"
+    # V is conflicted: its own chain head, page 0
+    assert got[v].chain == v and got[v].page_no == 0
+    assert got["https://s.example/w"].chain == v
+    assert got["https://s.example/w"].page_no == 1
+    # H's chain ends at A; C starts alone (no member rows beyond heads)
+    a = got["https://s.example/a"]
+    assert a.chain == "https://s.example/h" and a.page_no == 1
+    assert all(r.chain != "https://s.example/c" or
+               r.url == "https://s.example/c" for r in got.values())
