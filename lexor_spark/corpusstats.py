@@ -66,7 +66,14 @@ def zipf_fit(docs: DataFrame, text_col: str = "text",
 
     Plan: scan → explode → groupBy(term) count (partial agg) →
     TakeOrderedAndProject(top_n) → window-rank over top_n rows →
-    single tiny aggregate.  Nothing corpus-sized is ever sorted."""
+    single tiny aggregate.  Nothing corpus-sized is ever sorted.
+
+    Cross-engine note: the co-moment sums are accumulation-order-
+    dependent floats; the ``round(…, 4)`` output guard leaves ~1e-13
+    of noise against a 5e-5 rounding boundary (the same tolerance
+    every avg/ratio oracle in this repo relies on — flake odds are
+    negligible, unlike the bit-exact integer/max estimators which are
+    engineered order-independent)."""
     freq = (_terms(docs, text_col, id_col)
             .groupBy("term").agg(F.count("*").alias("freq"))
             .orderBy(F.desc("freq"), F.asc("term"))

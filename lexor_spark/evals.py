@@ -210,7 +210,10 @@ def calibration_bins(scores: DataFrame, labels: DataFrame,
     (``prob = 1.0`` clamps into the top bin), per-bin aggregates
     map-side combinable, and the only window runs over ≤ n_bins rows.
     All floats round to 6 decimals; ``gap``/``ece`` derive from the
-    already-rounded bin means so both engines hit identical values."""
+    already-rounded bin means so they add no NEW float noise — the bin
+    means themselves carry the usual order-dependent ~1e-13 sum noise
+    under the 5e-7 rounding guard (the repo-standard avg-oracle
+    tolerance)."""
     from pyspark.sql import Window
 
     j = scores.join(labels, id_col)
