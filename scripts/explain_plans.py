@@ -203,7 +203,10 @@ NOTES = {
         "exchange (partial HashAggregate under the kernel MapInArrow), "
         "so the per-round PageRank shuffles move 8-byte xxhash64 host "
         "ids over a graph bounded by |hosts|^2, never page-level "
-        "links."),
+        "links.  The edge table is localCheckpoint-materialized (it "
+        "feeds nodes, the iteration and the readout), so the plan "
+        "below starts from the checkpointed scan — the kernel parse "
+        "ran exactly once."),
     "tokenize_pack": (
         "The encode side is one MapInPandas over the normalized scan "
         "(merge list ships in the closure); the placement is the "
