@@ -2767,6 +2767,18 @@ def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LR_LABEL_SQL = "text like '%spark%'"
 
 
+def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the inverted index (build_postings →
+    bm25_from_postings): same query as bm25_search but zero text
+    re-reads — only the query terms' posting rows move.  The oracle
+    rebuilds the index AND replays the index-side scoring in one
+    statement; pytest separately pins row-identity with the
+    corpus-scan bm25_topk path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search.bm25_from_postings(
+        search.build_postings(docs), "spark join window", k=15)
+
+
 def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language dataset-card statistics (doc counts/shares, token
     totals, exact p50/p90 quantiles, quality means, keep fraction) —
@@ -3651,7 +3663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    srcset_assets, dedup.py via lsh_recall/minhash family
         #    staying via dedup_exact/containment_pairs) --
         "readability": _q_readability,
-        "zipf_fit": _q_zipf_fit,
+        # bm25_indexed took zipf_fit's slot (corpusstats stays
+        # in-window via heaps_law; zipf_fit just past the boundary,
+        # locally sweep-verified) — it carries the NEW index-serving
+        # bm25_from_postings code
+        "bm25_indexed": _q_bm25_indexed,
         "heaps_law": _q_heaps_law,
         "lsh_tuning": _q_lsh_tuning,
         "lsh_recall": _q_lsh_recall,
@@ -3824,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "robots_filter": _q_robots_filter,
         "corpus_card": _q_corpus_card,
+        "zipf_fit": _q_zipf_fit,
         "sitemap_index": _q_sitemap_index,
         "sitemap_entries": _q_sitemap_entries,
         "pagerank": _q_pagerank,
@@ -4140,6 +4157,9 @@ def oracle_sql() -> dict[str, str]:
                       + ") order by doc_id"),
         "lr_calibration": _lr_calibration_sql(),
         "corpus_card": corpusstats.corpus_card_sql("documents"),
+        "bm25_indexed": search.bm25_from_postings_sql(
+            search.build_postings_sql("documents"),
+            "spark join window", k=15),
         "pack_bins": ("select * from ("
                       + packing.pack_bins_sql("documents", budget=2048)
                       + ") order by doc_id"),

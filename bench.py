@@ -250,6 +250,7 @@ def main() -> None:
         # exhaustive-jaccard truth side makes this the heaviest dedup
         # audit — timed so a regression in the pair machinery shows
         "lsh_recall": lambda: _entry._q_lsh_recall(spark, SF_DIR),
+        "bm25_indexed": lambda: _entry._q_bm25_indexed(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

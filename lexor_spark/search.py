@@ -28,7 +28,9 @@ from lexor_spark.textfns import SQL, _let, normalize_text
 __all__ = ["bm25_topk", "bm25_topk_sql", "tfidf_keywords",
            "snippets", "snippets_sql", "serp_dedup", "serp_dedup_sql",
            "tfidf_keywords_sql", "ngram_counts", "ngram_counts_sql",
-           "build_postings", "build_postings_sql", "merge_postings",
+           "build_postings", "build_postings_sql",
+           "bm25_from_postings", "bm25_from_postings_sql",
+           "merge_postings",
            "merge_postings_sql", "phrase_search",
            "phrase_search_sql"]
 
@@ -615,4 +617,77 @@ c as ({changed_sql})
 select * from b where {id_col} not in (select {id_col} from c)
 union all
 select * from d
+"""
+
+
+def bm25_from_postings(postings: DataFrame, query: str, k: int = 10,
+                       k1: float = 1.2, b: float = 0.75,
+                       id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-``k`` served FROM the inverted index — the query-time
+    complement of :func:`bm25_topk` (which scans the corpus for one
+    ad-hoc query): only the query terms' posting rows move, document
+    lengths and corpus stats come from index-side aggregates, and no
+    text is ever re-read.  Same formula, same rounding, same
+    (doc_id, dl, bm25) output and (score desc, doc_id) tie-break, so
+    on a corpus with no token-less documents the two paths return
+    IDENTICAL rows (pytest-pinned) — the only semantic delta is that
+    an index only knows indexed documents, so empty docs don't count
+    toward n/avgdl here.
+
+    Plan shape at 10^12 docs: doc lengths are one map-side-combinable
+    agg over the index (or a maintained side table); the query filter
+    prunes the postings scan to |terms| keys (bucketed-by-term storage
+    makes that partition pruning, cf. ``build_postings``); per-term
+    document frequencies are a ≤|terms|-row broadcast; the scoring
+    join is doc-keyed; the answer is TakeOrderedAndProject(k)."""
+    terms = _norm_terms(query)
+    if not terms:
+        raise ValueError("bm25_from_postings: empty query")
+    doclens = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = doclens.agg(F.count("*").alias("n"),
+                        F.avg("dl").alias("avgdl"))
+    qp = postings.filter(F.col("term").isin(list(terms))) \
+        .select("term", id_col, "tf")
+    dfs = qp.groupBy("term").agg(F.count("*").alias("df"))
+    tf = F.col("tf").cast("double")
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    part = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl")
+                                             / F.col("avgdl")))
+    scored = (qp.join(F.broadcast(dfs), "term")
+              .join(doclens, id_col)
+              .crossJoin(F.broadcast(stats))
+              .groupBy(id_col, "dl")
+              .agg(F.round(F.sum(part), 4).alias("bm25")))
+    return (scored.select(id_col, F.col("dl").cast("long").alias("dl"),
+                          "bm25")
+            .filter(F.col("bm25") > 0)
+            .orderBy(F.desc("bm25"), id_col).limit(k))
+
+
+def bm25_from_postings_sql(postings_sql: str, query: str, k: int = 10,
+                           k1: float = 1.2, b: float = 0.75,
+                           id_col: str = "doc_id") -> str:
+    """DuckDB mirror over a SELECT producing (term, doc_id, tf)."""
+    terms = _norm_terms(query)
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+with p as ({postings_sql}),
+dl as (
+  select {id_col}, sum(tf)::bigint as dl from p group by {id_col}
+),
+st as (select count(*)::bigint as n, avg(dl) as avgdl from dl),
+qp as (select term, {id_col}, tf from p where term in ({quoted})),
+dfs as (select term, count(*)::bigint as df from qp group by term),
+scored as (
+  select qp.{id_col}, dl.dl,
+         round(sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * qp.tf * ({k1} + 1)
+                   / (qp.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))),
+               4) as bm25
+  from qp join dfs using (term) join dl using ({id_col}) cross join st
+  group by qp.{id_col}, dl.dl
+)
+select {id_col}, dl, bm25 from scored
+where bm25 > 0 order by bm25 desc, {id_col} limit {k}
 """

@@ -299,3 +299,34 @@ def test_corpus_card_matches_duckdb(spark):
             assert a == pytest.approx(b, abs=1e-6)
         tot_share += r.share
     assert tot_share == pytest.approx(1.0, abs=0.01)
+
+
+# -- index-served BM25 -----------------------------------------------------
+
+def test_bm25_index_path_equals_scan_path(spark):
+    """bm25_from_postings over build_postings must return EXACTLY the
+    rows of the corpus-scan bm25_topk (same tokenizer, same formula,
+    same rounding, same tie-break) on a corpus without empty docs."""
+    from lexor_spark import search
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = "spark join window"
+    scan = [(r.doc_id, r.dl, r.bm25)
+            for r in search.bm25_topk(docs, q, k=20).collect()]
+    idx = [(r.doc_id, r.dl, r.bm25)
+           for r in search.bm25_from_postings(
+               search.build_postings(docs), q, k=20).collect()]
+    assert scan == idx and len(scan) > 0
+
+
+def test_bm25_from_postings_validation_and_pruning(spark):
+    from lexor_spark import search
+    docs = spark.createDataFrame(
+        [(0, "alpha beta beta"), (1, "beta gamma"), (2, "delta")],
+        "doc_id long, text string")
+    p = search.build_postings(docs)
+    with pytest.raises(ValueError):
+        search.bm25_from_postings(p, "   ")
+    rows = search.bm25_from_postings(p, "beta", k=5).collect()
+    # only docs containing the term score; doc 0 (tf=2) outranks doc 1
+    assert [r.doc_id for r in rows] == [0, 1]
+    assert all(r.bm25 > 0 for r in rows)
