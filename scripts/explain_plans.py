@@ -232,6 +232,13 @@ NOTES = {
         "Candidate expansion is scan-side split/explode over the "
         "already-extracted attributes (no kernel re-parse); the src "
         "row and the srcset rows reunite in a zero-shuffle Union."),
+    "bm25_indexed": (
+        "Query-term filter prunes the postings before anything moves "
+        "(bucketed-by-term storage upgrades it to partition pruning); "
+        "df is a broadcast of <= |terms| rows, corpus stats a 1-row "
+        "broadcast, the scoring join doc-keyed, and the answer "
+        "TakeOrderedAndProject(k) — no text is scanned anywhere in "
+        "the plan."),
     "hreflang_clusters": (
         "Alternate edges come from the fused kernel pass; each "
         "propagation round is one edge join + min agg + pointer jump "
@@ -269,7 +276,8 @@ def main() -> None:
                  "postings_index", "phrase_hits", "code_detect",
                  "serp_dedup", "host_rank", "tokenize_pack",
                  "zipf_fit", "heaps_law", "readability",
-                 "srcset_assets", "hreflang_clusters"):
+                 "srcset_assets", "hreflang_clusters",
+                 "bm25_indexed"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
