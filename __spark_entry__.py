@@ -2779,6 +2779,15 @@ def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         search.build_postings(docs), "spark join window", k=15)
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI collocations (adjacent-bigram multi-word expressions)
+    over the corpus — vocabulary-curation input for the BPE tokenizer
+    family.  Exact integer counts feed one fixed-order double ratio,
+    so the oracle replays ln() on the identical double."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpusstats.collocations(docs, min_count=5, k=100)
+
+
 def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language dataset-card statistics (doc counts/shares, token
     totals, exact p50/p90 quantiles, quality means, keep fraction) —
@@ -3841,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "corpus_card": _q_corpus_card,
         "zipf_fit": _q_zipf_fit,
+        "collocations": _q_collocations,
         "sitemap_index": _q_sitemap_index,
         "sitemap_entries": _q_sitemap_entries,
         "pagerank": _q_pagerank,
@@ -4157,6 +4167,8 @@ def oracle_sql() -> dict[str, str]:
                       + ") order by doc_id"),
         "lr_calibration": _lr_calibration_sql(),
         "corpus_card": corpusstats.corpus_card_sql("documents"),
+        "collocations": corpusstats.collocations_sql(
+            "documents", min_count=5, k=100),
         "bm25_indexed": search.bm25_from_postings_sql(
             search.build_postings_sql("documents"),
             "spark join window", k=15),

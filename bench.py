@@ -251,6 +251,7 @@ def main() -> None:
         # audit — timed so a regression in the pair machinery shows
         "lsh_recall": lambda: _entry._q_lsh_recall(spark, SF_DIR),
         "bm25_indexed": lambda: _entry._q_bm25_indexed(spark, SF_DIR),
+        "collocations": lambda: _entry._q_collocations(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -39,7 +39,8 @@ from lexor_spark.textfns import SQL as TSQL
 from lexor_spark.textfns import normalize_text
 
 __all__ = ["zipf_fit", "zipf_fit_sql", "heaps_law", "heaps_law_sql",
-           "corpus_card", "corpus_card_sql"]
+           "corpus_card", "corpus_card_sql",
+           "collocations", "collocations_sql"]
 
 
 def _terms(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -273,4 +274,85 @@ select lang, n_docs,
        total_tokens, mean_tokens, p50_tokens, p90_tokens,
        mean_quality, keep_frac
 from per order by lang
+"""
+
+
+def collocations(docs: DataFrame, min_count: int = 5, k: int = 100,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` adjacent-bigram COLLOCATIONS by pointwise mutual
+    information (Church & Hanks 1990 — the classic multi-word-
+    expression miner; tokenizer pipelines use it to decide which word
+    pairs deserve vocabulary entries, template miners to spot frozen
+    phrases).  PMI = ln(c(ab)·N / (c(a)·c(b))) over corpus counts with
+    a ``min_count`` support floor (PMI is unstable on rare pairs).
+
+    Output (a, b, n_ab, pmi) ordered by (pmi desc, a, b) — the PMI
+    argument is one double division of exact integer counts, so both
+    engines take ``ln`` of the identical double and ``round(…, 4)`` is
+    engine-stable.
+
+    Plan: ONE let-bound token split serves unigram and bigram counts
+    (both map-side-combinable aggs); the bigram→unigram count joins
+    are term-keyed equi-joins (stopword-hot keys join against a
+    1-row-per-term count table, so no key explodes); the answer is
+    TakeOrderedAndProject(k)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    words = (docs.select(F.explode(toks).alias("w"))
+             .where(F.col("w") != ""))
+    uni = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = words.agg(F.count("*").alias("n"))
+    pairs = (docs.select(F.explode(
+        F.filter(F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                            F.slice(toks, 2, F.size(toks) - 1),
+                            lambda a, b: F.struct(a.alias("a"),
+                                                  b.alias("b"))),
+                 lambda s: (s.a != "") & (s.b != ""))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    big = (pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+           .filter(F.col("n_ab") >= min_count))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    # every factor cast to double BEFORE the multiplies: long*long
+    # silently overflows at 10^14-token corpora, and the fixed
+    # (ab*n)/(ca*cb) IEEE sequence is what the DuckDB mirror replays
+    pmi = F.round(F.log(
+        (F.col("n_ab").cast("double") * F.col("n").cast("double"))
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))), 4)
+    return (big.join(ua, "a").join(ub, "b")
+            .crossJoin(F.broadcast(total))
+            .select("a", "b", "n_ab", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "a", "b").limit(k))
+
+
+def collocations_sql(table: str, min_count: int = 5, k: int = 100,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    norm = TSQL.NORMALIZE.format(c=text_col)
+    return f"""
+with d as (
+  select regexp_split_to_array({norm}, ' ') as toks from {table}
+),
+words as (
+  select t.w from d, unnest(toks) as t(w) where t.w != ''
+),
+uni as (select w, count(*)::bigint as c from words group by w),
+total as (select count(*)::bigint as n from words),
+pairs as (
+  select toks[i] as a, toks[i + 1] as b
+  from d, unnest(generate_series(1, len(toks) - 1)) as g(i)
+  where toks[i] != '' and toks[i + 1] != ''
+),
+big as (
+  select a, b, count(*)::bigint as n_ab from pairs group by a, b
+  having count(*) >= {min_count}
+)
+select big.a, big.b, big.n_ab,
+       round(ln((big.n_ab::double * total.n::double)
+                / (ua.c::double * ub.c::double)), 4) as pmi
+from big
+join uni ua on big.a = ua.w
+join uni ub on big.b = ub.w
+cross join total
+order by pmi desc, big.a, big.b limit {k}
 """

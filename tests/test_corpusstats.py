@@ -330,3 +330,44 @@ def test_bm25_from_postings_validation_and_pruning(spark):
     # only docs containing the term score; doc 0 (tf=2) outranks doc 1
     assert [r.doc_id for r in rows] == [0, 1]
     assert all(r.bm25 > 0 for r in rows)
+
+
+# -- PMI collocations ------------------------------------------------------
+
+def test_collocations_frozen_phrase_tops(spark):
+    from lexor_spark.corpusstats import collocations
+    # "hong kong" always adjacent; "the" everywhere => low PMI
+    docs = _docs(spark, [
+        (i, "the visit to hong kong was the best trip of the year")
+        for i in range(6)])
+    rows = collocations(docs, min_count=3, k=20).collect()
+    assert rows
+    # all frozen singleton-word pairs share the max PMI; hong-kong is
+    # one of them, ties broken alphabetically
+    max_pmi = rows[0].pmi
+    hk = [r for r in rows if (r.a, r.b) == ("hong", "kong")][0]
+    assert hk.pmi == max_pmi and hk.n_ab == 6
+    # any pair involving the 3x-frequent 'the' scores strictly lower
+    the_pmis = [r.pmi for r in rows if "the" in (r.a, r.b)]
+    assert the_pmis and all(max_pmi > p for p in the_pmis)
+
+
+def test_collocations_hand_computed_pmi(spark):
+    import math
+    from lexor_spark.corpusstats import collocations
+    docs = _docs(spark, [(0, "a b a b a c")] * 3)
+    rows = {(r.a, r.b): r for r in
+            collocations(docs, min_count=1, k=10).collect()}
+    # counts over 3 identical docs: N=18, c(a)=9, c(b)=6, c(ab)=6
+    ab = rows[("a", "b")]
+    assert ab.n_ab == 6
+    assert ab.pmi == pytest.approx(
+        round(math.log(6 * 18 / (9 * 6)), 4), abs=1e-4)
+
+
+def test_collocations_min_count_floor(spark):
+    from lexor_spark.corpusstats import collocations
+    docs = _docs(spark, [(0, "x y"), (1, "p q"), (2, "p q")])
+    got = {(r.a, r.b) for r in
+           collocations(docs, min_count=2, k=10).collect()}
+    assert got == {("p", "q")}          # singleton pair filtered
