@@ -365,3 +365,23 @@ def test_host_rank_hub_wins(spark):
                         "s3.example"}
     assert got["hub.example"] > got["s1.example"] > got["s2.example"]
     assert got["s2.example"] == got["s3.example"]
+
+
+def test_host_edges_megahost_collapses_before_shuffle(spark):
+    """A mega-host with thousands of pages all linking to the same
+    partner produces exactly ONE host edge — the map-side distinct
+    collapses page-level fan-in so the exchange never sees the skew."""
+    from lexor_spark.graph import host_edges, host_rank
+
+    html = (b'<html><body><a href="https://partner.example/x">p</a>'
+            b'<a href="/self">s</a></body></html>')
+    pages = spark.createDataFrame(
+        [(f"https://mega.example/p{i}", bytearray(html))
+         for i in range(2000)],
+        "url string, html binary")
+    edges = host_edges(pages).collect()
+    assert [(r.src_host, r.dst_host) for r in edges] == \
+        [("mega.example", "partner.example")]
+    ranks = {r.host: r.rank for r in host_rank(pages, iters=3).collect()}
+    assert set(ranks) == {"mega.example", "partner.example"}
+    assert ranks["partner.example"] > ranks["mega.example"]
