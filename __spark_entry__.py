@@ -25,7 +25,7 @@ from lexor_spark import (bpe, cdx, chunking, classify, content, corpusstats,  # 
                          crawlqa, dedup, dsir, evals, feeds, frontier, graph,
                          httpfns, lm, mimesniff,
                          multimodal, packing, robots, sampling, search,
-                         sim, textfns, urlfns)
+                         sim, sketches, textfns, urlfns)
 from lexor_spark.job import (convert_markdown, export_nodes,  # noqa: E402
                              extract_density_pages, extract_pages,
                              extract_routed, normalize_html,
@@ -2821,6 +2821,68 @@ def _lr_calibration_sql() -> str:
         n_bins=10)
 
 
+def _q_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the quality classifier via the integer rank-sum —
+    the ordering audit that complements lr_calibration's probability
+    audit (a top-p% corpus selection consumes the ranking, not the
+    calibrated values).  The oracle re-trains the classifier through
+    the unrolled GD chain and replays the identical all-integer
+    Mann-Whitney accumulation; the single final division is the only
+    float op, so the match is exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    label = F.col("text").contains("spark")
+    weights = classify.lr_train(docs, label)
+    scores = classify.lr_score(docs, weights)
+    labels = docs.select("doc_id", label.alias("label"))
+    return evals.eval_auc(scores, labels)
+
+
+def _lr_auc_sql() -> str:
+    return evals.eval_auc_sql(
+        classify.lr_score_sql("documents", _LR_LABEL_SQL),
+        f"select doc_id, ({_LR_LABEL_SQL}) as label from documents")
+
+
+def _q_cm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters with the exact-count audit column: the
+    fixed-size-sketch answer to "top terms of the crawl" whose shuffle
+    state is capped at d·w counters per task regardless of corpus size
+    (the exact candidate counts are the gate-scale ground truth; at
+    10^12 docs the candidate set comes from a sampled dictionary while
+    the sketch stays exact-integer).  All-integer md5 bucketing →
+    exact oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketches.cm_topk(docs, k=50)
+
+
+def _q_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain-mixture reweighting (Xie et al. 2023): per-source
+    excess loss of the self-trained bigram LM over a reference LM
+    trained on the curated (English) slice, folded into one
+    multiplicative-weights update with uniform smoothing.  The oracle
+    re-trains BOTH language models, re-scores every document, and
+    replays the update's rounding ladder in a single statement."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    proxy = lm.lm_score(docs).select(
+        "doc_id", (-F.col("lm_score")).alias("proxy_nll"))
+    ref = lm.lm_score(docs, train=docs.filter(F.col("lang") == "en")) \
+        .select("doc_id", (-F.col("lm_score")).alias("ref_nll"))
+    losses = (docs.select("doc_id", "source")
+              .join(proxy, "doc_id").join(ref, "doc_id")
+              .select("source", "proxy_nll", "ref_nll"))
+    return sampling.doremi_weights(losses)
+
+
+def _doremi_sql() -> str:
+    losses = f"""
+select d.source, -p.lm_score as proxy_nll, -r.lm_score as ref_nll
+from documents d
+join ({lm.lm_score_sql('documents')}) p using (doc_id)
+join ({lm.lm_score_sql('documents', "lang = 'en'")}) r using (doc_id)
+"""
+    return sampling.doremi_weights_sql(losses)
+
+
 def _q_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised quality-classifier training (FineWeb-Edu shape):
     logistic regression over hashed presence features, 3 fixed GD
@@ -3709,7 +3771,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    robots_filter/robots_filter_ua, cdx_lookup/cdx_diff and
         #    fetch_schedule (which consumes crawl-delay extraction) --
         "postings_index": _q_postings,
-        "phrase_hits": _q_phrase_hits,
+        # lr_auc took phrase_hits' slot (search.py stays in-window via
+        # postings_index/tfidf_keywords/bm25_indexed; phrase_hits waits
+        # just past the boundary, swept every round).  lr_auc carries
+        # the NEW evals.eval_auc rank-sum code and re-verifies the
+        # classify.py chain inside its oracle.
+        "lr_auc": _q_lr_auc,
         "code_detect": _q_code_detect,
         "hyperball": _q_hyperball,
         "redirect_resolve": _q_redirect_resolve,
@@ -3719,7 +3786,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_headers": _q_http_headers,
         "mime_sniff": _q_mime_sniff,
         "cache_plan": _q_cache_plan,
-        "sitemap_refetch": _q_sitemap_refetch,
+        # doremi_weights took sitemap_refetch's slot (frontier.py stays
+        # in-window via fetch_schedule; sitemap_refetch waits just past
+        # the boundary, swept every round).  doremi_weights carries the
+        # NEW sampling.doremi_weights code and re-verifies the whole
+        # lm.py scoring chain — twice-trained — inside its oracle.
+        "doremi_weights": _q_doremi,
         "extract_eval": _q_extract_eval,
         "containment_pairs": _q_containment,
         "revisit_records": _q_revisit,
@@ -3738,10 +3810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": _q_page_meta,
         "density_extract": _q_density_extract,
         "quality_verdict": _q_quality_verdict,
-        # -- group 3 slot, taken by the late-r4 ngram operator
-        #    (repetition_stats — r03-green; textfns shared code stays
-        #    in-window via text_features/script_profile/gopher_filter) --
-        "ngram_counts": _q_ngram_counts,
+        # -- group 3 slot: first taken by the late-r4 ngram operator,
+        #    then handed to the NEW sketches.py module (cm_topk is its
+        #    ONLY carrier — a brand-new module must enter the window;
+        #    ngram_counts waits just past the boundary, its search.py
+        #    family in-window via postings_index/tfidf_keywords) --
+        "cm_topk": _q_cm_topk,
     }
     # the bpe_merges / ann_bucketed group-2 rotation slots and
     # robots_sitemaps' slot went to the session-tail never-verified
@@ -3788,6 +3862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # these three, whose modules stay in-window via siblings)
         "robots_rules": _q_robots_rules,
         "cdx_fetch_list": _q_cdx_fetch_list,
+        # displaced by the round-4 continuation trio lr_auc/
+        # doremi_weights/cm_topk (brand-new evals/sampling/sketches
+        # code outranks these never-verified-but-sibling-covered rows;
+        # all three swept every round by scripts/check_oracles.py)
+        "phrase_hits": _q_phrase_hits,
+        "sitemap_refetch": _q_sitemap_refetch,
+        "ngram_counts": _q_ngram_counts,
         "crawl_delays": _q_crawl_delays,
         "bpe_merges": _q_bpe_merges,
         "ann_bucketed": _q_ann_bucketed,
@@ -4166,6 +4247,9 @@ def oracle_sql() -> dict[str, str]:
                       + classify.lr_score_sql("documents", _LR_LABEL_SQL)
                       + ") order by doc_id"),
         "lr_calibration": _lr_calibration_sql(),
+        "lr_auc": _lr_auc_sql(),
+        "doremi_weights": _doremi_sql(),
+        "cm_topk": sketches.cm_topk_sql("documents", k=50),
         "corpus_card": corpusstats.corpus_card_sql("documents"),
         "collocations": corpusstats.collocations_sql(
             "documents", min_count=5, k=100),

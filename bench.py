@@ -252,6 +252,11 @@ def main() -> None:
         "lsh_recall": lambda: _entry._q_lsh_recall(spark, SF_DIR),
         "bm25_indexed": lambda: _entry._q_bm25_indexed(spark, SF_DIR),
         "collocations": lambda: _entry._q_collocations(spark, SF_DIR),
+        # round-4 continuation: rank-sum AUC, DoReMi mixture update,
+        # Count-Min heavy hitters
+        "lr_auc": lambda: _entry._q_lr_auc(spark, SF_DIR),
+        "doremi_weights": lambda: _entry._q_doremi(spark, SF_DIR),
+        "cm_topk": lambda: _entry._q_cm_topk(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

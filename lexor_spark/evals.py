@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["eval_extraction", "eval_extraction_sql",
            "calibration_bins", "calibration_bins_sql",
-           "eval_ranking", "eval_ranking_sql"]
+           "eval_ranking", "eval_ranking_sql",
+           "eval_auc", "eval_auc_sql"]
 
 
 def _token_counts(df: DataFrame, id_col: str, text_col: str,
@@ -260,4 +261,84 @@ g as (select *, round(mean_pred - frac_pos, 6) as gap from per)
 select bin, n, mean_pred, frac_pos, gap,
        round(sum(abs(gap) * n) over () / sum(n) over (), 6) as ece
 from g order by bin
+"""
+
+
+def eval_auc(scores: DataFrame, labels: DataFrame, id_col: str = "doc_id",
+             prob_col: str = "prob", label_col: str = "label") -> DataFrame:
+    """ROC-AUC of a probabilistic quality classifier via the
+    Mann-Whitney rank statistic — threshold-free ranking quality, the
+    companion audit to :func:`calibration_bins` (which checks the
+    probabilities; this checks the ORDERING a top-p% corpus selection
+    actually consumes).
+
+    AUC = P(score_pos > score_neg) + ½·P(tie), computed without any
+    per-pair work: group by distinct score, sweep scores ascending
+    accumulating negatives seen so far, and credit each score's
+    positives with (negatives strictly below + half the negatives tied
+    at the same score).  All counts stay integers in 2× units
+    (``2·below + tied``), so the single final division is the only
+    float op — bit-identical across engines, no tolerance needed.
+
+    Output: one row (n_pos, n_neg, auc).  Degenerate single-class
+    inputs yield auc = NULL (division by zero pairs) rather than a
+    fake 0/1.
+
+    Plan shape at 10^12 docs: one id-keyed equi-join, one
+    map-side-combinable groupBy on the score value, and the only
+    window runs over the DISTINCT-score table (≤ 10^4 rows for a
+    4-decimal probability column) — never the corpus."""
+    from pyspark.sql import Window
+
+    j = (scores.join(labels, id_col)
+         .select(F.col(prob_col).alias("p"),
+                 F.col(label_col).cast("int").alias("y")))
+    per = (j.groupBy("p")
+           .agg(F.sum("y").alias("pos"),
+                F.sum(1 - F.col("y")).alias("neg")))
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    below = F.coalesce(F.sum("neg").over(w), F.lit(0))
+    contrib = F.col("pos") * (2 * below + F.col("neg"))
+    return (per.select(F.col("pos"), F.col("neg"),
+                       contrib.alias("num"))
+            .select(F.sum("pos").over(wall).alias("n_pos"),
+                    F.sum("neg").over(wall).alias("n_neg"),
+                    F.sum("num").over(wall).alias("num"))
+            .limit(1)
+            .select("n_pos", "n_neg",
+                    F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                           F.round(F.col("num") /
+                                   (2.0 * F.col("n_pos") * F.col("n_neg")),
+                                   6)).alias("auc")))
+
+
+def eval_auc_sql(scores_sql: str, labels_sql: str, id_col: str = "doc_id",
+                 prob_col: str = "prob", label_col: str = "label") -> str:
+    """DuckDB mirror of :func:`eval_auc` — identical integer rank-sum,
+    identical single division."""
+    return f"""
+with s as ({scores_sql}),
+l as ({labels_sql}),
+j as (
+  select s.{prob_col} as p, l.{label_col}::int as y
+  from s join l on s.{id_col} = l.{id_col}
+),
+per as (
+  select p, sum(y)::bigint as pos, sum(1 - y)::bigint as neg
+  from j group by p
+),
+acc as (
+  select pos, neg,
+         pos * (2 * coalesce(sum(neg) over (order by p
+                  rows between unbounded preceding and 1 preceding), 0)
+                + neg) as num
+  from per
+)
+select sum(pos)::bigint as n_pos, sum(neg)::bigint as n_neg,
+       case when sum(pos) > 0 and sum(neg) > 0
+            then round(sum(num) / (2.0 * sum(pos) * sum(neg)), 6)
+            end as auc
+from acc
 """

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["mixture_plan", "mixture_plan_sql",
            "hash_fraction", "hash_split", "sample_by",
-           "temperature_sample"]
+           "temperature_sample",
+           "doremi_weights", "doremi_weights_sql"]
 
 _SCALE = float(1 << 32)
 
@@ -261,4 +262,83 @@ select stratum, n_docs, avail_tokens,
        round(target - round(avail_tokens * epochs, 6), 6)
          as deficit_tokens
 from l order by stratum
+"""
+
+
+def doremi_weights(doc_losses: DataFrame, domain_col: str = "source",
+                   proxy_col: str = "proxy_nll", ref_col: str = "ref_nll",
+                   eta: float = 1.0, smoothing: float = 0.01) -> DataFrame:
+    """Domain-mixture reweighting by excess loss — the relational core
+    of DoReMi (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures
+    Speeds Up Language Model Pretraining"): domains where the proxy
+    model's loss exceeds the reference model's loss are upweighted by
+    multiplicative weights, so the next training mixture spends more
+    tokens where the learnable headroom is.
+
+    Input: one row per document — (domain, proxy_nll, ref_nll).  Full
+    DoReMi re-trains the proxy under each new mixture; with a fixed
+    loss table the T-round multiplicative-weights recursion collapses
+    to a single closed-form update (exp(T·η·λ) — fold T into ``eta``),
+    so this operator computes the ONE exact update step published
+    pipelines replay per proxy checkpoint:
+
+        λ_k  = mean_k( max(proxy_nll − ref_nll, 0) )     (excess loss)
+        α_k  ∝ share_k · exp(η · λ_k), normalized
+        out  = (1 − smoothing)·α_k + smoothing/K         (§2 step 2)
+
+    Output per domain: (domain, n, share, excess, weight), domain
+    ascending.  ``share`` is the baseline mixture (doc counts here;
+    token counts upstream if the input carries one row per token-batch).
+
+    Plan shape at 10^12 docs: ONE map-side-combinable groupBy on the
+    domain key (K ≈ tens of domains — the combiner state is K rows per
+    task), then every remaining step is a window over the K-row domain
+    table.  The loss columns arrive from upstream scoring jobs (e.g.
+    ``lm_score`` both self-trained and reference-trained), which are
+    themselves broadcast-model scans.  Floats: λ rounds to 6 off the
+    avg (repo-standard avg-oracle tolerance), exp/multiply are
+    per-row fixed-order, and the normalizing sum runs over K rounded
+    values."""
+    from pyspark.sql import Window
+
+    excess = F.greatest(F.col(proxy_col) - F.col(ref_col), F.lit(0.0))
+    per = (doc_losses.groupBy(F.col(domain_col).alias("domain"))
+           .agg(F.count("*").alias("n"),
+                F.round(F.avg(excess), 6).alias("excess")))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    share = F.round(F.col("n") / F.sum("n").over(wall), 6)
+    per = per.withColumn("share", share)
+    score = F.round(F.col("share") * F.exp(F.lit(eta) * F.col("excess")), 6)
+    per = per.withColumn("_s", score)
+    k = F.count("*").over(wall)
+    alpha = F.col("_s") / F.sum("_s").over(wall)
+    weight = F.round((1.0 - smoothing) * alpha + smoothing / k, 6)
+    return (per.select("domain", "n", "share", "excess",
+                       weight.alias("weight"))
+            .orderBy("domain"))
+
+
+def doremi_weights_sql(doc_losses_sql: str, domain_col: str = "source",
+                       proxy_col: str = "proxy_nll", ref_col: str = "ref_nll",
+                       eta: float = 1.0, smoothing: float = 0.01) -> str:
+    """DuckDB mirror of :func:`doremi_weights` over a SELECT producing
+    (domain, proxy_nll, ref_nll) — identical rounding ladder."""
+    return f"""
+with dl as ({doc_losses_sql}),
+per as (
+  select {domain_col} as domain, count(*)::bigint as n,
+         round(avg(greatest({proxy_col} - {ref_col}, 0.0)), 6) as excess
+  from dl group by 1
+),
+sh as (
+  select *, round(n / sum(n) over ()::double, 6) as share from per
+),
+sc as (
+  select *, round(share * exp({eta} * excess), 6) as _s from sh
+)
+select domain, n, share, excess,
+       round((1.0 - {smoothing}) * (_s / sum(_s) over ())
+             + {smoothing} / count(*) over (), 6) as weight
+from sc order by domain
 """

@@ -239,6 +239,24 @@ NOTES = {
         "broadcast, the scoring join doc-keyed, and the answer "
         "TakeOrderedAndProject(k) — no text is scanned anywhere in "
         "the plan."),
+    "lr_auc": (
+        "Mann-Whitney AUC without pairs: the only corpus-sized steps "
+        "are the broadcast weight join and a map-side-combinable "
+        "groupBy on the score value; the rank-sum window runs over the "
+        "distinct-score table (<= 10^4 rows for 4-decimal probs) in a "
+        "single task, and every count stays integer until the one "
+        "final division."),
+    "doremi_weights": (
+        "Both LM scorings are broadcast-model scans (bigram/char count "
+        "tables broadcast); the mixture update itself is ONE K-row "
+        "domain aggregate — combiner state K rows per task — and the "
+        "exp/normalize ladder windows over those K rows only."),
+    "cm_topk": (
+        "The sketch groupBy's partial aggregation state is capped at "
+        "d*w counters per task (the hash aggregate saturates on a hot "
+        "stream — that is the sketch property); the candidate estimate "
+        "joins the <= d*w-row sketch BROADCAST, and the heavy-hitter "
+        "head is TakeOrderedAndProject(k)."),
     "hreflang_clusters": (
         "Alternate edges come from the fused kernel pass; each "
         "propagation round is one edge join + min agg + pointer jump "
@@ -277,7 +295,7 @@ def main() -> None:
                  "serp_dedup", "host_rank", "tokenize_pack",
                  "zipf_fit", "heaps_law", "readability",
                  "srcset_assets", "hreflang_clusters",
-                 "bm25_indexed"):
+                 "bm25_indexed", "lr_auc", "doremi_weights", "cm_topk"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):

@@ -1,0 +1,125 @@
+"""Round-4 continuation operators: ROC-AUC, DoReMi reweighting,
+Count-Min heavy hitters."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from lexor_spark import sampling, sketches
+from lexor_spark.evals import eval_auc
+
+
+def _auc(spark, rows):
+    scores = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(rows)],
+        "doc_id long, prob double")
+    labels = spark.createDataFrame(
+        [(i, y) for i, (_, y) in enumerate(rows)],
+        "doc_id long, label boolean")
+    return eval_auc(scores, labels).collect()[0]
+
+
+def test_auc_perfect_inverted_random(spark):
+    # perfect separation → 1.0
+    r = _auc(spark, [(0.9, True), (0.8, True), (0.2, False), (0.1, False)])
+    assert r.auc == 1.0 and r.n_pos == 2 and r.n_neg == 2
+    # perfectly inverted → 0.0
+    r = _auc(spark, [(0.1, True), (0.2, True), (0.8, False), (0.9, False)])
+    assert r.auc == 0.0
+    # all scores tied → 0.5 exactly (the half-credit tie rule)
+    r = _auc(spark, [(0.5, True), (0.5, False), (0.5, True), (0.5, False)])
+    assert r.auc == 0.5
+
+
+def test_auc_hand_computed_with_ties(spark):
+    # pos scores {0.8, 0.5}, neg scores {0.5, 0.2}:
+    # pairs: (0.8,0.5)=1, (0.8,0.2)=1, (0.5,0.5)=0.5, (0.5,0.2)=1
+    # AUC = 3.5/4
+    r = _auc(spark, [(0.8, True), (0.5, True), (0.5, False), (0.2, False)])
+    assert r.auc == pytest.approx(0.875, abs=1e-9)
+
+
+def test_auc_single_class_is_null(spark):
+    r = _auc(spark, [(0.8, True), (0.5, True)])
+    assert r.auc is None and r.n_neg == 0
+
+
+def test_doremi_uniform_excess_keeps_shares(spark):
+    # identical excess loss everywhere → exp factor cancels → weights
+    # equal the (smoothed) baseline shares
+    rows = [("a", 5.0, 4.0)] * 3 + [("b", 5.0, 4.0)] * 1
+    df = spark.createDataFrame(rows, "source string, proxy_nll double, "
+                                     "ref_nll double")
+    got = {r.domain: r for r in sampling.doremi_weights(df).collect()}
+    assert got["a"].share == 0.75 and got["b"].share == 0.25
+    assert got["a"].weight == pytest.approx(0.99 * 0.75 + 0.005, abs=1e-6)
+    assert got["b"].weight == pytest.approx(0.99 * 0.25 + 0.005, abs=1e-6)
+
+
+def test_doremi_upweights_high_excess_domain(spark):
+    rows = [("easy", 1.0, 1.0), ("hard", 3.0, 1.0)]
+    df = spark.createDataFrame(rows, "source string, proxy_nll double, "
+                                     "ref_nll double")
+    got = {r.domain: r for r in sampling.doremi_weights(df).collect()}
+    assert got["hard"].excess == 2.0 and got["easy"].excess == 0.0
+    assert got["hard"].weight > got["easy"].weight
+    # closed form: α_hard = .5e²/(.5+.5e²), smoothed
+    a = 0.5 * math.exp(2.0) / (0.5 + 0.5 * math.exp(2.0))
+    assert got["hard"].weight == pytest.approx(0.99 * a + 0.005, abs=1e-4)
+    # weights always sum to 1
+    assert sum(r.weight for r in got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_doremi_negative_excess_clamped(spark):
+    # proxy BETTER than reference → excess clamps to 0, never negative
+    rows = [("done", 1.0, 9.0), ("other", 2.0, 1.0)]
+    df = spark.createDataFrame(rows, "source string, proxy_nll double, "
+                                     "ref_nll double")
+    got = {r.domain: r for r in sampling.doremi_weights(df).collect()}
+    assert got["done"].excess == 0.0
+
+
+def test_cm_estimate_one_sided_and_exact_on_sparse(spark):
+    # 30-term vocabulary in a 4×1024 sketch: collisions are possible
+    # but est ≥ true must hold for EVERY term (CM's one-sided bound)
+    docs = spark.createDataFrame(
+        [(i, ("alpha " * (i + 1)) + "beta gamma") for i in range(10)],
+        "doc_id long, text string")
+    rows = sketches.cm_topk(docs, k=10, min_len=3).collect()
+    got = {r.term: r for r in rows}
+    assert got["alpha"].true_c == 55 and got["beta"].true_c == 10
+    for r in rows:
+        assert r.overest >= 0
+    # 3 distinct terms in 1024 buckets: no collision, est exact
+    assert all(r.overest == 0 for r in rows)
+    # ordering: est desc, term asc
+    ests = [(r.est, r.term) for r in rows]
+    assert ests == sorted(ests, key=lambda t: (-t[0], t[1]))
+
+
+def test_cm_sketch_size_capped(spark):
+    docs = spark.createDataFrame(
+        [(i, f"word{i} word{i+1} shared") for i in range(50)],
+        "doc_id long, text string")
+    sk = sketches.cm_build(docs)
+    n = sk.count()
+    assert n <= sketches.CM_DEPTH * sketches.CM_WIDTH
+    # total counts per row = stream length (sketch conservation law)
+    per_row = {r.row: r.s for r in
+               sk.groupBy("row").sum("c")
+               .withColumnRenamed("sum(c)", "s").collect()}
+    stream_len = 50 * 3
+    assert all(v == stream_len for v in per_row.values())
+
+
+def test_cm_min_len_filters_candidates_not_stream(spark):
+    # short tokens still feed the SKETCH (their counters exist) but are
+    # not candidate heavy hitters
+    docs = spark.createDataFrame([(0, "ab ab ab longword")],
+                                 "doc_id long, text string")
+    rows = sketches.cm_topk(docs, k=10, min_len=3).collect()
+    assert [r.term for r in rows] == ["longword"]
+    sk = sketches.cm_build(docs)
+    assert sk.agg({"c": "sum"}).collect()[0][0] == 4 * sketches.CM_DEPTH
