@@ -2843,6 +2843,40 @@ def _lr_auc_sql() -> str:
         f"select doc_id, ({_LR_LABEL_SQL}) as label from documents")
 
 
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-0 global shuffle of the corpus into 8
+    training shards: scan-side shard assignment, per-shard rank window
+    (each task sorts one shard, never the corpus).  Same salted-md5
+    permutation on any engine/partitioning — the oracle replays it
+    row-identically, collision ties broken by id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.epoch_shuffle(docs, n_shards=8, epoch=0)
+
+
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-host estimate via grouped HyperLogLog with
+    the exact-count audit column — distinct counting whose shuffle
+    state is m register maxima per group instead of every (group,
+    item) pair.  Hosts are the deterministic site{doc_id%97} tiling
+    (the robots/url fixture family), so sources share hosts and the
+    estimator's duplicate-collapsing path is actually exercised.
+    md5 registers + bit-length rho + raw estimator → the oracle
+    replays the arithmetic bit-identically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        "source",
+        F.concat(F.lit("site"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example")).alias("host"))
+    return sketches.hll_distinct(src, group_col="source", item_col="host")
+
+
+def _hll_distinct_sql() -> str:
+    src = ("select source, 'site' || (doc_id % 97)::varchar || '.example'"
+           " as host from documents")
+    return sketches.hll_distinct_sql(src, group_col="source",
+                                     item_col="host")
+
+
 def _q_cm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters with the exact-count audit column: the
     fixed-size-sketch answer to "top terms of the crawl" whose shuffle
@@ -3762,7 +3796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the boundary, still value-verified every round by
         # scripts/check_oracles.py
         "tokenize_pack": _q_tokenize_pack,
-        "cdx_diff": _q_cdx_diff,
+        # hll_distinct took cdx_diff's slot (cdx.py stays in-window via
+        # cdx_lookup; cdx_diff waits just past the boundary, swept
+        # every round).  hll_distinct carries the NEW sketches.py HLL
+        # grouped-distinct code alongside its sibling cm_topk.
+        "hll_distinct": _q_hll_distinct,
         "fetch_schedule": _q_fetch_schedule,
         # -- session-tail never-verified additions: postings/phrase
         #    (new search.py code) and code_detect (new textfns code);
@@ -3869,6 +3907,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_hits": _q_phrase_hits,
         "sitemap_refetch": _q_sitemap_refetch,
         "ngram_counts": _q_ngram_counts,
+        "cdx_diff": _q_cdx_diff,
+        # new this session, value-oracled from birth but past the
+        # boundary (the window's never-verified budget went to the
+        # lr_auc/doremi/cm_topk/hll_distinct quartet; the sampling.py
+        # delta is in-window via doremi_weights)
+        "epoch_shuffle": _q_epoch_shuffle,
         "crawl_delays": _q_crawl_delays,
         "bpe_merges": _q_bpe_merges,
         "ann_bucketed": _q_ann_bucketed,
@@ -4250,6 +4294,9 @@ def oracle_sql() -> dict[str, str]:
         "lr_auc": _lr_auc_sql(),
         "doremi_weights": _doremi_sql(),
         "cm_topk": sketches.cm_topk_sql("documents", k=50),
+        "hll_distinct": _hll_distinct_sql(),
+        "epoch_shuffle": sampling.epoch_shuffle_sql(
+            "documents", n_shards=8, epoch=0),
         "corpus_card": corpusstats.corpus_card_sql("documents"),
         "collocations": corpusstats.collocations_sql(
             "documents", min_count=5, k=100),

@@ -257,6 +257,8 @@ def main() -> None:
         "lr_auc": lambda: _entry._q_lr_auc(spark, SF_DIR),
         "doremi_weights": lambda: _entry._q_doremi(spark, SF_DIR),
         "cm_topk": lambda: _entry._q_cm_topk(spark, SF_DIR),
+        "hll_distinct": lambda: _entry._q_hll_distinct(spark, SF_DIR),
+        "epoch_shuffle": lambda: sampling.epoch_shuffle(docs, n_shards=8),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 __all__ = ["mixture_plan", "mixture_plan_sql",
            "hash_fraction", "hash_split", "sample_by",
            "temperature_sample",
-           "doremi_weights", "doremi_weights_sql"]
+           "doremi_weights", "doremi_weights_sql",
+           "epoch_shuffle", "epoch_shuffle_sql"]
 
 _SCALE = float(1 << 32)
 
@@ -341,4 +342,62 @@ select domain, n, share, excess,
        round((1.0 - {smoothing}) * (_s / sum(_s) over ())
              + {smoothing} / count(*) over (), 6) as weight
 from sc order by domain
+"""
+
+
+def epoch_shuffle(docs: DataFrame, n_shards: int, epoch: int = 0,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment —
+    the step between corpus curation and the training loader: every
+    epoch needs a fresh uniform permutation of the corpus, written as
+    ``n_shards`` balanced files whose WITHIN-shard order is part of the
+    permutation.  Published loaders shuffle with a seeded PRNG over a
+    materialized index; the portable relational form derives both
+    coordinates from a salted md5 of the row id, so the same epoch
+    gives the same order on any engine, any partitioning, any retry —
+    and epoch e+1 is a fresh independent permutation (new salt), not a
+    rotation.
+
+    Output: (id, shard, pos) — shard in [0, n_shards), pos the 0-based
+    rank within the shard by the hash (ties broken by id: md5 prefixes
+    can collide at 32 bits, and an unordered tie would break the
+    cross-engine value oracle).
+
+    Plan shape at 10^12 docs: shard assignment is a pure scan-side
+    expression (zero coordination — binomial shard sizes around N/S,
+    which is what production writers ship); the ONLY shuffle is the
+    repartition-by-shard the writer needs anyway, and the rank window
+    partitions BY SHARD — each task sorts one shard (~N/S rows, sized
+    to a training file), never the corpus.  There is deliberately no
+    global row_number: a corpus-wide single-ordered window is the
+    non-scalable shape this operator exists to avoid."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f"#shuffle{epoch}")))
+    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int")
+    from pyspark.sql import Window
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (docs.select(F.col(id_col), shard.alias("shard"), h.alias("h"))
+            .withColumn("pos", F.row_number().over(w) - 1)
+            .select(id_col, "shard", "pos")
+            .orderBy("shard", "pos"))
+
+
+def epoch_shuffle_sql(table: str, n_shards: int, epoch: int = 0,
+                      id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`epoch_shuffle` — identical salted md5,
+    identical shard/rank derivation."""
+    h = f"md5({id_col}::varchar || '#shuffle{epoch}')"
+    return f"""
+with s as (
+  select {id_col},
+         ((('0x' || substr({h}, 1, 8))::bigint % {n_shards})
+          + {n_shards}) % {n_shards} as shard,
+         {h} as h
+  from {table}
+)
+select {id_col}, shard::int as shard,
+       (row_number() over (partition by shard order by h, {id_col})
+        - 1)::int as pos
+from s order by shard, pos
 """

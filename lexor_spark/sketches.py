@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 from lexor_spark.textfns import SQL, normalize_text
 
-__all__ = ["CM_DEPTH", "CM_WIDTH", "cm_build", "cm_topk", "cm_topk_sql"]
+__all__ = ["CM_DEPTH", "CM_WIDTH", "cm_build", "cm_topk", "cm_topk_sql",
+           "HLL_M", "hll_distinct", "hll_distinct_sql"]
 
 # d = 4 rows, w = 1024 counters: ε ≈ e/w ≈ 0.27% of the stream length,
 # δ ≈ e^-4 ≈ 1.8% — 32 KiB of longs, broadcast-sized.
@@ -162,4 +163,116 @@ est as (
 )
 select term, est, true_c, (est - true_c) as overest
 from est order by est desc, term limit {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog grouped distinct counting
+# ---------------------------------------------------------------------------
+
+# m = 16 registers with the matching Flajolet bias constant — the same
+# fixture sizing (and the same md5-register / bit-length-rho / raw-
+# estimator construction) as the HyperBall neighborhood counter in
+# `lexor_spark/graph.py`; production uses 2^6..2^14 registers with the
+# general alpha formula.
+HLL_M = 16
+_HLL_ALPHA = 0.673
+
+
+def _hll_pos(item: Column, m: int) -> Column:
+    """Register index: first 32 md5 bits of the item, mod m."""
+    h = F.conv(F.substring(F.md5(item.cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % m).cast("int")
+
+
+def _hll_rho(item: Column) -> Column:
+    """rho(w): leading zeros of the next 32 md5 bits plus one, counted
+    via length(bin(w)) so both engines count bits exactly (no float
+    log2 at power-of-two boundaries)."""
+    w = (F.conv(F.substring(F.md5(item.cast("string")), 9, 8), 16, 10)
+         .cast("long"))
+    return (F.when(w == 0, F.lit(33))
+            .otherwise(F.lit(33) - F.length(F.bin(w))).cast("int"))
+
+
+def hll_distinct(df: DataFrame, group_col: str = "host",
+                 item_col: str = "url", m: int = HLL_M) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate WITH the exact
+    audit column (Flajolet et al. 2007, "HyperLogLog: the analysis of
+    a near-optimal cardinality estimation algorithm") — "how many
+    distinct URLs does each host have" without ever shuffling the
+    distinct items.
+
+    The scale argument: exact per-group countDistinct shuffles every
+    (group, item) pair — at 10^12 pages that is the whole URL column
+    through the exchange.  The HLL form reduces per group to m
+    register maxima: the groupBy's partial state is capped at
+    groups × m small ints per task, registers merge by max (the same
+    map-side-combinable merge HyperBall uses), and a re-crawl's
+    registers UNION with last month's by the same max — the sketch is
+    mergeable across time as well as tasks.
+
+    Determinism: md5-derived registers, bit-length rho, the raw
+    estimator (exact power-of-two sums + one division — zero libm
+    calls, deliberately NO linear-counting correction; see
+    `graph._hb_estimate` for the full argument) — the DuckDB oracle
+    replays it bit-identically.  ``true_d`` is the exact distinct
+    count (the gate-scale audit, dropped at production scale), and
+    ``err`` the signed relative error of the estimate.
+
+    Output: (group, est, true_d, err), group ascending."""
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(item_col).alias("item"))
+    regs = (base.select("grp", _hll_pos(F.col("item"), m).alias("pos"),
+                        _hll_rho(F.col("item")).alias("val"))
+            .groupBy("grp", "pos").agg(F.max("val").alias("val")))
+    g = (regs.groupBy("grp")
+         .agg(F.count("*").alias("nz"),
+              F.sum(F.pow(F.lit(0.5), F.col("val"))).alias("s_nz")))
+    est = F.round(F.lit(_HLL_ALPHA * m * m)
+                  / (F.col("s_nz") + (F.lit(m) - F.col("nz"))), 4)
+    truth = base.groupBy("grp").agg(
+        F.countDistinct("item").alias("true_d"))
+    return (g.join(truth, "grp")
+            .select(F.col("grp").alias(group_col), est.alias("est"),
+                    "true_d",
+                    F.round((est - F.col("true_d")) / F.col("true_d"),
+                            4).alias("err"))
+            .orderBy(group_col))
+
+
+def hll_distinct_sql(src_sql: str, group_col: str = "host",
+                     item_col: str = "url", m: int = HLL_M) -> str:
+    """DuckDB mirror of :func:`hll_distinct` over a SELECT producing
+    (group_col, item_col) — identical registers, identical estimator
+    arithmetic."""
+    return f"""
+with base as (select {group_col} as grp, {item_col} as item
+              from ({src_sql})),
+regs as (
+  select grp,
+         (('0x' || substr(md5(item::varchar), 1, 8))::bigint % {m})::int
+           as pos,
+         max(case when ('0x' || substr(md5(item::varchar), 9, 8))::bigint
+                       = 0 then 33
+                  else 33 - length(bin(
+                       ('0x' || substr(md5(item::varchar), 9, 8))::bigint))
+                  end)::int as val
+  from base group by 1, 2
+),
+g as (
+  select grp, count(*)::bigint as nz, sum(power(0.5, val)) as s_nz
+  from regs group by grp
+),
+truth as (
+  select grp, count(distinct item)::bigint as true_d from base group by grp
+),
+est as (
+  select grp, round({_HLL_ALPHA * m * m} / (s_nz + ({m} - nz)), 4) as e
+  from g
+)
+select est.grp as {group_col}, est.e as est, truth.true_d,
+       round((est.e - truth.true_d) / truth.true_d, 4) as err
+from est join truth using (grp)
+order by {group_col}
 """

@@ -257,6 +257,19 @@ NOTES = {
         "stream — that is the sketch property); the candidate estimate "
         "joins the <= d*w-row sketch BROADCAST, and the heavy-hitter "
         "head is TakeOrderedAndProject(k)."),
+    "hll_distinct": (
+        "Grouped distinct counting without shuffling distinct items: "
+        "registers are scan-side md5 expressions, the (group, pos) max "
+        "merge is map-side combinable with state capped at groups*m "
+        "rows per task, and the estimate is a per-group sum of exact "
+        "powers of two.  The exact countDistinct branch is the "
+        "gate-scale audit only — production drops it."),
+    "epoch_shuffle": (
+        "Shard assignment is a pure scan-side expression; the only "
+        "exchange is hashpartitioning on the shard key (the writer "
+        "needs it anyway) and the rank window partitions BY SHARD — "
+        "each task sorts one training file, a corpus-wide "
+        "single-ordered window never appears."),
     "hreflang_clusters": (
         "Alternate edges come from the fused kernel pass; each "
         "propagation round is one edge join + min agg + pointer jump "
@@ -295,7 +308,8 @@ def main() -> None:
                  "serp_dedup", "host_rank", "tokenize_pack",
                  "zipf_fit", "heaps_law", "readability",
                  "srcset_assets", "hreflang_clusters",
-                 "bm25_indexed", "lr_auc", "doremi_weights", "cm_topk"):
+                 "bm25_indexed", "lr_auc", "doremi_weights", "cm_topk",
+                 "hll_distinct", "epoch_shuffle"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):

@@ -123,3 +123,76 @@ def test_cm_min_len_filters_candidates_not_stream(spark):
     assert [r.term for r in rows] == ["longword"]
     sk = sketches.cm_build(docs)
     assert sk.agg({"c": "sum"}).collect()[0][0] == 4 * sketches.CM_DEPTH
+
+
+def test_hll_exact_on_singletons_and_small_sets(spark):
+    # HLL registers of a 1-item group: est = alpha*m^2/(m-1+2^-rho) —
+    # just pin the audit invariants instead of the raw-bias value:
+    # every group present, true_d exact, err = (est-true)/true
+    rows = [("a", f"item{i}") for i in range(50)] + \
+           [("b", "only"), ("b", "only"), ("b", "only")]
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r.host: r for r in sketches.hll_distinct(df).collect()}
+    assert got["a"].true_d == 50 and got["b"].true_d == 1
+    for r in got.values():
+        assert r.est > 0
+        assert r.err == pytest.approx((r.est - r.true_d) / r.true_d,
+                                      abs=1e-4)
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    # the estimate is a pure function of the DISTINCT item set: feeding
+    # each item once vs 10x must give identical registers and estimate
+    once = spark.createDataFrame(
+        [("h", f"u{i}") for i in range(40)], "host string, url string")
+    many = spark.createDataFrame(
+        [("h", f"u{i}") for i in range(40)] * 10,
+        "host string, url string")
+    e1 = sketches.hll_distinct(once).collect()[0]
+    e2 = sketches.hll_distinct(many).collect()[0]
+    assert e1.est == e2.est and e1.true_d == e2.true_d
+
+
+def test_hll_register_state_capped(spark):
+    # per-group register rows never exceed m, however many items
+    from lexor_spark.sketches import _hll_pos, _hll_rho, HLL_M
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [("h", f"u{i}") for i in range(500)], "host string, url string")
+    regs = (df.select("host", _hll_pos(F.col("url"), HLL_M).alias("pos"),
+                      _hll_rho(F.col("url")).alias("val"))
+            .groupBy("host", "pos").count())
+    assert regs.count() <= HLL_M
+
+
+def test_epoch_shuffle_partitioning_invariant(spark):
+    # the permutation is a pure function of (id, epoch): 1 partition vs
+    # 16 partitions must give the identical (id, shard, pos) table
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = sampling.epoch_shuffle(docs.coalesce(1), 8).collect()
+    b = sampling.epoch_shuffle(docs.repartition(16), 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_epoch_shuffle_positions_contiguous_and_balanced(spark):
+    docs = spark.range(400).withColumnRenamed("id", "doc_id")
+    rows = sampling.epoch_shuffle(docs, 4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))  # 0..n-1, no gaps
+    # binomial balance: no shard pathologically empty or dominant
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 40 and max(sizes) < 160
+
+
+def test_epoch_shuffle_epochs_are_distinct_permutations(spark):
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    e0 = {(r.doc_id): (r.shard, r.pos)
+          for r in sampling.epoch_shuffle(docs, 8, epoch=0).collect()}
+    e1 = {(r.doc_id): (r.shard, r.pos)
+          for r in sampling.epoch_shuffle(docs, 8, epoch=1).collect()}
+    moved = sum(1 for k in e0 if e0[k] != e1[k])
+    assert moved > 250  # a fresh permutation, not a rotation/no-op
