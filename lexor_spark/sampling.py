@@ -370,7 +370,10 @@ def epoch_shuffle(docs: DataFrame, n_shards: int, epoch: int = 0,
     partitions BY SHARD — each task sorts one shard (~N/S rows, sized
     to a training file), never the corpus.  There is deliberately no
     global row_number: a corpus-wide single-ordered window is the
-    non-scalable shape this operator exists to avoid."""
+    non-scalable shape this operator exists to avoid.  (The trailing
+    orderBy is gate presentation only — the production writer replaces
+    it with partitionBy(shard)/sortWithinPartitions(pos), which the
+    per-shard exchange already satisfies.)"""
     h = F.md5(F.concat(F.col(id_col).cast("string"),
                        F.lit(f"#shuffle{epoch}")))
     shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
