@@ -3686,6 +3686,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hreflang_clusters/hyperball, evals.py via lr_calibration/
     extract_eval, textfns.py via readability/script_profile/
     gopher_filter, content.py via srcset_assets/html_tables).
+    Continuation-session swaps (same never-verified-new-code-first
+    rule): lr_auc↔phrase_hits, doremi_weights↔sitemap_refetch,
+    cm_topk↔ngram_counts, hll_distinct↔cdx_diff — each displaced row's
+    module keeps in-window siblings (search.py via postings_index/
+    tfidf_keywords/bm25_indexed, frontier.py via fetch_schedule,
+    cdx.py via cdx_lookup) and every displaced row stays in the
+    check_oracles sweep; epoch_shuffle enters past the boundary,
+    value-oracled from birth (sampling.py's session delta is in-window
+    via doremi_weights).
     Late swaps: tokenize_pack↔pack_bins, host_rank↔bm25_search,
     lr_calibration↔robots_filter (displaced three r03-green rows to
     just past the boundary).  Historical allocation notes:
