@@ -2843,6 +2843,43 @@ def _lr_auc_sql() -> str:
         f"select doc_id, ({_LR_LABEL_SQL}) as label from documents")
 
 
+def _q_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mixture application: the DoReMi update's weight table
+    (itself built from two LM trainings) scaled into downsample-only
+    keep rates and applied as the deterministic per-row draw — the
+    composition that proves the mixture table is actionable, not just
+    reportable.  Domains here are LANGUAGES against the English-trained
+    reference LM, so non-English strata carry genuinely higher excess
+    loss, the update visibly reshapes the mixture, and the draw
+    actually drops rows (the per-source variant in `doremi_weights`
+    has near-uniform excess on this corpus — rates ≈ 1 — so it
+    verifies the arithmetic but not the drop path).  One DuckDB
+    statement replays LM training ×2, scoring, the multiplicative-
+    weights update, the rate ladder AND the md5 draw."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    proxy = lm.lm_score(docs).select(
+        "doc_id", (-F.col("lm_score")).alias("proxy_nll"))
+    ref = lm.lm_score(docs, train=docs.filter(F.col("lang") == "en")) \
+        .select("doc_id", (-F.col("lm_score")).alias("ref_nll"))
+    losses = (docs.select("doc_id", "lang")
+              .join(proxy, "doc_id").join(ref, "doc_id")
+              .select("lang", "proxy_nll", "ref_nll"))
+    weights = sampling.doremi_weights(losses, domain_col="lang")
+    return sampling.mixture_apply(docs, weights, group_col="lang")
+
+
+def _doremi_sample_sql() -> str:
+    losses = f"""
+select d.lang, -p.lm_score as proxy_nll, -r.lm_score as ref_nll
+from documents d
+join ({lm.lm_score_sql('documents')}) p using (doc_id)
+join ({lm.lm_score_sql('documents', "lang = 'en'")}) r using (doc_id)
+"""
+    weights = sampling.doremi_weights_sql(losses, domain_col="lang")
+    return sampling.mixture_apply_sql("documents", weights,
+                                      group_col="lang")
+
+
 def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-0 global shuffle of the corpus into 8
     training shards: scan-side shard assignment, per-shard rank window
@@ -3692,7 +3729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     module keeps in-window siblings (search.py via postings_index/
     tfidf_keywords/bm25_indexed, frontier.py via fetch_schedule,
     cdx.py via cdx_lookup) and every displaced row stays in the
-    check_oracles sweep; epoch_shuffle enters past the boundary,
+    check_oracles sweep; epoch_shuffle and doremi_sample (the
+    weights→rates→draw composition) enter past the boundary,
     value-oracled from birth (sampling.py's session delta is in-window
     via doremi_weights).
     Late swaps: tokenize_pack↔pack_bins, host_rank↔bm25_search,
@@ -3922,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lr_auc/doremi/cm_topk/hll_distinct quartet; the sampling.py
         # delta is in-window via doremi_weights)
         "epoch_shuffle": _q_epoch_shuffle,
+        "doremi_sample": _q_doremi_sample,
         "crawl_delays": _q_crawl_delays,
         "bpe_merges": _q_bpe_merges,
         "ann_bucketed": _q_ann_bucketed,
@@ -4306,6 +4345,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_distinct_sql(),
         "epoch_shuffle": sampling.epoch_shuffle_sql(
             "documents", n_shards=8, epoch=0),
+        "doremi_sample": _doremi_sample_sql(),
         "corpus_card": corpusstats.corpus_card_sql("documents"),
         "collocations": corpusstats.collocations_sql(
             "documents", min_count=5, k=100),

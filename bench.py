@@ -259,6 +259,7 @@ def main() -> None:
         "cm_topk": lambda: _entry._q_cm_topk(spark, SF_DIR),
         "hll_distinct": lambda: _entry._q_hll_distinct(spark, SF_DIR),
         "epoch_shuffle": lambda: sampling.epoch_shuffle(docs, n_shards=8),
+        "doremi_sample": lambda: _entry._q_doremi_sample(spark, SF_DIR),
     }
     for name, fn in ops.items():
         timings[name] = timed(fn)

@@ -31,6 +31,7 @@ __all__ = ["mixture_plan", "mixture_plan_sql",
            "hash_fraction", "hash_split", "sample_by",
            "temperature_sample",
            "doremi_weights", "doremi_weights_sql",
+           "mixture_apply", "mixture_apply_sql",
            "epoch_shuffle", "epoch_shuffle_sql"]
 
 _SCALE = float(1 << 32)
@@ -403,4 +404,81 @@ select {id_col}, shard::int as shard,
        (row_number() over (partition by shard order by h, {id_col})
         - 1)::int as pos
 from s order by shard, pos
+"""
+
+
+def mixture_apply(docs: DataFrame, weights: DataFrame,
+                  group_col: str = "source", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Apply a target mixture to the corpus as a downsample-only pass —
+    the step that turns a mixture TABLE (from :func:`doremi_weights`,
+    :func:`mixture_plan`, or a hand-set policy) into an actual sampled
+    corpus.  ``weights`` carries one row per domain with the baseline
+    ``share`` and the target ``weight``; the largest corpus keeping the
+    target proportions without replication scales every domain by
+    ``c = min_k share_k / weight_k``, giving keep rate
+    ``f_k = c · weight_k / share_k ≤ 1`` (the binding domain keeps
+    everything, every other domain sheds mass until proportions match
+    — the same downsample-only construction as
+    :func:`temperature_sample`).
+
+    Output: surviving (doc_id, domain, keep_rate) rows under the
+    engine-portable salted-md5 draw.
+
+    Plan shape at 10^12 docs: the K-row weight table broadcasts, the
+    draw is a pure per-row expression — no shuffle, no window;
+    composes directly after the scan with pushdown intact.  Floats:
+    per-domain ratio rounds to 6, ``c`` is a min over K rounded
+    values, the rate one multiply on rounded inputs — deterministic
+    cross-engine."""
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    # a zero-weight domain (hand policy dropping a source outright)
+    # must not bind the scale or divide by zero: its ratio is NULL
+    # (min() skips it) and its keep rate is 0
+    ratio = F.when(F.col("weight") > 0,
+                   F.round(F.col("share") / F.col("weight"), 6))
+    rates = (weights.select(F.col("domain"), ratio.alias("ratio"),
+                            F.col("weight"), F.col("share"))
+             .withColumn("c", F.min("ratio").over(wall))
+             .select("domain",
+                     F.when(F.col("weight") > 0,
+                            F.round(F.col("c") * F.col("weight")
+                                    / F.col("share"), 6))
+                     .otherwise(F.lit(0.0)).alias("keep_rate")))
+    u = hash_fraction(F.col(id_col), "#mix")
+    return (docs.join(F.broadcast(rates),
+                      docs[group_col] == rates.domain)
+            .filter(u < F.col("keep_rate"))
+            .select(F.col(id_col), F.col("domain"), F.col("keep_rate"))
+            .orderBy(id_col))
+
+
+def mixture_apply_sql(table: str, weights_sql: str,
+                      group_col: str = "source",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`mixture_apply` over a weights SELECT
+    producing (domain, share, weight) — identical rounding ladder and
+    draw."""
+    u = _hash_fraction_sql(f"t.{id_col}", "#mix")
+    return f"""
+with w as ({weights_sql}),
+r as (select domain,
+             case when weight > 0 then round(share / weight, 6) end
+               as ratio,
+             weight, share
+      from w),
+rates as (
+  select domain,
+         case when weight > 0
+              then round(min(ratio) over () * weight / share, 6)
+              else 0.0 end as keep_rate
+  from r
+)
+select t.{id_col}, rates.domain, rates.keep_rate
+from {table} t join rates on t.{group_col} = rates.domain
+where {u} < rates.keep_rate
+order by t.{id_col}
 """

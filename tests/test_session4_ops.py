@@ -196,3 +196,66 @@ def test_epoch_shuffle_epochs_are_distinct_permutations(spark):
           for r in sampling.epoch_shuffle(docs, 8, epoch=1).collect()}
     moved = sum(1 for k in e0 if e0[k] != e1[k])
     assert moved > 250  # a fresh permutation, not a rotation/no-op
+
+
+def test_mixture_apply_proportions_and_binding_domain(spark):
+    # weights table: target doubles b's share at a's expense; binding
+    # domain (largest weight/share ratio) keeps rate exactly 1.0
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 300 else "b") for i in range(400)],
+        "doc_id long, source string")
+    weights = spark.createDataFrame(
+        [("a", 0.75, 0.5), ("b", 0.25, 0.5)],
+        "domain string, share double, weight double")
+    rows = sampling.mixture_apply(docs, weights).collect()
+    rates = {r.domain: r.keep_rate for r in rows}
+    assert rates["b"] == 1.0                       # binding domain
+    assert rates["a"] == pytest.approx(1 / 3, abs=1e-4)  # (0.5/0.75)·c
+    n = {d: sum(1 for r in rows if r.domain == d) for d in ("a", "b")}
+    # kept corpus should be ~50/50 (binomial around 100 vs 100)
+    assert abs(n["a"] - n["b"]) < 40 and n["b"] == 100
+
+
+def test_mixture_apply_uniform_weights_keep_everything(spark):
+    docs = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(100)],
+        "doc_id long, source string")
+    weights = spark.createDataFrame(
+        [("x", 0.5, 0.5), ("y", 0.5, 0.5)],
+        "domain string, share double, weight double")
+    rows = sampling.mixture_apply(docs, weights).collect()
+    assert len(rows) == 100 and all(r.keep_rate == 1.0 for r in rows)
+
+
+def test_auc_matches_quadratic_reference(spark):
+    # exact O(n^2) Mann-Whitney pair count on a pseudorandom fixture
+    import hashlib
+    rows = []
+    for i in range(80):
+        h = int(hashlib.md5(f"auc{i}".encode()).hexdigest()[:8], 16)
+        prob = (h % 1000) / 1000.0          # coarse → plenty of ties
+        label = (h >> 12) % 3 != 0
+        rows.append((prob, label))
+    r = _auc(spark, rows)
+    pos = [p for p, y in rows if y]
+    neg = [p for p, y in rows if not y]
+    num = sum(1.0 if p > q else 0.5 if p == q else 0.0
+              for p in pos for q in neg)
+    want = round(num / (len(pos) * len(neg)), 6)
+    assert r.auc == pytest.approx(want, abs=1e-9)
+    assert r.n_pos == len(pos) and r.n_neg == len(neg)
+
+
+def test_mixture_apply_zero_weight_domain_dropped(spark):
+    # weight 0 = policy drops the domain outright: no division error,
+    # rate 0, no survivors from it, and it never binds the scale
+    docs = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "kill") for i in range(100)],
+        "doc_id long, source string")
+    weights = spark.createDataFrame(
+        [("keep", 0.5, 1.0), ("kill", 0.5, 0.0)],
+        "domain string, share double, weight double")
+    rows = sampling.mixture_apply(docs, weights).collect()
+    assert all(r.domain == "keep" for r in rows)
+    # with "kill" excluded from the min, "keep" binds: rate exactly 1.0
+    assert len(rows) == 50 and all(r.keep_rate == 1.0 for r in rows)
