@@ -259,3 +259,27 @@ def test_mixture_apply_zero_weight_domain_dropped(spark):
     assert all(r.domain == "keep" for r in rows)
     # with "kill" excluded from the min, "keep" binds: rate exactly 1.0
     assert len(rows) == 50 and all(r.keep_rate == 1.0 for r in rows)
+
+
+def test_hll_registers_merge_to_union(spark):
+    # the cross-crawl merge claim: max-merging two snapshots' register
+    # tables is BIT-identical to sketching the union directly — so the
+    # estimate of (last month ∪ today) never needs last month's items
+    import pyspark.sql.functions as F
+    from lexor_spark.sketches import _hll_pos, _hll_rho, HLL_M
+
+    def regs(rows):
+        df = spark.createDataFrame(rows, "host string, url string")
+        return (df.select("host",
+                          _hll_pos(F.col("url"), HLL_M).alias("pos"),
+                          _hll_rho(F.col("url")).alias("val"))
+                .groupBy("host", "pos").agg(F.max("val").alias("val")))
+
+    a = [("h", f"old{i}") for i in range(60)]
+    b = [("h", f"new{i}") for i in range(40)] + a[:10]  # overlap too
+    merged = (regs(a).union(regs(b))
+              .groupBy("host", "pos").agg(F.max("val").alias("val")))
+    direct = regs(a + b)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
