@@ -279,6 +279,11 @@ def eval_auc(scores: DataFrame, labels: DataFrame, id_col: str = "doc_id",
     at the same score).  All counts stay integers in 2× units
     (``2·below + tied``), so the single final division is the only
     float op — bit-identical across engines, no tolerance needed.
+    The rank-sum itself is ≈ 2·n_pos·n_neg, which exceeds int64 once
+    n_pos·n_neg > ~4.6e18 (easily reached at 10^12 docs), so the
+    per-score contribution is multiplied and summed in decimal(38,0)
+    on the Spark side and hugeint in the DuckDB mirror — exact
+    integer arithmetic either way, same single final division.
 
     Output: one row (n_pos, n_neg, auc).  Degenerate single-class
     inputs yield auc = NULL (division by zero pairs) rather than a
@@ -300,7 +305,10 @@ def eval_auc(scores: DataFrame, labels: DataFrame, id_col: str = "doc_id",
     wall = Window.rowsBetween(Window.unboundedPreceding,
                               Window.unboundedFollowing)
     below = F.coalesce(F.sum("neg").over(w), F.lit(0))
-    contrib = F.col("pos") * (2 * below + F.col("neg"))
+    # decimal(38,0) BEFORE the multiply: pos·(2·below+neg) ≈ 2·n_pos·n_neg
+    # wraps int64 silently under non-ANSI sums at trillion-doc scale
+    contrib = (F.col("pos").cast("decimal(38,0)")
+               * (2 * below + F.col("neg")))
     return (per.select(F.col("pos"), F.col("neg"),
                        contrib.alias("num"))
             .select(F.sum("pos").over(wall).alias("n_pos"),
@@ -331,7 +339,7 @@ per as (
 ),
 acc as (
   select pos, neg,
-         pos * (2 * coalesce(sum(neg) over (order by p
+         pos::hugeint * (2 * coalesce(sum(neg) over (order by p
                   rows between unbounded preceding and 1 preceding), 0)
                 + neg) as num
   from per

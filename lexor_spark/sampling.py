@@ -32,6 +32,7 @@ __all__ = ["mixture_plan", "mixture_plan_sql",
            "temperature_sample",
            "doremi_weights", "doremi_weights_sql",
            "mixture_apply", "mixture_apply_sql",
+           "mixture_coverage", "mixture_coverage_sql",
            "epoch_shuffle", "epoch_shuffle_sql"]
 
 _SCALE = float(1 << 32)
@@ -425,6 +426,16 @@ def mixture_apply(docs: DataFrame, weights: DataFrame,
     Output: surviving (doc_id, domain, keep_rate) rows under the
     engine-portable salted-md5 draw.
 
+    Missing-domain contract: a document whose ``group_col`` value has
+    NO row in ``weights`` gets keep_rate 0 and is dropped — explicitly
+    (left join + coalesce-to-zero, not an inner-join accident), so an
+    incomplete weights table behaves like a hand policy that zeroes
+    the unknown sources.  The drop is OBSERVABLE, not silent: run
+    :func:`mixture_coverage` on the same (docs, weights) pair to get
+    per-domain doc counts with a ``covered`` flag — the audit a
+    production run records next to the sampled corpus (and fails on,
+    if unknown mass is unexpected).
+
     Plan shape at 10^12 docs: the K-row weight table broadcasts, the
     draw is a pure per-row expression — no shuffle, no window;
     composes directly after the scan with pushdown intact.  Floats:
@@ -449,11 +460,51 @@ def mixture_apply(docs: DataFrame, weights: DataFrame,
                                     / F.col("share"), 6))
                      .otherwise(F.lit(0.0)).alias("keep_rate")))
     u = hash_fraction(F.col(id_col), "#mix")
+    # LEFT join + coalesce: unknown domains get keep_rate 0 by contract
+    # (they can never pass the draw), not by inner-join row loss
     return (docs.join(F.broadcast(rates),
-                      docs[group_col] == rates.domain)
+                      docs[group_col] == rates.domain, "left")
+            .select(F.col(id_col),
+                    F.coalesce(rates.domain, docs[group_col])
+                     .alias("domain"),
+                    F.coalesce(F.col("keep_rate"), F.lit(0.0))
+                     .alias("keep_rate"))
             .filter(u < F.col("keep_rate"))
-            .select(F.col(id_col), F.col("domain"), F.col("keep_rate"))
             .orderBy(id_col))
+
+
+def mixture_coverage(docs: DataFrame, weights: DataFrame,
+                     group_col: str = "source") -> DataFrame:
+    """(domain, n_docs, covered): per-domain corpus counts against the
+    weights table — the audit row :func:`mixture_apply` tells callers
+    to record, surfacing exactly how much mass an incomplete weights
+    table zeroes out (``covered = false`` rows are the documents that
+    draw keep_rate 0).  Plan shape at 10^12 docs: one map-side-
+    combinable groupBy on the domain, then a broadcast left join
+    against the K-row weights table — the corpus never shuffles."""
+    per = (docs.groupBy(F.col(group_col).alias("domain"))
+           .agg(F.count("*").alias("n_docs")))
+    w = weights.select("domain", F.lit(True).alias("covered"))
+    return (per.join(F.broadcast(w), "domain", "left")
+            .select("domain", "n_docs",
+                    F.coalesce("covered", F.lit(False)).alias("covered"))
+            .orderBy("domain"))
+
+
+def mixture_coverage_sql(table: str, weights_sql: str,
+                         group_col: str = "source") -> str:
+    """DuckDB mirror of :func:`mixture_coverage`."""
+    return f"""
+with w as ({weights_sql}),
+per as (
+  select {group_col} as domain, count(*)::bigint as n_docs
+  from {table} group by 1
+)
+select per.domain, per.n_docs,
+       coalesce(w.domain is not null, false) as covered
+from per left join w on per.domain = w.domain
+order by per.domain
+"""
 
 
 def mixture_apply_sql(table: str, weights_sql: str,

@@ -261,6 +261,41 @@ def test_mixture_apply_zero_weight_domain_dropped(spark):
     assert len(rows) == 50 and all(r.keep_rate == 1.0 for r in rows)
 
 
+def test_mixture_apply_unknown_domain_zeroed_not_silent(spark):
+    # documents whose domain is ABSENT from the weights table draw
+    # keep_rate 0 by contract (left join + coalesce), and the coverage
+    # audit surfaces exactly that mass with covered=false
+    docs = spark.createDataFrame(
+        [(i, "known" if i % 2 else "mystery") for i in range(100)],
+        "doc_id long, source string")
+    weights = spark.createDataFrame(
+        [("known", 1.0, 1.0)], "domain string, share double, weight double")
+    rows = sampling.mixture_apply(docs, weights).collect()
+    assert all(r.domain == "known" for r in rows) and len(rows) == 50
+    cov = {r.domain: (r.n_docs, r.covered)
+           for r in sampling.mixture_coverage(docs, weights).collect()}
+    assert cov == {"known": (50, True), "mystery": (50, False)}
+
+
+def test_mixture_coverage_matches_duckdb_oracle(spark):
+    import duckdb
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "ghost"][i % 3]) for i in range(90)],
+        "doc_id long, source string")
+    weights = spark.sql(
+        "select 'a' as domain, 0.5d as share, 0.5d as weight "
+        "union all select 'b', 0.5d, 0.5d")
+    got = [tuple(r) for r in
+           sampling.mixture_coverage(docs, weights).collect()]
+    con = duckdb.connect()
+    con.register("mixcov_docs", docs.toPandas())
+    wsql = ("select 'a' as domain, 0.5 as share, 0.5 as weight "
+            "union all select 'b', 0.5, 0.5")
+    want = con.sql(sampling.mixture_coverage_sql(
+        "mixcov_docs", wsql)).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
 def test_hll_registers_merge_to_union(spark):
     # the cross-crawl merge claim: max-merging two snapshots' register
     # tables is BIT-identical to sketching the union directly — so the
