@@ -50,8 +50,8 @@ from pyspark.sql import functions as F
 
 from lexor_spark.textfns import SQL, normalize_text
 
-__all__ = ["bpe_train", "bpe_train_sql", "bpe_encode", "bpe_encode_sql",
-           "apply_merges"]
+__all__ = ["bpe_train", "bpe_train_fast", "bpe_train_sql", "bpe_encode",
+           "bpe_encode_sql", "apply_merges"]
 
 _SEP = "\x1f"
 
@@ -114,6 +114,106 @@ def bpe_train(docs: DataFrame, n_merges: int = 12,
         words = _apply_merge(words, a, b).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, "rank int, lhs string, rhs string,"
                                  " n bigint").orderBy("rank")
+
+
+def _merge_word(s: list[str], a: str, b: str) -> list[str]:
+    """One merge over one word, left-to-right non-overlapping — the
+    serial twin of :func:`_apply_merge`'s fold."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _learn_merges(vocab: list[tuple[str, int]], n_merges: int
+                  ) -> list[tuple[int, str, str, int]]:
+    """In-process greedy BPE over a (word, count) vocabulary: identical
+    argmax (count desc, then lexicographic lhs, rhs) and identical
+    left-to-right merge application as the distributed loop, so the
+    merge tables are bit-identical.  Incremental pair maintenance (only
+    words containing the chosen pair are touched) plus a lazy-deletion
+    heap keyed ``(-n, lhs, rhs)`` make each round O(affected words·log P)
+    instead of a full vocabulary rescan — 32k–64k production merges run
+    in seconds where one-Spark-job-per-round would be tens of thousands
+    of sequential driver round-trips."""
+    import heapq
+    from collections import defaultdict
+
+    syms = [list(w) for w, _ in vocab]
+    cnts = [c for _, c in vocab]
+    pair_n: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, s in enumerate(syms):
+        c = cnts[i]
+        for p in zip(s, s[1:]):
+            pair_n[p] += c
+            pair_words[p].add(i)
+    heap = [(-n, a, b) for (a, b), n in pair_n.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            nn, a, b = heap[0]
+            if pair_n.get((a, b)) == -nn:
+                best = (a, b, -nn)
+                break
+            heapq.heappop(heap)  # stale entry
+        if best is None:
+            break  # pairs ran dry — same early stop as bpe_train
+        a, b, n = best
+        merges.append((rank, a, b, n))
+        changed: set[tuple[str, str]] = set()
+        for i in sorted(pair_words[(a, b)]):
+            s, c = syms[i], cnts[i]
+            new_s = _merge_word(s, a, b)
+            syms[i] = new_s
+            for p in zip(s, s[1:]):
+                pair_n[p] -= c
+                changed.add(p)
+            for p in zip(new_s, new_s[1:]):
+                pair_n[p] += c
+                changed.add(p)
+            olds, news = set(zip(s, s[1:])), set(zip(new_s, new_s[1:]))
+            for p in olds - news:
+                pair_words[p].discard(i)
+            for p in news:
+                pair_words[p].add(i)
+        for p in changed:
+            if pair_n.get(p, 0) <= 0:
+                pair_n.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                heapq.heappush(heap, (-pair_n[p], p[0], p[1]))
+    return merges
+
+
+def bpe_train_fast(docs: DataFrame, n_merges: int = 12,
+                   text_col: str = "text") -> DataFrame:
+    """:func:`bpe_train` for production vocabularies: ONE corpus pass
+    builds the distinct-word frequency table (vocabulary-sized — a few
+    MB even for web corpora), the driver collects it ONCE, and all
+    ``n_merges`` merges are learned in-process by :func:`_learn_merges`
+    with the identical greedy argmax — the merge table is bit-identical
+    to the distributed loop's (pinned by test), but a 32k-merge
+    tokenizer costs one Spark job instead of 32k sequential ones.  The
+    learned list feeds the existing distributed encoder
+    (:func:`bpe_encode`) as a broadcast.  ``bpe_train`` remains the
+    all-Spark oracle twin."""
+    spark = docs.sparkSession
+    vocab = [(r["w"], r["cnt"]) for r in
+             word_table(docs, text_col).select("w", "cnt").collect()]
+    vocab.sort()  # deterministic order regardless of partitioning
+    merges = _learn_merges(vocab, n_merges)
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, n bigint"
+    ).orderBy("rank")
 
 
 def _train_cte_parts(table: str, n_merges: int,

@@ -327,6 +327,98 @@ def test_extract_microdata_spark(spark):
     assert got == [("a", 0, "T", 0, "k", "v")]
 
 
+# ---------------------------------------------------------------- rdfa
+
+def _rdfa(html: str):
+    """(item_idx, typeof, path, value) rows via the same walk the
+    Arrow kernel runs (content._rdfa_props)."""
+    from lexor_spark.content import _rdfa_props
+    doc, _ = parse_html(html, "u")
+    out = []
+    item_idx = 0
+    for el in doc.iter():
+        attrs = getattr(el, "attrs", None)
+        if not attrs or "typeof" not in attrs or "property" in attrs:
+            continue
+        ty = (attrs.get("typeof") or "").strip() or None
+        props: list = []
+        _rdfa_props(el, props)
+        for path, value in props:
+            out.append((item_idx, ty, path, value))
+        item_idx += 1
+    return out
+
+
+def test_rdfa_nested_item_dotted_path_and_content_override():
+    html = ('<div vocab="https://schema.org/" typeof="Product">'
+            '<span property="name">P &amp; q</span>'
+            '<meta property="sku" content=" S1 ">'
+            '<div property="offers" typeof="Offer">'
+            '<span property="price" content="9">$9.00</span>'
+            '<link property="availability" href="/s"></div></div>')
+    assert _rdfa(html) == [
+        (0, "Product", "name", "P & q"),
+        (0, "Product", "sku", "S1"),
+        (0, "Product", "offers.price", "9"),       # content beats text
+        (0, "Product", "offers.availability", "/s"),
+    ]
+
+
+def test_rdfa_multiname_time_resource_and_stray():
+    html = ('<p property="stray">ignored</p>'
+            '<article typeof="T">'
+            '<time property="datePublished" datetime="2026-1-2">old</time>'
+            '<a property="author url" href="/u/3">U</a>'
+            '<span property="isPartOf" resource="#v1">Vol</span></article>')
+    assert _rdfa(html) == [
+        (0, "T", "datePublished", "2026-1-2"),
+        (0, "T", "author", "/u/3"),
+        (0, "T", "url", "/u/3"),
+        (0, "T", "isPartOf", "#v1"),
+    ]
+
+
+def test_rdfa_inner_typeof_without_property_is_own_item():
+    html = ('<div typeof="A"><b property="x">1</b>'
+            '<div typeof=""><i property="y">2</i></div></div>')
+    assert _rdfa(html) == [
+        (0, "A", "x", "1"),
+        (1, None, "y", "2"),
+    ]
+
+
+def test_rdfa_property_subtree_contributes_to_same_item():
+    html = ('<div typeof="A"><div property="a"><span property="b">2'
+            '</span>zz</div></div>')
+    assert _rdfa(html) == [
+        (0, "A", "a", "2zz"),
+        (0, "A", "b", "2"),
+    ]
+
+
+def test_rdfa_resource_beats_href_content_beats_resource():
+    html = ('<div typeof="A">'
+            '<a property="p" resource="#r" href="/h">t</a>'
+            '<a property="q" content="c" resource="#r" href="/h">t</a>'
+            '</div>')
+    assert _rdfa(html) == [
+        (0, "A", "p", "#r"),
+        (0, "A", "q", "c"),
+    ]
+
+
+def test_extract_rdfa_spark(spark):
+    from lexor_spark.content import extract_rdfa
+    rows = [
+        ("a", b'<div typeof="T"><span property="k">v</span></div>'),
+        ("b", b"<p>no items</p>"),
+        ("c", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted(map(tuple, extract_rdfa(pages, salt_buckets=4).collect()))
+    assert got == [("a", 0, "T", 0, "k", "v")]
+
+
 # ---------------------------------------------------------------- outline
 
 def _outline(html: str):
