@@ -276,6 +276,66 @@ NOTES = {
         "on symmetrized edges, localCheckpoint-flat so the plan never "
         "grows; cluster langs are a per-cluster collect_set bounded by "
         "the declared-language count."),
+    "winnow_fp": (
+        "Winnowing (MOSS): k-gram hashes and the width-w window minima "
+        "are ALL per-row higher-order-function expressions — the "
+        "fingerprint set is born at the scan, zero exchanges before "
+        "the per-doc explode/dedup agg; shuffle volume is the "
+        "fingerprint rows themselves (the 2/(w+1) density guarantee "
+        "bounds it), never the text."),
+    "extractor_diff": (
+        "Cross-extractor QA: TWO independent fused kernel passes "
+        "(rule converter + jusText density) over the same projected "
+        "scan — each is its own salted exchange + MapInArrow; token "
+        "agreement is a (url, token)-keyed partial agg (hot tokens "
+        "spread by the url key), then one urls-sized left join pins "
+        "every page exactly once.  Nothing corpus-sized in one task; "
+        "the cost is honestly two extractors."),
+    "extract_consensus": (
+        "The routing sink over extractor_diff: both extractor outputs "
+        "are localCheckpoint-materialized because each feeds BOTH the "
+        "agreement eval and the final text choice (one kernel parse "
+        "per extractor, not two); the verdict ladder and text pick "
+        "are per-row expressions after the url-keyed joins.  At "
+        "production scale the materialization is the job's parquet "
+        "staging area — same plan, durable."),
+    "doremi_sample": (
+        "Weights→rates→draw composition: the two LM scorings are "
+        "broadcast-model scans, the DoReMi update aggregates to K "
+        "domain rows (map-side combinable), the rate ladder windows "
+        "over those K rows only, and the final keep-draw is a pure "
+        "per-row md5 expression behind a BROADCAST of the K-row rate "
+        "table — the corpus text never shuffles anywhere in the "
+        "chain."),
+    "crawl_loop_full": (
+        "One full incremental crawl iteration: frontier dispatch and "
+        "fetch join are host-keyed with per-host state bounded and "
+        "delays broadcast; the kernel extraction is the standard "
+        "salted MapInArrow pass; the Gopher gate is scan-side HOFs; "
+        "the postings delta aggregates (term, url) partials "
+        "delta-proportionally — cost tracks the fetched slice, not "
+        "the accumulated index."),
+    "emb_from_text": (
+        "Text→embedding featurizer: char-3-gram md5s, signed-nibble "
+        "dimension sums and the L2 normalization are ONE Project of "
+        "per-row higher-order-function expressions — map-only, no "
+        "Python, no shuffle; the embedding column is born next to the "
+        "scan so any downstream ANN/k-means stage starts from a "
+        "columnar projection (the gate's explode/orderBy is the "
+        "driver-hash shape only)."),
+    "semantic_dedup_text": (
+        "SemDeDup end-to-end FROM TEXT: the featurizer adds zero "
+        "exchanges in front of the standard semantic_dedup plan — "
+        "k-means rounds broadcast the centroid table, the "
+        "within-cluster pair join runs behind the CLUSTER_PAIR_CAP "
+        "window moving ids only, vectors re-attach to surviving "
+        "pairs.  No pre-supplied embedding table anywhere."),
+    "rdfa_extract": (
+        "Third structured-data channel (after JSON-LD and microdata): "
+        "scan-side projection -> salted exchange -> ONE MapInArrow "
+        "kernel pass emitting (item, prop) rows — the same "
+        "zero-extra-shuffle shape as every kernel operator; the "
+        "gate's fixture injection is scan-side concat expressions."),
 }
 
 
@@ -309,7 +369,10 @@ def main() -> None:
                  "zipf_fit", "heaps_law", "readability",
                  "srcset_assets", "hreflang_clusters",
                  "bm25_indexed", "lr_auc", "doremi_weights", "cm_topk",
-                 "hll_distinct", "epoch_shuffle"):
+                 "hll_distinct", "epoch_shuffle", "winnow_fp",
+                 "extractor_diff", "extract_consensus", "doremi_sample",
+                 "crawl_loop_full", "emb_from_text",
+                 "semantic_dedup_text", "rdfa_extract"):
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
