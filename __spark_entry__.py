@@ -1232,10 +1232,19 @@ def _q_emb_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic text→embedding featurizer (hashed char-3-gram
     signed projection, L2-normalized round-6 components) — the bridge
     from the documents table into the whole sim/ANN family.  Exploded
-    to (vec_id, pos, val) scalar rows for the driver's value hash."""
+    to (vec_id, pos, val) scalar rows for the driver's value hash.
+
+    posexplode_OUTER on purpose: a non-outer generator makes
+    InferFiltersFromGenerate synthesize ``size(embedding) > 0`` and
+    PushDownPredicates substitutes the ENTIRE featurizer expression
+    into that filter at the scan — re-evaluating the nested HOF chain
+    per row at ruinous cost (observed: minutes for 500 docs).  The
+    embedding always has exactly dim elements, so outer explode is
+    row-identical and keeps the inferred filter out of the plan."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (sim.emb_from_text(docs, dim=16)
-            .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+            .select("vec_id",
+                    F.posexplode_outer("embedding").alias("pos", "val"))
             .orderBy("vec_id", "pos"))
 
 

@@ -87,25 +87,50 @@ def emb_from_text(docs: DataFrame, dim: int = 16, text_col: str = "text",
     embedding column is born pruned-down next to the scan, so any
     downstream k-means/LSH/PQ stage starts from a columnar projection.
     ``dim`` ≤ 32 (one md5 digest's nibbles); stack salted digests if a
-    wider projection is ever needed."""
+    wider projection is ever needed.
+
+    Evaluation-cost note: higher-order functions are CodegenFallback,
+    so whole-stage codegen's common-subexpression elimination does NOT
+    deduplicate a gram-hash expression repeated across per-dimension
+    aggregates — the per-gram md5 and nibble decode are therefore
+    materialized ONCE per row in their own Projects (multi-referenced
+    aliases survive CollapseProject), and the dimension sums are ONE
+    vector-accumulator fold (``aggregate`` + ``zip_with``) rather than
+    ``dim`` separate aggregates: one pass over the grams, and an
+    expression tree small enough that downstream operators fusing it
+    into their codegen stage (e.g. a Generate) compile instantly."""
     if not 1 <= dim <= 32:
         raise ValueError(f"dim must be in [1, 32], got {dim}")
     from lexor_spark.textfns import normalize_text
 
-    t = normalize_text(F.col(text_col))
+    # normalize FIRST in its own Project: referencing the regex chain
+    # inside the per-gram lambda would re-run it once per gram (HOF
+    # lambdas inline their free expressions; no codegen CSE rescues a
+    # CodegenFallback subtree)
+    normed = docs.select(F.col(id_col).alias("vec_id"),
+                         normalize_text(F.col(text_col)).alias("t"))
+    t = F.col("t")
     grams = (F.when(F.length(t) >= 3,
                     F.transform(F.sequence(F.lit(1), F.length(t) - 2),
                                 lambda i: F.substring(t, i, 3)))
              .when(F.length(t) >= 1, F.array(t))
              .otherwise(F.array().cast("array<string>")))
-    hs = F.transform(grams, F.md5)
-    def _dim_sum(j: int):
-        return lambda acc, h: acc + (F.conv(F.substring(h, j, 1), 16, 10)
-                                     .cast("long") * 2 - 15)
+    hashed = normed.select("vec_id",
+                           F.transform(grams, F.md5).alias("hs"))
+    nibbed = hashed.select(
+        "vec_id",
+        F.transform(
+            F.col("hs"),
+            lambda h: F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda j: F.conv(h.substr(j, F.lit(1)), 16, 10)
+                .cast("long") * 2 - 15)).alias("nibs"))
 
-    sums = F.array(*[F.aggregate(hs, F.lit(0).cast("long"), _dim_sum(j))
-                     for j in range(1, dim + 1)])
-    raw = docs.select(F.col(id_col).alias("vec_id"), sums.alias("s"))
+    vec_sum = F.aggregate(
+        F.col("nibs"),
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b))
+    raw = nibbed.select("vec_id", vec_sum.alias("s"))
     nrm = F.sqrt(F.aggregate(F.col("s"), F.lit(0.0),
                              lambda a, x: a + x.cast("double") * x))
     return (raw.withColumn("nrm", nrm)
@@ -436,8 +461,13 @@ def _kmeans_final(emb: DataFrame, k: int, iters: int) -> DataFrame:
                      F.col("embedding").alias("cv")))
     for _ in range(iters):
         assigned = _assign_nearest(emb, cents, m=k)
+        # posexplode_OUTER: a non-outer generator would make the
+        # optimizer infer size(embedding)>0 and push it to the source
+        # with the embedding EXPRESSION substituted in — ruinous when
+        # emb is a computed column (e.g. emb_from_text's HOF chain).
+        # Vectors here always have dim elements, so outer is identical.
         ex = assigned.select(
-            "cid", F.posexplode("embedding").alias("pos", "val"))
+            "cid", F.posexplode_outer("embedding").alias("pos", "val"))
         means = (ex.groupBy("cid", "pos")
                  .agg(F.round(F.avg("val"), 6).alias("m")))
         cents = (means.groupBy("cid")

@@ -322,7 +322,10 @@ NOTES = {
         "Python, no shuffle; the embedding column is born next to the "
         "scan so any downstream ANN/k-means stage starts from a "
         "columnar projection (the gate's explode/orderBy is the "
-        "driver-hash shape only)."),
+        "driver-hash shape only — posexplode_OUTER, because a "
+        "non-outer generator's inferred size()>0 filter would be "
+        "pushed to the scan with the whole featurizer expression "
+        "substituted in, re-evaluating the HOF chain per row)."),
     "semantic_dedup_text": (
         "SemDeDup end-to-end FROM TEXT: the featurizer adds zero "
         "exchanges in front of the standard semantic_dedup plan — "
