@@ -1274,7 +1274,11 @@ def _q_semantic_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .filter(F.col("doc_id") % 5 == 0)
             .select(F.expr("doc_id div 5").alias("doc_id"), "text"))
-    emb = sim.emb_from_text(docs, dim=16)
+    # checkpoint the featurized table once: k-means rounds and the
+    # pair re-attach joins each reference emb, and re-deriving the HOF
+    # featurizer per reference is pure waste (production materializes
+    # the embedding column to storage at this exact point)
+    emb = sim.emb_from_text(docs, dim=16).localCheckpoint(eager=True)
     return sim.semantic_dedup_emb(emb, k=8, iters=2, threshold=0.9)
 
 

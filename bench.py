@@ -259,6 +259,14 @@ def main() -> None:
         "cm_topk": lambda: _entry._q_cm_topk(spark, SF_DIR),
         "hll_distinct": lambda: _entry._q_hll_distinct(spark, SF_DIR),
         "epoch_shuffle": lambda: sampling.epoch_shuffle(docs, n_shards=8),
+        # round-5 operators
+        "bpe_merges_fast": lambda: bpe.bpe_train_fast(docs, n_merges=12),
+        "emb_from_text": lambda: sim.emb_from_text(docs, dim=16),
+        "semantic_dedup_text": lambda: _entry._q_semantic_dedup_text(
+            spark, SF_DIR),
+        "rdfa_extract": lambda: _entry._q_rdfa(spark, SF_DIR),
+        "mixture_coverage": lambda: _entry._q_mixture_coverage(spark,
+                                                               SF_DIR),
         "doremi_sample": lambda: _entry._q_doremi_sample(spark, SF_DIR),
     }
     for name, fn in ops.items():
